@@ -1,0 +1,99 @@
+// Differential-test harness: executes the REFERENCE's own detection/redaction
+// code (type-stripped from /root/reference/src/lib/{detection,redaction}.ts)
+// over the 18 mock-resume fixtures and a set of synthetic probe texts, and
+// writes golden JSON (tests/golden/reference_golden.json) that pytest compares
+// byte-for-byte against the Python oracle.  Run manually:
+//   node tools/gen_reference_golden.mjs
+// The golden file is committed, so CI/pytest never needs node.
+
+import { readFileSync, writeFileSync, readdirSync, mkdirSync } from 'node:fs'
+import { tmpdir } from 'node:os'
+import { join } from 'node:path'
+import { pathToFileURL } from 'node:url'
+
+const REF = '/root/reference/src/lib'
+
+function stripTypes(src) {
+  // Remove interface blocks (non-nested braces only, true for these files)
+  src = src.replace(/^(?:export )?interface \w+ \{[^}]*\}\n/gm, '')
+  src = src.replace(/^import type .*\n/gm, '')
+  // Remove generic args on Set/Map constructors
+  src = src.replace(/new (Set|Map)<[^>]*>/g, 'new $1')
+  // Remove optional-param markers + type annotations on params/vars/returns
+  const TYPE = String.raw`(?:RegExpExecArray \| null|Detection\[\]|RegexPattern\[\]|string\[\]|Map<[^>]*>(?:\s*\|\s*null)?|Record<[^>]*>|Set<[^>]*>|RedactionOptions|Detection|string \| null|number \| null|string|number|boolean)`
+  src = src.replace(new RegExp(String.raw`\?\s*:\s*${TYPE}`, 'g'), '')
+  src = src.replace(new RegExp(String.raw`:\s*${TYPE}(?=\s*([,)={;]|$))`, 'gm'), '')
+  src = src.replace(new RegExp(String.raw`\)\s*:\s*${TYPE}(?:\s*\|\s*null)?\s*\{`, 'g'), ') {')
+  return src
+}
+
+const dir = join(tmpdir(), 'sumi-ref-strip')
+mkdirSync(dir, { recursive: true })
+let det = stripTypes(readFileSync(join(REF, 'detection.ts'), 'utf8'))
+let red = stripTypes(readFileSync(join(REF, 'redaction.ts'), 'utf8'))
+red = red.replace(/from '\.\/detection'/g, "from './detection.mjs'")
+writeFileSync(join(dir, 'detection.mjs'), det)
+writeFileSync(join(dir, 'redaction.mjs'), red)
+
+const D = await import(pathToFileURL(join(dir, 'detection.mjs')))
+const R = await import(pathToFileURL(join(dir, 'redaction.mjs')))
+
+const cases = []
+
+// 18 mock-resume .txt fixtures
+const fixDir = '/root/reference/test-data/mock-resumes'
+for (const f of readdirSync(fixDir).filter((f) => f.endsWith('.txt')).sort()) {
+  cases.push({ name: f, text: readFileSync(join(fixDir, f), 'utf8') })
+}
+
+// Synthetic probe texts covering every pattern family + FP traps
+const probes = [
+  '氏名：山田太郎\nフリガナ：ヤマダタロウ',
+  '担当：田中 太郎（部長）と上司：鈴木 健太',
+  '連絡先: yamada.taro@example.com / 090-1234-5678',
+  'TEL: 03-1234-5678 FAX: (045) 987-6543',
+  '〒150-0001 東京都渋谷区神宮前3-14-5 メゾンド原宿 402号室',
+  '生年月日：1990年4月15日 / 昭和63年5月20日生まれ',
+  'マイナンバー 1234 5678 9012 を記載',
+  'GitHub: tanaka-taro-dev Twitter: @username123 LINE ID: taro_123',
+  '2020年4月 - 2024年3月 株式会社ABCに勤務',
+  '作成日：2024年12月1日 / 更新日：2025年1月15日',
+  'https://github.com/octocat と user@example.com',
+  '住所：北海道札幌市中央区大通西4丁目6-1 / 京都府京都市下京区四条烏丸1-5-3',
+  '電話：０９０−１２３４−５６７８ 名前：佐々木　誠',
+  'フロントエンドエンジニアの求人。React、TypeScript経験者。',
+  '氏名：佐藤 花子\nフリガナ：サトウ ハナコ\n住所：神奈川県横浜市西区みなとみらい2-3-1',
+  '社員番号|氏名|フリガナ|生年月日|住所|電話\n001|高橋 一郎|タカハシ イチロウ|1985年3月10日|千葉県船橋市本町5-7-3|047-123-4567',
+  'Qiita: tech_writer Zenn: dev_taro Bluesky: user.bsky.social',
+  '令和5年4月1日に入社。平成2年8月12日生まれ。',
+  '問い合わせは 0120-123-456 まで。内線 1234 5678 9012。',
+  '承認者：長谷川 翔太 / 報告者：五十嵐 美咲',
+]
+probes.forEach((t, i) => cases.push({ name: `probe_${String(i).padStart(2, '0')}`, text: t }))
+
+const out = []
+for (const c of cases) {
+  const dets = D.detectAll(c.text)
+  const maskedDefault = R.applyRedaction(c.text, dets, { keepPrefecture: true })
+  const maskedInitial = R.applyRedaction(c.text, dets, {
+    keepPrefecture: true,
+    nameInitial: true,
+  })
+  out.push({
+    name: c.name,
+    text: c.text,
+    detections: dets.map((d) => ({
+      id: d.id, type: d.type, category: d.category, value: d.value,
+      source: d.source, confidence: d.confidence,
+    })),
+    masked_keep_pref: maskedDefault,
+    masked_name_initial: maskedInitial,
+  })
+}
+
+mkdirSync('tests/golden', { recursive: true })
+writeFileSync(
+  'tests/golden/reference_golden.json',
+  JSON.stringify({ current_year: new Date().getFullYear(), cases: out }, null, 1),
+)
+console.log(`wrote ${out.length} cases`)
