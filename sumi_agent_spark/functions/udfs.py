@@ -1,0 +1,107 @@
+"""Vectorized pandas/Arrow UDFs wrapping the oracle + quality modules.
+
+Per the input-hint contract, there is no per-row *Spark* Python anywhere:
+both UDFs are Arrow-batched ``pandas_udf``s.  Inside a batch, the quality
+scorer is pure numpy over the concatenated codepoint array; the scrub UDF
+necessarily loops over the batch's rows in Python because masking is a
+sequential per-document string program (reference semantics:
+redaction.ts:41-67 -- later replacements operate on already-masked text),
+but every regex is precompiled at import time in executor module scope
+(the analog of the reference's module-scope pattern catalog,
+detection.ts:34-266).
+
+Config (mask categories, custom keywords, pinned current year, quality
+thresholds) is closed over by the UDF factory -- the Spark-idiomatic way to
+broadcast small read-only dictionaries to executors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .oracle import scrub_text
+from .quality import DEFAULT_QUALITY_CONFIG, QualityConfig, quality_frame
+from .rules import (
+    DEFAULT_CURRENT_YEAR,
+    DEFAULT_KEEP_PREFECTURE,
+    DEFAULT_MASK_CONFIG,
+    DEFAULT_NAME_INITIAL,
+)
+
+SCRUB_RESULT_TYPE = StructType([
+    StructField("masked_text", StringType()),
+    StructField("n_detections", IntegerType()),
+    StructField("n_regex", IntegerType()),
+    StructField("n_dict", IntegerType()),
+    StructField("n_heuristic", IntegerType()),
+])
+
+QUALITY_RESULT_TYPE = StructType([
+    StructField("lang", StringType()),
+    StructField("nll", DoubleType()),
+    StructField("n_chars", IntegerType()),
+    StructField("symbol_ratio", DoubleType()),
+    StructField("distinct_trigram_ratio", DoubleType()),
+    StructField("mojibake", BooleanType()),
+    StructField("keep", BooleanType()),
+    StructField("drop_reason", StringType()),
+])
+
+
+def make_scrub_udf(
+    custom_keywords: Optional[list[str]] = None,
+    mask_config: Optional[dict[str, bool]] = None,
+    keep_prefecture: bool = DEFAULT_KEEP_PREFECTURE,
+    name_initial: bool = DEFAULT_NAME_INITIAL,
+    current_year: int = DEFAULT_CURRENT_YEAR,
+):
+    """Series[str] -> struct(masked_text, n_detections, n_regex, n_dict,
+    n_heuristic).  Deterministic; marked nondeterministic=False by default."""
+    kw = list(custom_keywords) if custom_keywords else None
+    cfg = dict(DEFAULT_MASK_CONFIG if mask_config is None else mask_config)
+
+    @pandas_udf(SCRUB_RESULT_TYPE)
+    def scrub(texts: pd.Series) -> pd.DataFrame:
+        masked, n_det, n_re, n_di, n_he = [], [], [], [], []
+        for text in texts.fillna(""):
+            m, dets = scrub_text(
+                text, kw, cfg, keep_prefecture, name_initial, current_year)
+            masked.append(m)
+            n_det.append(len(dets))
+            n_re.append(sum(1 for d in dets if d.source == "regex"))
+            n_di.append(sum(1 for d in dets if d.source == "dict"))
+            n_he.append(sum(1 for d in dets if d.source == "heuristic"))
+        return pd.DataFrame({
+            "masked_text": masked,
+            "n_detections": pd.array(n_det, dtype="int32"),
+            "n_regex": pd.array(n_re, dtype="int32"),
+            "n_dict": pd.array(n_di, dtype="int32"),
+            "n_heuristic": pd.array(n_he, dtype="int32"),
+        })
+
+    return scrub
+
+
+def make_quality_udf(cfg: QualityConfig = DEFAULT_QUALITY_CONFIG):
+    """(text, role) -> struct(lang, nll, ..., keep, drop_reason).
+
+    Fully vectorized numpy inside each Arrow batch."""
+
+    @pandas_udf(QUALITY_RESULT_TYPE)
+    def quality(texts: pd.Series, roles: pd.Series) -> pd.DataFrame:
+        out = quality_frame(texts, roles, cfg)
+        out["n_chars"] = out["n_chars"].astype("int32")
+        return out
+
+    return quality

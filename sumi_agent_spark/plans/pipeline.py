@@ -1,0 +1,186 @@
+"""End-to-end scrub pipeline: read -> quality -> scrub -> order -> write.
+
+Spark-first shape (SURVEY.md §3.1 translation):
+
+* All heavy work is per-turn and embarrassingly parallel -- the hot path has
+  ZERO shuffles: scan -> project(quality_udf, scrub_udf) -> write.  Catalyst
+  fuses both UDF projections into one stage; Arrow batches stream through.
+* Ordering (north rule: stable (conv_id, turn_idx) order) is applied only at
+  the boundary via ``repartitionByRange + sortWithinPartitions``: a sampled
+  range exchange, not a single-reducer global sort, so hot conversations
+  split across partitions while the output file sequence stays totally
+  ordered.
+* Conversation-level rollups use two-phase salted aggregation
+  (``conversation_stats``): partial agg on (conv_id, salt) first, so a
+  10^7-turn hot conversation never lands on one reducer.  AQE's skew
+  handling covers joins; salting aggregations is ours to do.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.quality import DEFAULT_QUALITY_CONFIG, QualityConfig
+from ..functions.udfs import make_quality_udf, make_scrub_udf
+
+OUTPUT_COLUMNS = [
+    "conv_id", "turn_idx", "role", "tool", "ts", "text", "masked_text",
+    "n_detections", "n_regex", "n_dict", "n_heuristic",
+    "lang", "nll", "n_chars", "symbol_ratio", "distinct_trigram_ratio",
+    "mojibake", "keep", "drop_reason",
+]
+
+
+def scrub_transcripts(
+    df: DataFrame,
+    custom_keywords: Optional[list[str]] = None,
+    mask_config: Optional[dict[str, bool]] = None,
+    keep_prefecture: bool = True,
+    name_initial: bool = False,
+    current_year: int = 2026,
+    quality_cfg: QualityConfig = DEFAULT_QUALITY_CONFIG,
+) -> DataFrame:
+    """The flagship transform.  One narrow stage: no shuffle, no collect."""
+    scrub = make_scrub_udf(custom_keywords, mask_config, keep_prefecture,
+                           name_initial, current_year)
+    quality = make_quality_udf(quality_cfg)
+    out = (
+        df
+        .withColumn("_q", quality(F.col("text"), F.col("role")))
+        .withColumn("_s", scrub(F.col("text")))
+        .select(
+            "conv_id", "turn_idx", "role", "tool", "ts", "text",
+            F.col("_s.masked_text").alias("masked_text"),
+            F.col("_s.n_detections").alias("n_detections"),
+            F.col("_s.n_regex").alias("n_regex"),
+            F.col("_s.n_dict").alias("n_dict"),
+            F.col("_s.n_heuristic").alias("n_heuristic"),
+            F.col("_q.lang").alias("lang"),
+            F.col("_q.nll").alias("nll"),
+            F.col("_q.n_chars").alias("n_chars"),
+            F.col("_q.symbol_ratio").alias("symbol_ratio"),
+            F.col("_q.distinct_trigram_ratio").alias("distinct_trigram_ratio"),
+            F.col("_q.mojibake").alias("mojibake"),
+            F.col("_q.keep").alias("keep"),
+            F.col("_q.drop_reason").alias("drop_reason"),
+        )
+    )
+    return out
+
+
+def ordered(df: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
+    """Stable (conv_id, turn_idx) ordering via range exchange.
+
+    ``repartitionByRange`` samples key boundaries, so a hot conv_id is split
+    across consecutive partitions instead of hammering one reducer the way
+    ``Window.partitionBy('conv_id')`` would; ``sortWithinPartitions`` then
+    yields a totally ordered file sequence."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (df.repartitionByRange(n, "conv_id", "turn_idx")
+              .sortWithinPartitions("conv_id", "turn_idx"))
+
+
+def with_turn_rank(df: DataFrame, salt_buckets: int = 0) -> DataFrame:
+    """Per-conversation dense rank over turn_idx (Window form of the north
+    rule's ordering).  For genuinely skewed conversations prefer
+    ``ordered()``; this exists for consumers that need the rank column."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.withColumn("turn_rank", F.row_number().over(w))
+
+
+def conversation_stats(df: DataFrame, salt: int = 16) -> DataFrame:
+    """Per-conversation keep/drop/mask counters with two-phase salted agg."""
+    partial = (
+        df.groupBy("conv_id", (F.pmod(F.hash("turn_idx"), F.lit(salt))).alias("_salt"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
+            F.sum((F.col("n_detections") > 0).cast("long")).alias("n_masked"),
+            F.sum("n_detections").alias("n_detections"),
+        )
+    )
+    return (
+        partial.groupBy("conv_id")
+        .agg(
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("n_keep").alias("n_keep"),
+            F.sum("n_drop").alias("n_drop"),
+            F.sum("n_masked").alias("n_masked"),
+            F.sum("n_detections").alias("n_detections"),
+        )
+    )
+
+
+def pipeline_metrics(df: DataFrame) -> DataFrame:
+    """Job-level metrics rollup: counts by (lang, keep, drop_reason)."""
+    return (
+        df.rollup("lang", "keep", "drop_reason")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum("n_detections").alias("n_detections"))
+        .orderBy("lang", "keep", "drop_reason")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    resume: bool = False,
+    **scrub_kwargs,
+) -> dict:
+    """Batch entry point: parquet in, ordered parquet out, metrics + lineage.
+
+    ``resume=True`` anti-joins against keys already present in the output
+    (idempotent restart per the north rule)."""
+    from .checkpoint import resume_filter, write_with_lineage
+
+    t0 = time.time()
+    df = spark.read.parquet(input_path)
+    if resume:
+        df = resume_filter(df, output_path)
+    scrubbed = scrub_transcripts(df, **scrub_kwargs)
+    n = write_with_lineage(ordered(scrubbed), output_path, stage="scrub")
+    wall = time.time() - t0
+    return {"rows": n, "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n / wall, 1) if wall > 0 else None}
+
+
+def main() -> None:
+    import argparse
+    import json
+
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser(description="sumi-agent-spark scrub pipeline")
+    ap.add_argument("--input", required=False, help="input parquet path")
+    ap.add_argument("--output", required=True, help="output parquet dir")
+    ap.add_argument("--generate", type=int, default=0, metavar="N_CONVS",
+                    help="generate a fixture table with N conversations instead of --input")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(cores=args.cores)
+    if args.generate:
+        import tempfile
+
+        from ..sources.transcripts import write_parquet
+        tmp = tempfile.mkdtemp(prefix="sumi_fixture_")
+        input_path = f"{tmp}/transcripts.parquet"
+        write_parquet(input_path, n_convs=args.generate)
+    else:
+        if not args.input:
+            ap.error("--input or --generate required")
+        input_path = args.input
+    stats = run_pipeline(spark, input_path, args.output, resume=args.resume)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Spark end-to-end pipeline tests: byte-equality vs the Python oracle,
+keep/drop F1, stable ordering, salted stats, lineage + resume.
+
+Acceptance per BASELINE.json: keep/drop F1 >= 0.99 vs reference labels and
+per-turn masked_text exact match under stable (conv_id, turn_idx) order.
+Here both sides derive from the same oracle code, so equality must be exact
+(F1 == 1.0) -- any drift is a real determinism bug.
+"""
+
+import pandas as pd
+import pytest
+
+from sumi_agent_spark.functions.oracle import scrub_text
+from sumi_agent_spark.functions.quality import quality_frame
+from sumi_agent_spark.plans.pipeline import (
+    conversation_stats,
+    ordered,
+    pipeline_metrics,
+    run_pipeline,
+    scrub_transcripts,
+    with_turn_rank,
+)
+from sumi_agent_spark.sources.transcripts import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def fixture_pdf():
+    return generate_transcripts(n_convs=30, avg_turns=8, seed=42)
+
+
+@pytest.fixture(scope="module")
+def scrubbed(spark, fixture_pdf):
+    sdf = spark.createDataFrame(fixture_pdf)
+    out = scrub_transcripts(sdf).toPandas()
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def oracle_expected(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reference labels computed by the pure-Python oracle."""
+    q = quality_frame(pdf["text"], pdf["role"])
+    masked = [scrub_text(t)[0] for t in pdf["text"].fillna("")]
+    exp = pdf[["conv_id", "turn_idx"]].copy()
+    exp["masked_text"] = masked
+    exp["keep"] = q["keep"].to_numpy()
+    exp["drop_reason"] = q["drop_reason"].to_numpy()
+    return exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_masked_text_byte_exact(scrubbed, fixture_pdf):
+    exp = oracle_expected(fixture_pdf)
+    assert len(scrubbed) == len(exp)
+    mismatches = (scrubbed["masked_text"] != exp["masked_text"]).sum()
+    assert mismatches == 0
+
+
+def test_keep_drop_f1(scrubbed, fixture_pdf):
+    exp = oracle_expected(fixture_pdf)
+    tp = ((scrubbed["keep"]) & (exp["keep"])).sum()
+    fp = ((scrubbed["keep"]) & (~exp["keep"])).sum()
+    fn = ((~scrubbed["keep"]) & (exp["keep"])).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99
+    assert (scrubbed["drop_reason"] == exp["drop_reason"]).all()
+
+
+def test_fixture_content_mix(scrubbed):
+    # the generator must exercise every gate
+    assert {"ja", "en"} <= set(scrubbed["lang"])
+    reasons = set(scrubbed["drop_reason"])
+    assert {"lang", "too_short"} <= reasons
+    assert (scrubbed["n_detections"] > 0).any()
+    # masked rows must not leak raw emails
+    leaked = scrubbed["masked_text"].str.contains(
+        r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}", regex=True)
+    assert not leaked.any()
+
+
+def test_detection_sources_counted(scrubbed):
+    assert (scrubbed["n_regex"] + scrubbed["n_dict"]
+            + scrubbed["n_heuristic"] == scrubbed["n_detections"]).all()
+    assert scrubbed["n_dict"].sum() > 0  # gazetteer names present in fixtures
+
+
+def test_ordered_is_totally_sorted(spark, fixture_pdf):
+    sdf = spark.createDataFrame(fixture_pdf)
+    parts = ordered(sdf, num_partitions=4)
+    pdf = parts.toPandas()  # collect preserves partition order
+    keys = list(zip(pdf["conv_id"], pdf["turn_idx"]))
+    assert keys == sorted(keys)
+
+
+def test_with_turn_rank(spark, fixture_pdf):
+    sdf = spark.createDataFrame(fixture_pdf.head(200))
+    out = with_turn_rank(sdf).toPandas()
+    g = out[out["conv_id"] == out["conv_id"].iloc[0]].sort_values("turn_idx")
+    assert list(g["turn_rank"]) == list(range(1, len(g) + 1))
+
+
+def test_conversation_stats_salted(spark, fixture_pdf):
+    sdf = spark.createDataFrame(fixture_pdf)
+    scr = scrub_transcripts(sdf)
+    stats = conversation_stats(scr).toPandas()
+    assert stats["n_turns"].sum() == len(fixture_pdf)
+    assert (stats["n_keep"] + stats["n_drop"] == stats["n_turns"]).all()
+    # hot conversations exist and dwarf the average (skew fixture)
+    assert stats["n_turns"].max() > 4 * stats["n_turns"].median()
+
+
+def test_pipeline_metrics_rollup(spark, fixture_pdf):
+    sdf = spark.createDataFrame(fixture_pdf.head(300))
+    m = pipeline_metrics(scrub_transcripts(sdf)).toPandas()
+    total = m[m["lang"].isna()]["n_turns"].iloc[0]
+    assert total == 300
+
+
+def test_run_pipeline_and_resume(spark, fixture_pdf, tmp_path):
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    fixture_pdf.head(100).to_parquet(inp, index=False)
+    stats = run_pipeline(spark, inp, out)
+    assert stats["rows"] == 100
+    # lineage written
+    lineage = spark.read.parquet(f"{out}/_lineage").toPandas()
+    assert lineage["n_turns"].sum() == 100
+    # resume: nothing left to do -> no duplicate rows
+    fixture_pdf.head(150).to_parquet(inp, index=False)  # 50 new turns
+    stats2 = run_pipeline(spark, inp, out, resume=True)
+    assert stats2["rows"] == 150  # total now in output, no dup of first 100
+    final = spark.read.parquet(out).toPandas()
+    assert len(final) == 150
+    assert final.duplicated(["conv_id", "turn_idx"]).sum() == 0
