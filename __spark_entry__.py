@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship scrub pipeline (SURVEY.md §3.1/§3.2
+translation) over sf0.001 ``documents`` re-shaped as transcript turns.
+
+``queries()`` maps SURVEY.md §2 operators onto the driver's star-schema
+tables; every entry with an ``oracle_sql()`` twin is checked row-count +
+schema + value-hash against DuckDB at sf0.01.  Float aggregates are carried
+as integer cents (``CAST(ROUND(x*100) AS BIGINT)``) so hashes are exact.
+
+Dialect notes (Spark vs DuckDB): DuckDB ``regexp_replace`` needs the ``'g'``
+flag for replace-all; ``regexp_extract_all`` needs no group argument;
+token splits use ``regexp_split_to_array``.  Regexes below avoid lookarounds
+so RE2 (DuckDB) and the JDK engine agree.
 """
 
 from __future__ import annotations
@@ -12,27 +19,322 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ─── shared pattern/constant definitions ───
+
+EMAIL_RE = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+URL_RE = r"https?://[^\s　、。，．<>\"')\]）」』】]{4,}"
+KANA_RE = r"[぀-ヿ]"
+EMAIL_PH = "[メール非公開]"
+URL_PH = "[URL非公開]"
+
+_FW_DIGITS = "".join(chr(c) for c in range(0xFF10, 0xFF1A))
+_FW_UPPER = "".join(chr(c) for c in range(0xFF21, 0xFF3B))
+_FW_LOWER = "".join(chr(c) for c in range(0xFF41, 0xFF5B))
+_HW_DIGITS = "0123456789"
+_HW_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_HW_LOWER = "abcdefghijklmnopqrstuvwxyz"
+FW_CHARS = _FW_DIGITS + _FW_UPPER + _FW_LOWER + "；"
+HW_CHARS = _HW_DIGITS + _HW_UPPER + _HW_LOWER + ";"
+
+
+def _sq(s: str) -> str:
+    """Escape a string for a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ─── flagship entry ───
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Scrub pipeline over sf0.001 documents re-shaped as transcript turns."""
+    from sumi_agent_spark.plans.pipeline import ordered, scrub_transcripts
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    turns = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+    )
+    return ordered(scrub_transcripts(turns))
+
+
+# ─── queries + DuckDB oracles ───
+
+def _q_normalize_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.translate(F.col("text"), FW_CHARS, HW_CHARS), r"[ \t]{2,}", " ")
+    return docs.select("doc_id", F.md5(norm).alias("norm_hash"))
+
+
+def _q_mask_email_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, EMAIL_PH), URL_RE, URL_PH)
+    return docs.select("doc_id", F.md5(masked).alias("masked_hash"))
+
+
+def _q_email_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+    return docs.agg(
+        F.sum((n > 0).cast("long")).alias("n_docs_with_email"),
+        F.sum(n.cast("long")).alias("total_emails"))
+
+
+def _q_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stripped = F.length(F.regexp_replace(F.col("text"), r"[ \t\n\r]", ""))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((stripped < 30).cast("long")).alias("n_short"),
+        F.sum(stripped.cast("long")).alias("total_stripped_chars"))
+
+
+def _q_lang_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("lang").isin("en", "ja").cast("long")).alias("n_kept"),
+                 F.sum(F.col("text").rlike(KANA_RE).cast("long")).alias("n_kana_docs"))
+            .orderBy("lang"))
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per_text = docs.groupBy(F.md5("text").alias("h")).agg(F.count("*").alias("c"))
+    return per_text.agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_unique_texts"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_docs"))
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.agg(
+        F.sum(n_tok.cast("long")).alias("total_tokens"),
+        F.max(n_tok.cast("long")).alias("max_tokens"),
+        F.min(n_tok.cast("long")).alias("min_tokens"))
+
+
+def _q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("long")).alias("sum_chars"))
+            .orderBy("source"))
+
+
+def _q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(cents).alias("value_cents"))
+            .orderBy("event_type"))
+
+
+def _q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_id").alias("first_event_id")))
+
+
+def _q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (orders
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey",
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                     .alias("price_cents")))
+
+
+def _q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(qty_c).alias("sum_qty_cents"),
+                 F.sum(price_c).alias("sum_price_cents"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def _q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (orders
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(nation, cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(cents).alias("revenue_cents"))
+            .orderBy("n_name"))
+
+
+def _q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          "left_anti")
+    return (no_orders.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"))
+            .orderBy("c_mktsegment"))
+
+
+def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+    cand = emb.filter(F.col("vec_id") > 0)
+    joined = cand.crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb",
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (norm(F.col("embedding")) * norm(F.col("q_emb")))
+    return (joined
+            .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+            .limit(10))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "normalize_hash": _q_normalize_hash,
+        "mask_email_url": _q_mask_email_url,
+        "email_stats": _q_email_stats,
+        "quality_length": _q_quality_length,
+        "lang_gate": _q_lang_gate,
+        "exact_dedup": _q_exact_dedup,
+        "token_stats": _q_token_stats,
+        "doc_source_stats": _q_doc_source_stats,
+        "events_by_type": _q_events_by_type,
+        "first_event_per_user": _q_first_event_per_user,
+        "top_orders": _q_top_orders,
+        "lineitem_agg": _q_lineitem_agg,
+        "orders_by_nation": _q_orders_by_nation,
+        "customers_no_orders": _q_customers_no_orders,
+        "knn_cosine": _q_knn_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    email = _sq(EMAIL_RE)
+    url = _sq(URL_RE)
+    fw, hw = _sq(FW_CHARS), _sq(HW_CHARS)
+    return {
+        "normalize_hash": f"""
+            SELECT doc_id,
+                   md5(regexp_replace(translate(text, '{fw}', '{hw}'),
+                                      '[ \t]{{2,}}', ' ', 'g')) AS norm_hash
+            FROM documents
+        """,
+        "mask_email_url": f"""
+            SELECT doc_id,
+                   md5(regexp_replace(
+                         regexp_replace(text, '{email}', '{EMAIL_PH}', 'g'),
+                         '{url}', '{URL_PH}', 'g')) AS masked_hash
+            FROM documents
+        """,
+        "email_stats": f"""
+            SELECT sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_email,
+                   sum(n)::BIGINT AS total_emails
+            FROM (SELECT len(regexp_extract_all(text, '{email}')) AS n
+                  FROM documents)
+        """,
+        "quality_length": """
+            SELECT count(*) AS n_docs,
+                   sum(CASE WHEN s < 30 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+                   sum(s)::BIGINT AS total_stripped_chars
+            FROM (SELECT length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS s
+                  FROM documents)
+        """,
+        "lang_gate": f"""
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(CASE WHEN lang IN ('en','ja') THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   sum(CASE WHEN regexp_matches(text, '{_sq(KANA_RE)}')
+                            THEN 1 ELSE 0 END)::BIGINT AS n_kana_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "exact_dedup": """
+            SELECT sum(c)::BIGINT AS n_docs,
+                   count(*) AS n_unique_texts,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_docs
+            FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+        """,
+        "token_stats": r"""
+            SELECT sum(n)::BIGINT AS total_tokens,
+                   max(n)::BIGINT AS max_tokens,
+                   min(n)::BIGINT AS min_tokens
+            FROM (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n
+                  FROM documents)
+        """,
+        "doc_source_stats": """
+            SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "first_event_per_user": """
+            SELECT user_id, event_id AS first_event_id
+            FROM (SELECT user_id, event_id,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "top_orders": """
+            SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "orders_by_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "customers_no_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "knn_cosine": """
+            SELECT c.vec_id,
+                   round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+            FROM embeddings c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE c.vec_id > 0
+            ORDER BY cos_sim DESC, c.vec_id LIMIT 10
+        """,
+    }

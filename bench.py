@@ -1,0 +1,161 @@
+"""Benchmark harness: prints ONE JSON line with per-query seconds.
+
+Headline = the flagship scrub pipeline (quality + PII mask, BASELINE.json
+metric is turns/sec) over a deterministic transcript fixture replicated to
+bench scale inside Spark, plus every driver-contract query at
+``$SPARK_GRAFT_SF_DIR``.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   star-schema dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  SUMI_BENCH_REPL      fixture replication factor (default 8 -> ~1.1M turns)
+  SUMI_BENCH_SCALING   "1" -> also run the scrub bench at local[8] and
+                       local[32] on identical input and report scaling
+                       efficiency (BASELINE.json north-rule evidence)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FIXTURE_CACHE = "/tmp/sumi_bench_fixture_v1.parquet"
+FIXTURE_CONVS = 5000  # ~140k turns at avg 20/conv, seed 42
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_fixture() -> str:
+    if not os.path.exists(FIXTURE_CACHE):
+        from sumi_agent_spark.sources.transcripts import write_parquet
+        log(f"generating bench fixture ({FIXTURE_CONVS} convs)...")
+        write_parquet(FIXTURE_CACHE, n_convs=FIXTURE_CONVS, avg_turns=20, seed=42)
+    return FIXTURE_CACHE
+
+
+def ensure_big_fixture(spark, repl: int) -> str:
+    """Materialize the replicated fixture once as 64-way parquet so the
+    timed region is the pure hot path: scan -> fused UDFs -> agg."""
+    from pyspark.sql import functions as F
+
+    path = f"/tmp/sumi_bench_big_v2_r{repl}.parquet"
+    if not os.path.exists(path):
+        base = spark.read.parquet(ensure_fixture())
+        if repl > 1:
+            reps = spark.range(repl).select(F.col("id").alias("rep"))
+            base = (base.crossJoin(F.broadcast(reps))
+                    .withColumn("conv_id",
+                                F.concat_ws("_", "conv_id",
+                                            F.col("rep").cast("string")))
+                    .drop("rep"))
+        # 128 splits: fine enough that stragglers don't idle 32 cores,
+        # coarse enough that per-task overhead stays negligible
+        base.repartition(128).write.mode("overwrite").parquet(path)
+    return path
+
+
+def scrub_bench(spark, repl: int) -> tuple[float, int]:
+    """Time the full scrub+quality pipeline; returns (sec, n_turns)."""
+    from pyspark.sql import functions as F
+
+    from sumi_agent_spark.plans.pipeline import scrub_transcripts
+
+    base = spark.read.parquet(ensure_big_fixture(spark, repl))
+    n = base.count()
+    scrubbed = scrub_transcripts(base)
+    t0 = time.time()
+    # force full evaluation of both UDF structs + the decision columns
+    scrubbed.agg(
+        F.sum(F.length("masked_text")), F.sum("n_detections"),
+        F.sum(F.col("keep").cast("long")), F.sum("nll")).collect()
+    return time.time() - t0, n
+
+
+import pandas as pd  # noqa: E402  (module scope: pandas_udf resolves annotations here)
+
+
+def _warm(spark) -> None:
+    """Start the JVM stages AND the Python UDF workers before timing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    @pandas_udf(IntegerType())
+    def _noop(s: pd.Series) -> pd.Series:
+        return s.astype("int32")
+
+    n = spark.sparkContext.defaultParallelism * 4
+    (spark.range(n).repartition(n)
+     .select(_noop(F.col("id").cast("int")).alias("x"))
+     .agg(F.sum("x")).collect())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repl = int(os.environ.get("SUMI_BENCH_REPL", "8"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from sumi_agent_spark.session import get_spark
+
+    queries: dict[str, float] = {}
+    spark = get_spark(app_name="sumi-bench", cores=cpus)
+
+    _warm(spark)
+
+    sec, n_turns = scrub_bench(spark, repl)
+    queries["scrub_pipeline"] = round(sec, 3)
+    turns_per_sec = round(n_turns / sec, 1)
+    log(f"scrub_pipeline: {n_turns} turns in {sec:.1f}s = {turns_per_sec}/s")
+
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "headline_suite_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "bench_turns": n_turns,
+        "turns_per_sec": turns_per_sec,
+    }
+
+    if os.environ.get("SUMI_BENCH_SCALING") == "1":
+        # N -> 4N evidence.  Default pair 4,16: both levels leave the shared
+        # 32-core host unsaturated (JVM scan/Arrow threads run beside the
+        # Python workers), isolating the job's own scaling behavior the way
+        # dedicated executors on a real cluster would.  Pair 8,32 measures
+        # the fully-saturated host instead (JVM steals cores from Python).
+        pair = [int(x) for x in
+                os.environ.get("SUMI_BENCH_SCALE_PAIR", "4,16").split(",")]
+        spark.stop()
+        scaling = {}
+        for nc in pair:
+            s = get_spark(app_name=f"sumi-scale-{nc}", cores=nc)
+            _warm(s)
+            sec_n, n = scrub_bench(s, repl)
+            scaling[f"local{nc}_turns_per_sec"] = round(n / sec_n, 1)
+            scaling[f"local{nc}_sec"] = round(sec_n, 3)
+            s.stop()
+        lo, hi = pair
+        speedup = (scaling[f"local{hi}_turns_per_sec"]
+                   / scaling[f"local{lo}_turns_per_sec"])
+        scaling["speedup"] = round(speedup, 3)
+        scaling["efficiency"] = round(speedup / (hi / lo), 3)
+        result["scaling"] = scaling
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -325,12 +325,16 @@ def quality_frame(
     nll_en_pos = _MODEL_EN.nll(cps_lo, row_break)
     nll_ot_pos = _MODEL_OTHER.nll(cps_lo, row_break)
 
-    pe = np.maximum(ends - 1, starts)  # bigram positions end index per row
+    # bigram-position segment bounds, clamped into the (N-1)-sized NLL array:
+    # a zero-length row at the very end would otherwise index past it
+    n_pos = max(len(cps) - 1, 0)
+    ps = np.minimum(starts, n_pos)
+    pe = np.minimum(np.maximum(ends - 1, starts), n_pos)
     n_bi = np.maximum(lens - 1, 0).astype(np.float64)
     safe_bi = np.maximum(n_bi, 1)
-    nll_ja = _seg_sum(nll_ja_pos, starts, pe) / safe_bi if len(nll_ja_pos) else np.zeros(n)
-    nll_en = _seg_sum(nll_en_pos, starts, pe) / safe_bi if len(nll_en_pos) else np.zeros(n)
-    nll_ot = _seg_sum(nll_ot_pos, starts, pe) / safe_bi if len(nll_ot_pos) else np.zeros(n)
+    nll_ja = _seg_sum(nll_ja_pos, ps, pe) / safe_bi if len(nll_ja_pos) else np.zeros(n)
+    nll_en = _seg_sum(nll_en_pos, ps, pe) / safe_bi if len(nll_en_pos) else np.zeros(n)
+    nll_ot = _seg_sum(nll_ot_pos, ps, pe) / safe_bi if len(nll_ot_pos) else np.zeros(n)
 
     # en-vs-other: stopword evidence first (robust), NLL as tiebreak
     t_lower = t.str.lower()

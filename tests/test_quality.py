@@ -107,6 +107,18 @@ def test_empty_batch():
     assert len(out) == 0
 
 
+def test_batch_ending_with_empty_rows():
+    # regression: an empty string as the batch's LAST row used to index one
+    # past the bigram-NLL array in the segment-sum
+    out = qf([JA, "", EN, "", ""])
+    assert list(out["drop_reason"]) == ["", "too_short", "", "too_short",
+                                        "too_short"]
+    # same texts, different order -> same per-text scores
+    out2 = qf(["", "", JA, "", EN])
+    assert out["nll"][0] == out2["nll"][2]
+    assert out["nll"][2] == out2["nll"][4]
+
+
 def test_config_thresholds_respected():
     cfg = QualityConfig(min_chars=5)
     out = qf(["短い断片ですが十分です", "tiny"], cfg=cfg)
