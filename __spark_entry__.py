@@ -217,6 +217,77 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sumi_agent_spark.operators.textstats import BPE_ISH_RE
+    docs = _t(spark, sf_dir, "documents")
+    n = F.regexp_count(F.col("text"), F.lit(BPE_ISH_RE)).cast("long")
+    return docs.agg(F.sum(n).alias("total_bpe_tokens"),
+                    F.max(n).alias("max_bpe_tokens"))
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sumi_agent_spark.operators.textstats import quality_score
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).select("doc_id", "quality_score")
+
+
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.5))
+
+
+def _q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sumi_agent_spark.operators.dedup import minhash_near_duplicates
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, "doc_id", "text", threshold=0.7)
+
+
+def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sumi_agent_spark.operators.dedup import simhash_near_duplicates
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+
+
+def _q_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sumi_agent_spark.operators.textstats import make_winnow_udf
+    docs = _t(spark, sf_dir, "documents")
+    winnow = make_winnow_udf(k=8, window=4)
+    return docs.agg(
+        F.sum(F.size(winnow("text")).cast("long")).alias("total_fingerprints"))
+
+
+def _q_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sumi_agent_spark.functions.udfs import make_scrub_udf
+    docs = _t(spark, sf_dir, "documents")
+    scrub = make_scrub_udf()
+    return (docs.withColumn("_s", scrub("text"))
+            .select("doc_id", F.col("_s.n_detections").alias("n_detections"),
+                    F.md5(F.col("_s.masked_text")).alias("masked_hash")))
+
+
+def _q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sumi_agent_spark.operators.multimodal import (
+        decode_assets, extract_features, generate_assets)
+    assets = generate_assets(spark, n=48)
+    feats = extract_features(assets)
+    meta = decode_assets(assets).select("asset_id", "width", "height")
+    return (feats.join(meta, "asset_id")
+            .select("asset_id", "kind", "width", "height",
+                    F.round(F.element_at("feature", 1), 6).alias("f0")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_hash": _q_normalize_hash,
@@ -234,6 +305,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_nation": _q_orders_by_nation,
         "customers_no_orders": _q_customers_no_orders,
         "knn_cosine": _q_knn_cosine,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "quality_score": _q_quality_score,
+        "cosine_pairs": _q_cosine_pairs,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "winnow_stats": _q_winnow_stats,
+        "scrub_docs": _q_scrub_docs,
+        "asset_features": _q_asset_features,
     }
 
 
@@ -336,5 +415,37 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             WHERE c.vec_id > 0
             ORDER BY cos_sim DESC, c.vec_id LIMIT 10
+        """,
+        "bpe_token_stats": """
+            SELECT CAST(sum(n) AS BIGINT) AS total_bpe_tokens,
+                   CAST(max(n) AS BIGINT) AS max_bpe_tokens
+            FROM (SELECT len(regexp_extract_all(text,'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'
+                   )) AS n FROM documents)
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   round(greatest(least(
+                     0.4 * least(length(text) / 200.0, 1.0)
+                     + 0.4 * (length(regexp_replace(text, '[^A-Za-z぀-ゟ゠-ヿ一-鿿]', '', 'g'))
+                              / greatest(length(text), 1)::DOUBLE)
+                     + 0.2 * (CASE WHEN mw >= 2 AND mw <= 12 THEN 1.0 ELSE 0.3 END)
+                     - 0.2 * (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                              / greatest(length(text), 1)::DOUBLE)
+                   , 1.0), 0.0), 6) AS quality_score
+            FROM (SELECT doc_id, text,
+                         length(text)::DOUBLE / greatest(
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                           END, 1)::DOUBLE AS mw
+                  FROM documents)
+        """,
+        "cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 4) >= 0.5
         """,
     }

@@ -1,0 +1,290 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash + banded LSH, SimHash (hamming banding), exact
+n-gram Jaccard verification, and embedding-cosine near-dup.  All Spark-first:
+
+* signatures are computed in Arrow-batched pandas UDFs (numpy per batch);
+* candidate generation is a banded self-join (shuffle on (band, key)), the
+  standard way to avoid the O(n^2) all-pairs blowup at 100 TB;
+* pathological buckets (a boilerplate shingle shared by millions of docs)
+  are capped with ``max_bucket_size`` before the self-join, otherwise one
+  hot bucket alone is quadratic;
+* every candidate pair is exact-verified (Jaccard / hamming / cosine), so
+  LSH false positives never reach the output -- recall is the only
+  approximation, tuned by (n_hashes, bands).
+
+Determinism: all hash families derive from fixed seeds; no wall clock.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+_MERSENNE = (1 << 61) - 1
+_SEED = 0x5A51
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Rolling polynomial hashes of the k-char shingles of ``text``."""
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cps) < k:
+        cps = np.pad(cps, (0, k - len(cps)), constant_values=0x1F)
+    base = np.uint64(1000003)
+    h = np.zeros(len(cps) - k + 1, dtype=np.uint64)
+    acc = np.zeros_like(h)
+    for i in range(k):  # k is small (default 5); vector ops inside
+        acc = acc * base + cps[i:i + len(h)]
+    h = acc & np.uint64((1 << 61) - 1)
+    return np.unique(h)
+
+
+def _hash_family(n: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(_SEED)
+    a = rng.randint(1, _MERSENNE, size=n, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def make_minhash_udf(n_hashes: int = 128, shingle_k: int = 5):
+    """Series[str] -> array<long> MinHash signature."""
+    a, b = _hash_family(n_hashes)
+    m = np.uint64(_MERSENNE)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            sh = _shingle_hashes(t, shingle_k)
+            if len(sh) == 0:
+                out.append([0] * n_hashes)
+                continue
+            # (n_hashes x n_shingles) permutation min, in one vector op
+            sig = ((np.multiply.outer(a, sh) + b[:, None]) % m).min(axis=1)
+            out.append(sig.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash
+
+
+def make_jaccard_udf(shingle_k: int = 5):
+    """(text_a, text_b) -> exact shingle-set Jaccard similarity."""
+
+    @pandas_udf(DoubleType())
+    def jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.zeros(len(a))
+        for i, (x, y) in enumerate(zip(a.fillna(""), b.fillna(""))):
+            sx, sy = _shingle_hashes(x, shingle_k), _shingle_hashes(y, shingle_k)
+            if len(sx) == 0 and len(sy) == 0:
+                out[i] = 1.0
+                continue
+            inter = len(np.intersect1d(sx, sy, assume_unique=True))
+            out[i] = inter / (len(sx) + len(sy) - inter)
+        return pd.Series(out)
+
+    return jaccard
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, doc_ids)."""
+    return (df.select(F.md5(F.col(text_col)).alias("text_hash"),
+                      F.col(id_col).alias("doc_id"))
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+            .filter(F.col("n_docs") > 1))
+
+
+def _banded_pairs(sig_df: DataFrame, id_col: str, bands: int,
+                  max_bucket_size: int) -> DataFrame:
+    """Self-join signature bands -> distinct candidate (id_a < id_b) pairs."""
+    n_hashes_col = F.size("sig")
+    rows_per_band = (n_hashes_col / bands).cast("int")
+    banded = (
+        sig_df
+        .select(F.col(id_col).alias("doc_id"), "sig")
+        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn("band_key",
+                    F.md5(F.concat_ws(
+                        ",", F.col("band"),
+                        F.slice("sig", F.col("band") * rows_per_band + 1,
+                                rows_per_band).cast("array<string>"))))
+        .select("doc_id", "band", "band_key"))
+    from pyspark.sql.window import Window
+
+    # cap pathological buckets before the quadratic self-join
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_key")))
+    capped = sized.filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (a.join(b, ["band", "band_key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, exact-verified by shingle Jaccard.
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.  Output has no
+    false positives; recall follows the (n_hashes, bands) S-curve."""
+    minhash = make_minhash_udf(n_hashes, shingle_k)
+    jac = make_jaccard_udf(shingle_k)
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    sig = base.select("doc_id", minhash("text").alias("sig"))
+    pairs = _banded_pairs(sig, "doc_id", bands, max_bucket_size)
+    ta = base.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = base.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (pairs.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("jaccard", jac("text_a", "text_b"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def brute_force_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    threshold: float = 0.8, shingle_k: int = 5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard (the small-data oracle for LSH recall tests).
+
+    O(n^2) cross join -- only for validation scales."""
+    jac = make_jaccard_udf(shingle_k)
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("jaccard", jac("text_a", "text_b"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+# ─── SimHash ───
+
+def make_simhash_udf(bits: int = 64):
+    """Series[str] -> 64-bit SimHash over whitespace tokens."""
+    mask = np.uint64((1 << bits) - 1) if bits < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    @pandas_udf(LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.fillna("")):
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hs = np.array([_poly64(tok) for tok in toks], dtype=np.uint64) & mask
+            bits_mat = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1)
+            v = np.where(bits_mat == 1, 1, -1).sum(axis=0)
+            h = np.uint64(0)
+            for j in np.nonzero(v > 0)[0]:
+                h |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(h)
+        return pd.Series(out)
+
+    return simhash
+
+
+def _poly64(tok: str) -> int:
+    h = 0xCBF29CE484222325  # FNV-1a
+    for ch in tok.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str,
+    max_hamming: int = 3, chunks: int = 4, max_bucket_size: int = 1000,
+) -> DataFrame:
+    """SimHash near-dups: band the 64-bit hash into ``chunks`` pieces --
+    pigeonhole: hamming <= chunks-1 guarantees one identical chunk -- then
+    exact-verify with popcount (native bit ops, JVM-side)."""
+    from pyspark.sql.window import Window
+
+    simhash = make_simhash_udf()
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     simhash(F.col(text_col)).alias("sh"))
+    width = 64 // chunks
+    chunked = (base
+               .withColumn("chunk", F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))))
+               .withColumn("chunk_key", F.concat_ws(
+                   ":", F.col("chunk"),
+                   F.expr(f"shiftrightunsigned(sh, chunk * {width}) "
+                          f"& {(1 << width) - 1}").cast("string"))))
+    sized = chunked.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("chunk_key")))
+    capped = sized.filter(F.col("bucket_n") <= max_bucket_size)
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (a.join(b, "chunk_key")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"),
+                     F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ─── Embedding cosine near-dup ───
+
+def embedding_near_duplicates(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, n_planes: int = 16, max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Near-identical embeddings via random-hyperplane LSH + exact cosine.
+
+    Sign-bucket on ``n_planes`` fixed random hyperplanes (cos >= 0.95 pairs
+    collide with high probability), then exact-verify cosine JVM-side."""
+    from pyspark.sql.window import Window
+
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    rng = np.random.RandomState(_SEED)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        signs = (m @ planes.T) > 0
+        keys = np.zeros(len(m), dtype=np.int64)
+        for j in range(n_planes):
+            keys |= signs[:, j].astype(np.int64) << j
+        return pd.Series(keys)
+
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
+                     bucket(F.col(vec_col)).alias("bkt"))
+    sized = base.withColumn("bucket_n",
+                            F.count("*").over(Window.partitionBy("bkt")))
+    capped = sized.filter(F.col("bucket_n") <= max_bucket_size)
+    a, b = capped.alias("a"), capped.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (a.join(b, "bkt")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    (dot / (nrm(F.col("a.v")) * nrm(F.col("b.v")))).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+            .distinct())

