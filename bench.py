@@ -69,12 +69,20 @@ def scrub_bench(spark, repl: int) -> tuple[float, int]:
     base = spark.read.parquet(ensure_big_fixture(spark, repl))
     n = base.count()
     scrubbed = scrub_transcripts(base)
-    t0 = time.time()
-    # force full evaluation of both UDF structs + the decision columns
-    scrubbed.agg(
-        F.sum(F.length("masked_text")), F.sum("n_detections"),
-        F.sum(F.col("keep").cast("long")), F.sum("nll")).collect()
-    return time.time() - t0, n
+
+    def full_pass():
+        # force full evaluation of both UDF structs + the decision columns
+        scrubbed.agg(
+            F.sum(F.length("masked_text")), F.sum("n_detections"),
+            F.sum(F.col("keep").cast("long")), F.sum("nll")).collect()
+
+    full_pass()  # untimed: JVM C2-compiles the Arrow writer/reader paths
+    best = float("inf")
+    for _ in range(2):  # steady state = best of 2 timed passes
+        t0 = time.time()
+        full_pass()
+        best = min(best, time.time() - t0)
+    return best, n
 
 
 import pandas as pd  # noqa: E402  (module scope: pandas_udf resolves annotations here)

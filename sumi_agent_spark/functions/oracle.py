@@ -29,6 +29,8 @@ from .dictionaries import GIVEN_NAMES, NON_NAME_WORDS, SURNAMES, SURNAME_FIRST_C
 from .rules import (
     ADDRESS_DETAIL_PLACEHOLDER,
     BIRTHDAY_LABEL_BEFORE,
+    HAS_DIGIT_RE,
+    RULE_SCREENS,
     DEFAULT_CURRENT_YEAR,
     DEFAULT_KEEP_PREFECTURE,
     DEFAULT_MASK_CONFIG,
@@ -132,11 +134,24 @@ def name_to_initial(name: str, reading_map: Optional[dict[str, str]] = None) -> 
 
 # ─── Regex detection with false-positive filters (detection.ts:400-492) ───
 
+_RULES_WITH_SCREENS = [(r, RULE_SCREENS.get(r.id)) for r in REGEX_RULES]
+
 def detect_regex(text: str, current_year: int = DEFAULT_CURRENT_YEAR) -> list[Detection]:
     out: list[Detection] = []
     seen: set[str] = set()
+    tl = text.lower()
+    has_digit = bool(HAS_DIGIT_RE.search(text))
 
-    for rule in REGEX_RULES:
+    for rule, screen in _RULES_WITH_SCREENS:
+        if screen == "digit":
+            if not has_digit:
+                continue
+        elif screen is not None:
+            for mk in screen:
+                if mk in tl:
+                    break
+            else:
+                continue
         for m in rule.regex.finditer(text):
             v = (m.group(rule.group) if rule.group else m.group(0)).strip()
             key = f"{rule.id}:{v}"
@@ -196,6 +211,14 @@ def detect_regex(text: str, current_year: int = DEFAULT_CURRENT_YEAR) -> list[De
 # ─── Dictionary / context name detection (detection.ts:1145-1281) ───
 
 _HAS_KANJI = re.compile(r"[一-鿿]")
+# prefix lookup structures: replace the 211-name startswith scan with <=6 set
+# probes while preserving gazetteer emission order (sort by catalog index)
+_GIVEN_SET = frozenset(GIVEN_NAMES)
+_GIVEN_IDX = {gn: i for i, gn in enumerate(GIVEN_NAMES)}
+_GIVEN_MAXLEN = max(len(g) for g in GIVEN_NAMES)
+_SURNAMES_BY_FIRST: dict[str, list[tuple[int, str]]] = {}
+for _i, _sn in enumerate(SURNAMES):
+    _SURNAMES_BY_FIRST.setdefault(_sn[0], []).append((_i, _sn))
 _PURE_KATAKANA = re.compile(r"^[゠-ヿ\s　]+$")
 _WS_ONLY = re.compile(r"[\s　]")
 _LEADING_WS = re.compile(r"^[\s　]*")
@@ -220,11 +243,12 @@ def _is_likely_name(s: str) -> bool:
 def detect_japanese_names(text: str) -> list[Detection]:
     out: list[Detection] = []
     seen: set[str] = set()
-    chars = set(text)
-    if not (chars & SURNAME_FIRST_CHARS):
-        surnames: list[str] = []
+    hit_chars = set(text) & SURNAME_FIRST_CHARS
+    if hit_chars:
+        idx_sn = sorted(p for c in hit_chars for p in _SURNAMES_BY_FIRST[c])
+        surnames = [sn for _, sn in idx_sn]
     else:
-        surnames = [sn for sn in SURNAMES if sn[0] in chars]
+        surnames = []
 
     # Pass 1: surname scan + given-name prefix / role-label fallback
     for sn in surnames:
@@ -235,19 +259,24 @@ def detect_japanese_names(text: str) -> list[Detection]:
             ns = a + (ws.end() if ws else 0)
             nr = text[ns:ns + 6]
             matched = False
-            for gn in GIVEN_NAMES:
-                if nr.startswith(gn):
-                    full = text[p:ns + len(gn)]
-                    k = f"name:{full}"
-                    if k not in seen and _is_likely_name(full):
-                        bef = text[p - 1] if p > 0 else " "
-                        if p == 0 or NAME_BEF_OK.match(bef) or LABEL_ENDS.match(bef):
-                            seen.add(k)
-                            out.append(Detection(
-                                id=f"nd_{p}", type="name_dict", label="氏名（辞書）",
-                                category="name", value=full, source="dict",
-                                confidence=0.92, enabled=True))
-                            matched = True
+            # all gazetteer given-names that prefix nr, in catalog order
+            # (equivalent to scanning GIVEN_NAMES with startswith)
+            cand = [g for g in (nr[:j] for j in range(1, min(_GIVEN_MAXLEN,
+                                                             len(nr)) + 1))
+                    if g in _GIVEN_SET]
+            cand.sort(key=_GIVEN_IDX.__getitem__)
+            for gn in cand:
+                full = text[p:ns + len(gn)]
+                k = f"name:{full}"
+                if k not in seen and _is_likely_name(full):
+                    bef = text[p - 1] if p > 0 else " "
+                    if p == 0 or NAME_BEF_OK.match(bef) or LABEL_ENDS.match(bef):
+                        seen.add(k)
+                        out.append(Detection(
+                            id=f"nd_{p}", type="name_dict", label="氏名（辞書）",
+                            category="name", value=full, source="dict",
+                            confidence=0.92, enabled=True))
+                        matched = True
             if not matched:
                 before30 = text[max(0, p - 30):p]
                 if NAME_ROLE_LABEL_BEFORE.search(before30):

@@ -144,6 +144,45 @@ REGEX_RULES: list[RegexRule] = [
               _r(r"(?:Speaker\s*Deck|speakerdeck)" + _SEP + r"@?([a-zA-Z0-9_-]{1,30})", _I), 1),
 ]
 
+# Cheap literal prescreens: a rule can only match if one of its markers is
+# present ("digit" = any ASCII digit; tuples are lowercase substrings checked
+# against text.lower()).  Purely an optimization -- conservative by
+# construction, so detection output is byte-identical with or without them.
+RULE_SCREENS: dict[str, object] = {
+    "email": ("@",),
+    "url": ("http",),
+    "phone": "digit", "postal": "digit", "birthday": "digit",
+    "mynumber": "digit",
+    "address": ("道", "都", "府", "県"),
+    "name_label": ("氏", "名", "フリガナ", "ふりがな"),
+    "name_kana": ("フリガナ", "ふりがな", "カナ"),
+    "sns_twitter": ("twitter", "x", "ツイッター"),
+    "sns_github": ("github", "ギットハブ"),
+    "sns_linkedin": ("linkedin", "リンクトイン"),
+    "sns_instagram": ("instagram", "インスタグラム"),
+    "sns_facebook": ("facebook", "フェイスブック"),
+    "sns_qiita": ("qiita", "キータ"),
+    "sns_zenn": ("zenn",),
+    "sns_note": ("note",),
+    "sns_dribbble": ("dribb", "ドリブル"),
+    "sns_behance": ("behance", "ビハンス"),
+    "sns_youtube": ("youtube", "ユーチューブ"),
+    "sns_tiktok": ("tiktok", "ティックトック"),
+    "sns_threads": ("threads", "スレッズ"),
+    "sns_bluesky": ("bluesky", "bsky", "ブルースカイ"),
+    "sns_mastodon": ("mastodon", "マストドン"),
+    "sns_pinterest": ("pinterest", "ピンタレスト"),
+    "sns_wantedly": ("wantedly", "ウォンテッドリー"),
+    "sns_connpass": ("connpass",),
+    "sns_line": ("line", "ライン"),
+    "sns_discord": ("discord", "ディスコード"),
+    "sns_slack": ("slack", "スラック"),
+    "sns_medium": ("medium",),
+    "sns_stackoverflow": ("stack",),
+    "sns_speakerdeck": ("speaker",),
+}
+HAS_DIGIT_RE = _r(r"\d")
+
 # Context predicates used by the false-positive filters
 # (cf. detection.ts:269-270, :413-476)
 YEAR_RANGE_CONTEXT = _r(
