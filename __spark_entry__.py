@@ -288,6 +288,29 @@ def _q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.element_at("feature", 1), 6).alias("f0")))
 
 
+
+def _q_ingest_post_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sumi_agent_spark.sources.ingest import ingest_post_clean
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       F.md5(ingest_post_clean(F.col("text"))).alias("clean_hash"))
+
+
+def _q_csv_pipe_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sumi_agent_spark.sources.ingest import csv_to_pipe_lines
+    cust = _t(spark, sf_dir, "customer")
+    return (csv_to_pipe_lines(cust, ["c_custkey", "c_name", "c_mktsegment"])
+            .agg(F.count("*").alias("n_lines"),
+                 F.md5(F.concat_ws(chr(10), F.sort_array(F.collect_list("line"))))
+                  .alias("lines_hash")))
+
+
+def _q_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sumi_agent_spark.sources.ingest import flatten_json_text
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", flatten_json_text("props").alias("flat"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_hash": _q_normalize_hash,
@@ -313,6 +336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_stats": _q_winnow_stats,
         "scrub_docs": _q_scrub_docs,
         "asset_features": _q_asset_features,
+        "ingest_post_clean": _q_ingest_post_clean,
+        "csv_pipe_lines": _q_csv_pipe_lines,
+        "flatten_json": _q_flatten_json,
     }
 
 
@@ -447,5 +473,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 4) >= 0.5
+        """,
+        "ingest_post_clean": """
+            SELECT doc_id, md5(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                '[ \t]+\n', chr(10), 'g'),
+                '\n{3,}', chr(10) || chr(10), 'g'),
+                '^\n+', '', 'g'),
+                '[\s　]+$', '', 'g')) AS clean_hash
+            FROM documents
+        """,
+        "csv_pipe_lines": """
+            SELECT count(*) AS n_lines,
+                   md5(string_agg(line, chr(10) ORDER BY line)) AS lines_hash
+            FROM (SELECT c_custkey || ' | ' || c_name || ' | ' || c_mktsegment AS line
+                  FROM customer)
         """,
     }

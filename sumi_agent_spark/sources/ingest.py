@@ -1,0 +1,241 @@
+"""Ingest-side operators: format -> clean text (SURVEY.md §2.1-2.2).
+
+Re-expressions of the reference's parser post-processing for the formats
+that have transcript analogs:
+
+* ``ingest_post_clean``   -- the parseFile post-normalize chain
+  (RedactPro.tsx:1628): strip trailing whitespace per line, collapse 3+
+  newlines to 2, strip leading newlines, trim end.  Pure native
+  ``regexp_replace`` chain (codegen, SQL-expressible).
+* ``csv_to_pipe_lines``   -- parseCSV's row rendering ``a | b | c``
+  (RedactPro.tsx:1537): ``concat_ws`` over columns.
+* ``flatten_json_text``   -- parseJSON's recursive string-value flattening
+  to ``path: value`` lines (RedactPro.tsx:1564-1578); handles tool-call
+  payloads embedded in transcript turns.
+* ``strip_html``          -- extractTextFromHTML (RedactPro.tsx:1402-1436):
+  noise tags dropped, block tags break lines, ``li`` -> ``・``, ``td`` ->
+  `` | ``, anchor hrefs appended, title prefixed.
+* ``detect_encoding``     -- the UTF-8 / Shift-JIS / EUC-JP sniffer
+  (RedactPro.tsx:879): BOM checks then byte-pattern scoring over the first
+  10 KB, for ``binaryFile``-sourced ingest.
+* ``clean_content``       -- the export-side redaction-only-line removal
+  (RedactPro.tsx:3078-3093).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from html.parser import HTMLParser
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from ..functions.rules import PLACEHOLDER_RE
+
+
+def ingest_post_clean(col: Column) -> Column:
+    """Native projection of the parse post-clean (RedactPro.tsx:1628)."""
+    c = F.regexp_replace(col, r"[ \t]+\n", "\n")      # trailing ws per line
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")         # collapse 3+ newlines
+    c = F.regexp_replace(c, r"^\n+", "")               # strip leading newlines
+    c = F.regexp_replace(c, r"[\s　]+$", "")       # trimEnd
+    return c
+
+
+def csv_to_pipe_lines(df: DataFrame, cols: Optional[list[str]] = None) -> DataFrame:
+    """Rows -> one ``a | b | c`` line per row (parseCSV analog)."""
+    cols = cols or df.columns
+    return df.select(F.concat_ws(" | ", *[F.col(c).cast("string") for c in cols])
+                     .alias("line"))
+
+
+# ─── JSON flattening (parseJSON analog) ───
+
+def _flatten_json(obj, path: str, out: list[str]) -> None:
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            _flatten_json(v, f"{path}.{k}" if path else str(k), out)
+    elif isinstance(obj, list):
+        for i, v in enumerate(obj):
+            _flatten_json(v, f"{path}[{i}]", out)
+    elif isinstance(obj, str):
+        out.append(f"{path}: {obj}")
+    elif obj is not None:
+        out.append(f"{path}: {json.dumps(obj)}")
+
+
+@pandas_udf(StringType())
+def flatten_json_text(texts: pd.Series) -> pd.Series:
+    """JSON string -> ``path: value`` lines; non-JSON passes through."""
+    out = []
+    for t in texts.fillna(""):
+        s = t.strip()
+        if s[:1] in ("{", "["):
+            try:
+                lines: list[str] = []
+                _flatten_json(json.loads(s), "", lines)
+                out.append("\n".join(lines))
+                continue
+            except (json.JSONDecodeError, RecursionError):
+                pass
+        out.append(t)
+    return pd.Series(out)
+
+
+# ─── HTML stripping (extractTextFromHTML analog) ───
+
+_NOISE_TAGS = {"script", "style", "noscript", "iframe", "svg", "meta", "link"}
+_BLOCK_TAGS = {"p", "div", "section", "article", "header", "footer", "main",
+               "br", "h1", "h2", "h3", "h4", "h5", "h6", "tr", "ul", "ol",
+               "table", "blockquote", "pre"}
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__()
+        self.parts: list[str] = []
+        self.skip_depth = 0
+        self.title: list[str] = []
+        self.in_title = False
+        self.href: Optional[str] = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _NOISE_TAGS:
+            if tag not in ("meta", "link", "br"):
+                self.skip_depth += 1
+            return
+        if tag == "title":
+            self.in_title = True
+        if tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+        elif tag == "li":
+            self.parts.append("\n・")
+        elif tag == "td" or tag == "th":
+            self.parts.append(" | ")
+        elif tag == "a":
+            self.href = dict(attrs).get("href")
+
+    def handle_endtag(self, tag):
+        if tag in _NOISE_TAGS and tag not in ("meta", "link", "br"):
+            self.skip_depth = max(0, self.skip_depth - 1)
+        if tag == "title":
+            self.in_title = False
+        if tag == "a" and self.href and self.href.startswith("http"):
+            self.parts.append(f" ({self.href})")
+            self.href = None
+        if tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_data(self, data):
+        if self.skip_depth:
+            return
+        if self.in_title:
+            self.title.append(data.strip())
+        else:
+            self.parts.append(data)
+
+
+_WS_LINES = re.compile(r"[ \t]+\n")
+_MANY_NL = re.compile(r"\n{3,}")
+
+
+@pandas_udf(StringType())
+def strip_html(texts: pd.Series) -> pd.Series:
+    out = []
+    for t in texts.fillna(""):
+        if "<" not in t:
+            out.append(t)
+            continue
+        p = _TextExtractor()
+        try:
+            p.feed(t)
+            p.close()
+        except Exception:
+            out.append(t)
+            continue
+        body = "".join(p.parts)
+        title = " ".join(x for x in p.title if x)
+        text = (title + "\n" + body) if title else body
+        text = _MANY_NL.sub("\n\n", _WS_LINES.sub("\n", text)).strip()
+        out.append(text)
+    return pd.Series(out)
+
+
+# ─── Encoding detection (RedactPro.tsx:879 analog) ───
+
+def detect_encoding(data: bytes) -> str:
+    """Heuristic UTF-8 / Shift-JIS / EUC-JP sniffing over the first 10 KB."""
+    head = data[:10240]
+    if head.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if head.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return "utf-16"
+    try:
+        head.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        pass
+    scores = {"shift_jis": 0, "euc_jp": 0}
+    i = 0
+    while i < len(head) - 1:
+        b1, b2 = head[i], head[i + 1]
+        if 0x81 <= b1 <= 0x9F or 0xE0 <= b1 <= 0xEF:
+            if 0x40 <= b2 <= 0xFC and b2 != 0x7F:
+                scores["shift_jis"] += 1
+        if 0xA1 <= b1 <= 0xFE and 0xA1 <= b2 <= 0xFE:
+            scores["euc_jp"] += 1
+        i += 1
+    best = max(scores, key=lambda k: scores[k])
+    return best if scores[best] > 0 else "utf-8"
+
+
+@pandas_udf(StringType())
+def decode_binary_text(payloads: pd.Series) -> pd.Series:
+    """binaryFile content -> decoded text via the encoding sniffer."""
+    out = []
+    for p in payloads:
+        if p is None:
+            out.append("")
+            continue
+        b = bytes(p)
+        enc = detect_encoding(b)
+        try:
+            out.append(b.decode(enc, errors="replace"))
+        except LookupError:
+            out.append(b.decode("utf-8", errors="replace"))
+    return pd.Series(out)
+
+
+# ─── Export-side content cleanup (RedactPro.tsx:3078-3093 analog) ───
+
+_KV_LINE = re.compile(r"^[^：:]{1,20}[：:]\s*(.*)$")
+
+
+def _is_redaction_only(line: str) -> bool:
+    stripped = line.strip()
+    if not stripped:
+        return False
+    no_ph = PLACEHOLDER_RE.sub("", stripped).strip()
+    if no_ph == "":
+        return True
+    kv = _KV_LINE.match(stripped)
+    if kv:
+        val = kv.group(1).strip()
+        if val and PLACEHOLDER_RE.sub("", val).strip() == "":
+            return True
+    return False
+
+
+@pandas_udf(StringType())
+def clean_content(texts: pd.Series) -> pd.Series:
+    """Drop lines that carry nothing but redaction placeholders."""
+    out = []
+    for t in texts.fillna(""):
+        kept = [ln for ln in t.split("\n") if not _is_redaction_only(ln)]
+        out.append("\n".join(kept))
+    return pd.Series(out)
