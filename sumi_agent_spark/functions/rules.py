@@ -292,6 +292,29 @@ DEFAULT_MASK_CONFIG: dict[str, bool] = {
 DEFAULT_KEEP_PREFECTURE = True
 DEFAULT_NAME_INITIAL = False
 
+# The reference's three mask presets (constants.ts:151-204): category
+# enable-map plus the keepPrefecture/nameInitial options per level.
+MASK_PRESETS: dict[str, dict] = {
+    "basic": {  # 氏名 + 連絡先のみ
+        "mask": {"name": True, "contact": True, "address": False,
+                 "personal": False, "web": False, "organization": False,
+                 "custom": True},
+        "keep_prefecture": True, "name_initial": False, "level": 1,
+    },
+    "std": {   # + 住所・年月日・URL
+        "mask": {"name": True, "contact": True, "address": True,
+                 "personal": True, "web": True, "organization": False,
+                 "custom": True},
+        "keep_prefecture": True, "name_initial": False, "level": 2,
+    },
+    "strict": {  # 組織名含む全項目
+        "mask": {"name": True, "contact": True, "address": True,
+                 "personal": True, "web": True, "organization": True,
+                 "custom": True},
+        "keep_prefecture": False, "name_initial": False, "level": 3,
+    },
+}
+
 # Pinned "current year" replacing the reference's `new Date()` call in the
 # birthday-recency filter (detection.ts:473) so results never rot.
 DEFAULT_CURRENT_YEAR = 2026

@@ -1,0 +1,67 @@
+"""Export sinks for scrubbed tables (SURVEY.md §2.1 sinks).
+
+The reference's ``generateExport`` (RedactPro.tsx:1764-1843) strips
+page/sheet markers, prefixes a BOM/markdown header, and re-infers tabular
+structure from `` | ``-joined lines.  Table-scale equivalents:
+
+* ``strip_page_markers`` -- the exact marker regex as a native projection.
+* ``write_scrubbed``     -- parquet/csv/json writers over the scrubbed
+  schema with the marker-strip applied to ``masked_text``.
+* ``pipe_lines_to_cells`` -- the csv/xlsx fallback re-inference: split
+  `` | `` rows into a cells array (per-line), with the tabular-ness test
+  (>=2 pipe lines and >=30% of non-empty lines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RedactPro.tsx:1767 -- strip "--- Page N ---" / "--- Sheet: x ---" lines,
+# then leading newlines
+PAGE_MARKER_RE = r"(?m)^-{2,}\s*(?:Page\s+\d+|Sheet:\s*.+)\s*-{2,}\s*\n?"
+
+
+def strip_page_markers(col: Column) -> Column:
+    return F.regexp_replace(F.regexp_replace(col, PAGE_MARKER_RE, ""),
+                            r"^\n+", "")
+
+
+def pipe_lines_to_cells(df: DataFrame, text_col: str = "masked_text") -> DataFrame:
+    """Explode pipe-joined lines into cells arrays; mark tabular docs."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "")
+    pipe_lines = F.filter(lines, lambda l: l.contains(" | "))
+    is_tabular = (F.size(pipe_lines) >= 2) & \
+        (F.size(pipe_lines) / F.greatest(F.size(lines), F.lit(1)) >= 0.3)
+    return (df.withColumn("_lines", lines)
+              .withColumn("is_tabular", is_tabular)
+              .withColumn("line", F.explode("_lines"))
+              .withColumn("cells", F.when(
+                  F.col("line").contains(" | "),
+                  F.transform(F.split("line", r" \| "), lambda c: F.trim(c)))
+                  .otherwise(F.array(F.col("line"))))
+              .drop("_lines"))
+
+
+def write_scrubbed(df: DataFrame, path: str, fmt: str = "parquet",
+                   mode: str = "overwrite") -> None:
+    """Write the scrubbed table; masked_text gets the export marker strip.
+
+    csv/json writers drop the raw ``text`` column (exports carry only the
+    scrubbed content, matching the reference's export behavior)."""
+    out = df.withColumn("masked_text", strip_page_markers(F.col("masked_text")))
+    if fmt == "parquet":
+        out.write.mode(mode).parquet(path)
+    elif fmt == "csv":
+        (out.drop("text")
+            .withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+            .write.mode(mode).option("header", True)
+            .option("quoteAll", True)
+            .option("escape", '"')  # RFC4180 quote doubling, not backslash
+            .csv(path))
+    elif fmt == "json":
+        out.drop("text").write.mode(mode).json(path)
+    else:
+        raise ValueError(f"unsupported export format: {fmt}")
