@@ -78,7 +78,7 @@ def scrub_bench(spark, repl: int) -> tuple[float, int]:
 
     full_pass()  # untimed: JVM C2-compiles the Arrow writer/reader paths
     best = float("inf")
-    for _ in range(2):  # steady state = best of 2 timed passes
+    for _ in range(3):  # steady state = best of 3 timed passes
         t0 = time.time()
         full_pass()
         best = min(best, time.time() - t0)

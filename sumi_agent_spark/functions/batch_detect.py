@@ -1,0 +1,126 @@
+"""Batch-screened detection: one scan per pattern per Arrow batch.
+
+The per-row detectors (oracle.py) are semantically exact but pay 33 regex
+scans + a gazetteer walk per row.  At Arrow-batch granularity we can invert
+that: concatenate the batch's normalized texts with a separator no pattern
+can match across, scan each pattern ONCE over the whole batch, and then run
+the verbatim per-row detector only on the (rule, row) pairs the scan proved
+can match.  The per-row code path executes unchanged, so output is
+byte-identical by construction (asserted by tests/test_batch_parity.py);
+screening is conservative -- a false candidate only costs a redundant
+per-row scan.
+
+Separator choice: alternating "\\n、" (32 chars).  Every unbounded regex
+class in the catalog excludes at least one of the two characters (``\\s``
+classes stop at 、; negated-newline classes stop at \\n; kanji/kana/latin
+classes match neither), and 、 after a single \\n blocks the ``\\s*`` label
+separators, so no catalog pattern can bridge two rows.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+from typing import Optional, Sequence
+
+import re
+
+from .dictionaries import SURNAME_FIRST_CHARS, SURNAMES
+from .oracle import (
+    Detection,
+    detect_custom_keywords,
+    detect_japanese_names,
+    detect_regex,
+    normalize_text,
+)
+from .rules import DEFAULT_CURRENT_YEAR, NAME_LABEL_SCAN, REGEX_RULES, RULE_SCREENS
+
+SEP = "\n、" * 16
+
+_FIRST_CHAR_RE = re.compile("[" + re.escape("".join(sorted(SURNAME_FIRST_CHARS))) + "]")
+_SURNAMES_BY_FIRST: dict[str, list[tuple[int, str]]] = {}
+for _i, _sn in enumerate(SURNAMES):
+    _SURNAMES_BY_FIRST.setdefault(_sn[0], []).append((_i, _sn))
+
+
+def _row_of(starts: list[int], lens: list[int], pos: int) -> int:
+    """Map a concat offset to its row (or the preceding row if inside SEP)."""
+    i = bisect_right(starts, pos) - 1
+    return i
+
+
+def detect_all_batch(
+    texts: Sequence[str],
+    custom_keywords: Optional[list[str]] = None,
+    current_year: int = DEFAULT_CURRENT_YEAR,
+) -> list[list[Detection]]:
+    """Per-row ``detect_all`` results for a whole batch (byte-identical)."""
+    n = len(texts)
+    normed = [normalize_text(t or "") for t in texts]
+    big = SEP.join(normed)
+    big_l = big.lower()
+    starts: list[int] = []
+    pos = 0
+    for t in normed:
+        starts.append(pos)
+        pos += len(t) + len(SEP)
+    lens = [len(t) for t in normed]
+
+    # ── regex rules: one finditer per rule over the batch ──
+    rule_rows: list[list[int]] = []  # parallel to REGEX_RULES: candidate rows
+    for rule in REGEX_RULES:
+        screen = RULE_SCREENS.get(rule.id)
+        if isinstance(screen, tuple):
+            hit = False
+            for mk in screen:
+                if mk in big_l:
+                    hit = True
+                    break
+            if not hit:
+                rule_rows.append([])
+                continue
+        rows: set[int] = set()
+        for m in rule.regex.finditer(big):
+            rows.add(_row_of(starts, lens, m.start()))
+        rule_rows.append(sorted(rows))
+
+    rules_per_row: list[list] = [[] for _ in range(n)]
+    for rule, rows in zip(REGEX_RULES, rule_rows):
+        for r in rows:
+            rules_per_row[r].append(rule)
+
+    # ── gazetteer surnames: one first-char-class pass over the batch, then
+    # startswith checks against the ~1.3 surnames sharing that first char ──
+    row_surname_idx: list[set[int]] = [set() for _ in range(n)]
+    for m in _FIRST_CHAR_RE.finditer(big):
+        p = m.start()
+        for idx, sn in _SURNAMES_BY_FIRST[m.group(0)]:
+            if big.startswith(sn, p):
+                row_surname_idx[_row_of(starts, lens, p)].add(idx)
+    surnames_per_row = [[SURNAMES[i] for i in sorted(s)] for s in row_surname_idx]
+
+    # ── pass-2 label screen ──
+    label_rows: set[int] = set()
+    for m in NAME_LABEL_SCAN.finditer(big):
+        label_rows.add(_row_of(starts, lens, m.start()))
+
+    # ── run the verbatim per-row detectors on screened candidates ──
+    out: list[list[Detection]] = []
+    for i, nt in enumerate(normed):
+        dets: list[Detection] = []
+        if rules_per_row[i]:
+            dets.extend(detect_regex(nt, current_year, rules=rules_per_row[i]))
+        if surnames_per_row[i] or i in label_rows:
+            dets.extend(detect_japanese_names(
+                nt, surnames=surnames_per_row[i],
+                scan_labels=(i in label_rows)))
+        if custom_keywords:
+            dets.extend(detect_custom_keywords(nt, custom_keywords))
+        seen: set[str] = set()
+        merged: list[Detection] = []
+        for d in dets:
+            k = f"{d.category}:{d.value}"
+            if k not in seen:
+                seen.add(k)
+                merged.append(d)
+        out.append(merged)
+    return out

@@ -136,13 +136,21 @@ def name_to_initial(name: str, reading_map: Optional[dict[str, str]] = None) -> 
 
 _RULES_WITH_SCREENS = [(r, RULE_SCREENS.get(r.id)) for r in REGEX_RULES]
 
-def detect_regex(text: str, current_year: int = DEFAULT_CURRENT_YEAR) -> list[Detection]:
+def detect_regex(
+    text: str,
+    current_year: int = DEFAULT_CURRENT_YEAR,
+    rules: Optional[list] = None,
+) -> list[Detection]:
+    """``rules`` restricts the catalog (batch screening, batch_detect.py);
+    emission semantics are unchanged -- callers pass rules in catalog order."""
     out: list[Detection] = []
     seen: set[str] = set()
     tl = text.lower()
     has_digit = bool(HAS_DIGIT_RE.search(text))
+    pairs = (_RULES_WITH_SCREENS if rules is None
+             else [(r, RULE_SCREENS.get(r.id)) for r in rules])
 
-    for rule, screen in _RULES_WITH_SCREENS:
+    for rule, screen in pairs:
         if screen == "digit":
             if not has_digit:
                 continue
@@ -240,15 +248,22 @@ def _is_likely_name(s: str) -> bool:
     return True
 
 
-def detect_japanese_names(text: str) -> list[Detection]:
+def detect_japanese_names(
+    text: str,
+    surnames: Optional[list[str]] = None,
+    scan_labels: bool = True,
+) -> list[Detection]:
+    """``surnames``/``scan_labels`` restrict the scan (batch screening);
+    callers pass surnames in catalog order, semantics unchanged."""
     out: list[Detection] = []
     seen: set[str] = set()
-    hit_chars = set(text) & SURNAME_FIRST_CHARS
-    if hit_chars:
-        idx_sn = sorted(p for c in hit_chars for p in _SURNAMES_BY_FIRST[c])
-        surnames = [sn for _, sn in idx_sn]
-    else:
-        surnames = []
+    if surnames is None:
+        hit_chars = set(text) & SURNAME_FIRST_CHARS
+        if hit_chars:
+            idx_sn = sorted(p for c in hit_chars for p in _SURNAMES_BY_FIRST[c])
+            surnames = [sn for _, sn in idx_sn]
+        else:
+            surnames = []
 
     # Pass 1: surname scan + given-name prefix / role-label fallback
     for sn in surnames:
@@ -294,7 +309,8 @@ def detect_japanese_names(text: str) -> list[Detection]:
             p = text.find(sn, p + 1)
 
     # Pass 2: label-scan detection
-    for lm in NAME_LABEL_SCAN.finditer(text):
+    label_iter = NAME_LABEL_SCAN.finditer(text) if scan_labels else ()
+    for lm in label_iter:
         after = text[lm.end():lm.end() + 16]
         found = False
         for sn in SURNAMES:

@@ -73,10 +73,15 @@ def make_scrub_udf(
 
     @pandas_udf(SCRUB_RESULT_TYPE)
     def scrub(texts: pd.Series) -> pd.DataFrame:
+        from .batch_detect import detect_all_batch
+        from .oracle import apply_mask_config, apply_redaction
+
+        raw = texts.fillna("").tolist()
+        all_dets = detect_all_batch(raw, kw, current_year)
         masked, n_det, n_re, n_di, n_he = [], [], [], [], []
-        for text in texts.fillna(""):
-            m, dets = scrub_text(
-                text, kw, cfg, keep_prefecture, name_initial, current_year)
+        for text, dets in zip(raw, all_dets):
+            dets = apply_mask_config(dets, cfg)
+            m = apply_redaction(text, dets, keep_prefecture, name_initial)
             masked.append(m)
             n_det.append(len(dets))
             n_re.append(sum(1 for d in dets if d.source == "regex"))

@@ -1,0 +1,54 @@
+"""Batch-screened detection must be byte-identical to the per-row oracle."""
+
+import json
+from pathlib import Path
+
+from sumi_agent_spark.functions.batch_detect import detect_all_batch
+from sumi_agent_spark.functions.oracle import detect_all
+from sumi_agent_spark.sources.transcripts import generate_transcripts
+
+GOLDEN = json.loads(
+    (Path(__file__).parent / "golden" / "reference_golden.json").read_text())
+
+
+def test_batch_equals_per_row_on_fixture():
+    pdf = generate_transcripts(n_convs=40, avg_turns=15, seed=13)
+    texts = pdf["text"].tolist()
+    batch = detect_all_batch(texts)
+    for t, got in zip(texts, batch):
+        assert got == detect_all(t)
+
+
+def test_batch_equals_per_row_on_golden_corpus():
+    texts = [c["text"] for c in GOLDEN["cases"]]
+    year = GOLDEN["current_year"]
+    batch = detect_all_batch(texts, current_year=year)
+    for t, got in zip(texts, batch):
+        assert got == detect_all(t, current_year=year)
+
+
+def test_batch_boundary_bridging():
+    # adversarial: rows that would merge if the separator were bridgeable
+    texts = [
+        "氏名：",            # label at row end; next row starts with kanji
+        "田中 太郎です",
+        "連絡先は 090",      # digits split across rows
+        "1234-5678 です",
+        "https://example",   # URL split across rows
+        ".com/path ページ",
+        "〒150",             # postal split
+        "-0001 渋谷区",
+        "",                  # empties at boundaries
+        "Twitter:",
+        "@user123",
+    ]
+    batch = detect_all_batch(texts)
+    for t, got in zip(texts, batch):
+        assert got == detect_all(t), t
+
+
+def test_batch_custom_keywords():
+    texts = ["ABC社の田中です", "無関係", "ABC社より"]
+    batch = detect_all_batch(texts, custom_keywords=["ABC社"])
+    for t, got in zip(texts, batch):
+        assert got == detect_all(t, custom_keywords=["ABC社"])
