@@ -434,6 +434,54 @@ def apply_redaction(
     return r
 
 
+def ensure_unique_detection_ids(dets: list[Detection]) -> list[Detection]:
+    """Suffix ``__n`` on duplicate ids (RedactPro.tsx:478-489)."""
+    seen: dict[str, int] = {}
+    out: list[Detection] = []
+    for d in dets:
+        if d.id in seen:
+            seen[d.id] += 1
+            out.append(d._replace(id=f"{d.id}__{seen[d.id]}"))
+        else:
+            seen[d.id] = 0
+            out.append(d)
+    return out
+
+
+def annotation_spans(
+    text: str, dets: list[Detection]
+) -> list[tuple[int, int, str, bool]]:
+    """Greedy non-overlapping span selection for annotation output
+    (buildNonOverlappingMatches/buildAnnotations, RedactPro.tsx:695-796):
+    all literal occurrences of every detection value, sorted by start asc
+    then length desc (enabled-before-disabled on full ties), kept greedily
+    when start >= last end.  Returns (start, end, type, enabled)."""
+    matches: list[tuple[int, int, str, bool]] = []
+    for d in dets:
+        if not d.value or len(d.value) < 2:
+            continue
+        p = text.find(d.value)
+        while p != -1:
+            matches.append((p, p + len(d.value), d.type, d.enabled))
+            p = text.find(d.value, p + 1)
+    matches.sort(key=lambda m: (m[0], -(m[1] - m[0]), not m[3]))
+    out: list[tuple[int, int, str, bool]] = []
+    last_end = -1
+    for m in matches:
+        if m[0] >= last_end:
+            out.append(m)
+            last_end = m[1]
+    return out
+
+
+def is_pii_value(value: str) -> bool:
+    """True when the value is nothing but redaction placeholders
+    (RedactPro.tsx:3075-3077 analog)."""
+    from .rules import PLACEHOLDER_RE
+    stripped = PLACEHOLDER_RE.sub("", value).strip()
+    return bool(value.strip()) and stripped == ""
+
+
 # ─── One-call scrub (the §3.2 pure path: detect_all -> apply_redaction) ───
 
 def scrub_text(

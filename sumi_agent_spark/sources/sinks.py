@@ -46,13 +46,21 @@ def pipe_lines_to_cells(df: DataFrame, text_col: str = "masked_text") -> DataFra
 
 
 def write_scrubbed(df: DataFrame, path: str, fmt: str = "parquet",
-                   mode: str = "overwrite") -> None:
+                   mode: str = "overwrite",
+                   partition_by_day: bool = False) -> None:
     """Write the scrubbed table; masked_text gets the export marker strip.
 
-    csv/json writers drop the raw ``text`` column (exports carry only the
-    scrubbed content, matching the reference's export behavior)."""
+    ``partition_by_day=True`` lays out parquet hive-partitioned by
+    ``ts_date`` -- the Iceberg ``days(ts)`` partition-transform analog, so
+    downstream time-ranged scans prune partitions for free.  csv/json
+    writers drop the raw ``text`` column (exports carry only the scrubbed
+    content, matching the reference's export behavior)."""
     out = df.withColumn("masked_text", strip_page_markers(F.col("masked_text")))
     if fmt == "parquet":
+        if partition_by_day:
+            (out.withColumn("ts_date", F.to_date("ts"))
+                .write.mode(mode).partitionBy("ts_date").parquet(path))
+            return
         out.write.mode(mode).parquet(path)
     elif fmt == "csv":
         (out.drop("text")
