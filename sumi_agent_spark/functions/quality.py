@@ -243,6 +243,7 @@ class QualityConfig:
     langs_kept: frozenset[str] = frozenset({"ja", "en"})
     ja_char_ratio: float = 0.30         # kana+kanji share => ja
     latin_ratio: float = 0.50           # latin share => en/other scorer
+    zh_guard_min_chars: int = 60        # kana-less kanji text this long => zh
     # role whose turns skip the lang/symbol/perplexity gates -- structured
     # tool output is code-shaped, not natural language
     exempt_role: Optional[str] = "tool"
@@ -346,7 +347,11 @@ def quality_frame(
     lang[~has_letters] = "unknown"
     latin_dom = has_letters & (ja_ratio < cfg.ja_char_ratio) & \
         (latin_ratio >= cfg.latin_ratio)
-    ja_mask = has_letters & (ja_ratio >= cfg.ja_char_ratio)
+    # zh guard: long kanji-dominant text with ZERO kana is Chinese, not
+    # Japanese (real Japanese prose always carries hiragana); short
+    # kanji-only fragments (names, address blocks) stay ja
+    ja_mask = has_letters & (ja_ratio >= cfg.ja_char_ratio) & \
+        ((n_kana > 0) | (non_ws < cfg.zh_guard_min_chars))
     en_mask = latin_dom & en_wins
     lang[latin_dom & ~en_wins] = "other"
     lang[en_mask] = "en"

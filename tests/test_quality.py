@@ -126,6 +126,17 @@ def test_config_thresholds_respected():
     assert out["drop_reason"][1] == "too_short"
 
 
+def test_zh_guard():
+    zh = ("数据处理系统需要仔细考虑分区和洗牌行为的规模问题这是一个用于测试中文"
+          "文本识别的长句子包含很多汉字但是完全没有假名字符所以不是日语文本")
+    ja_kanji_fragment = "配送先住所：東京都渋谷区神宮前3-14-5"
+    out = qf([zh, ja_kanji_fragment, JA])
+    assert out["lang"][0] == "other"   # long kana-less kanji text -> not ja
+    assert out["lang"][1] == "ja"      # short kanji-only fragment stays ja
+    assert out["lang"][2] == "ja"
+    assert not out["keep"][0]
+
+
 def test_nll_sane_range():
     out = qf([JA, EN])
     assert (out["nll"] > 0.5).all() and (out["nll"] < 6.0).all()
