@@ -311,6 +311,20 @@ def _q_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", flatten_json_text("props").alias("flat"))
 
 
+
+def _q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sumi_agent_spark.functions.sections import parse_sections_udf
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.withColumn("s", parse_sections_udf("text"))
+            .select("doc_id", F.size("s").alias("n_sections")))
+
+
+def _q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sumi_agent_spark.sources.ingest import strip_html
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(strip_html("text")).alias("stripped_hash"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_hash": _q_normalize_hash,
@@ -339,6 +353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_post_clean": _q_ingest_post_clean,
         "csv_pipe_lines": _q_csv_pipe_lines,
         "flatten_json": _q_flatten_json,
+        "sections": _q_sections,
+        "strip_html": _q_strip_html,
     }
 
 

@@ -113,6 +113,18 @@ def test_pipeline_metrics_rollup(spark, fixture_pdf):
     assert total == 300
 
 
+def test_scrub_udf_name_initial_mode(spark):
+    from pyspark.sql import functions as F
+
+    from sumi_agent_spark.functions.udfs import make_scrub_udf
+    scrub = make_scrub_udf(name_initial=True)
+    df = spark.createDataFrame(
+        [("氏名：田中 太郎\nフリガナ：タナカ タロウ",)], ["text"])
+    out = df.select(scrub(F.col("text")).alias("s")).first()["s"]
+    assert "T.T." in out["masked_text"]
+    assert "田中 太郎" not in out["masked_text"]
+
+
 def test_run_pipeline_and_resume(spark, fixture_pdf, tmp_path):
     inp = str(tmp_path / "in.parquet")
     out = str(tmp_path / "out")
