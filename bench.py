@@ -147,14 +147,20 @@ def main() -> None:
         pair = [int(x) for x in
                 os.environ.get("SUMI_BENCH_SCALE_PAIR", "4,16").split(",")]
         spark.stop()
-        scaling = {}
-        for nc in pair:
+        # interleave the two levels (lo,hi,lo,hi) and keep the best per
+        # level: controls for machine-state drift between measurements
+        best_sec: dict[int, float] = {}
+        n = 0
+        for nc in pair * 3:
             s = get_spark(app_name=f"sumi-scale-{nc}", cores=nc)
             _warm(s)
             sec_n, n = scrub_bench(s, repl)
-            scaling[f"local{nc}_turns_per_sec"] = round(n / sec_n, 1)
-            scaling[f"local{nc}_sec"] = round(sec_n, 3)
+            best_sec[nc] = min(best_sec.get(nc, float("inf")), sec_n)
             s.stop()
+        scaling = {}
+        for nc in pair:
+            scaling[f"local{nc}_turns_per_sec"] = round(n / best_sec[nc], 1)
+            scaling[f"local{nc}_sec"] = round(best_sec[nc], 3)
         lo, hi = pair
         speedup = (scaling[f"local{hi}_turns_per_sec"]
                    / scaling[f"local{lo}_turns_per_sec"])

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     BooleanType,
+    ByteType,
     DoubleType,
     IntegerType,
     StringType,
@@ -47,15 +48,24 @@ SCRUB_RESULT_TYPE = StructType([
     StructField("n_heuristic", IntegerType()),
 ])
 
+# lang/drop_reason cross the Arrow boundary as tiny ints (cheaper columns
+# at 10^12-row scale); the pipeline decodes them to strings with a native
+# element_at projection (see plans/pipeline.py, codegen'd JVM-side)
+LANG_CODES = ["unknown", "ja", "en", "other"]
+REASON_CODES = ["", "lang", "too_short", "mojibake", "repetition",
+                "symbol_ratio", "perplexity"]
+_LANG_ID = {v: i for i, v in enumerate(LANG_CODES)}
+_REASON_ID = {v: i for i, v in enumerate(REASON_CODES)}
+
 QUALITY_RESULT_TYPE = StructType([
-    StructField("lang", StringType()),
+    StructField("lang_id", ByteType()),
     StructField("nll", DoubleType()),
     StructField("n_chars", IntegerType()),
     StructField("symbol_ratio", DoubleType()),
     StructField("distinct_trigram_ratio", DoubleType()),
     StructField("mojibake", BooleanType()),
     StructField("keep", BooleanType()),
-    StructField("drop_reason", StringType()),
+    StructField("reason_id", ByteType()),
 ])
 
 
@@ -105,8 +115,16 @@ def make_quality_udf(cfg: QualityConfig = DEFAULT_QUALITY_CONFIG):
 
     @pandas_udf(QUALITY_RESULT_TYPE)
     def quality(texts: pd.Series, roles: pd.Series) -> pd.DataFrame:
-        out = quality_frame(texts, roles, cfg)
-        out["n_chars"] = out["n_chars"].astype("int32")
-        return out
+        q = quality_frame(texts, roles, cfg)
+        return pd.DataFrame({
+            "lang_id": q["lang"].map(_LANG_ID).astype("int8"),
+            "nll": q["nll"],
+            "n_chars": q["n_chars"].astype("int32"),
+            "symbol_ratio": q["symbol_ratio"],
+            "distinct_trigram_ratio": q["distinct_trigram_ratio"],
+            "mojibake": q["mojibake"],
+            "keep": q["keep"],
+            "reason_id": q["drop_reason"].map(_REASON_ID).astype("int8"),
+        })
 
     return quality

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.quality import DEFAULT_QUALITY_CONFIG, QualityConfig
-from ..functions.udfs import make_quality_udf, make_scrub_udf
+from ..functions.udfs import LANG_CODES, REASON_CODES, make_quality_udf, make_scrub_udf
 
 OUTPUT_COLUMNS = [
     "conv_id", "turn_idx", "role", "tool", "ts", "text", "masked_text",
@@ -48,6 +48,8 @@ def scrub_transcripts(
     scrub = make_scrub_udf(custom_keywords, mask_config, keep_prefecture,
                            name_initial, current_year)
     quality = make_quality_udf(quality_cfg)
+    lang_array = F.array(*[F.lit(x) for x in LANG_CODES])
+    reason_array = F.array(*[F.lit(x) for x in REASON_CODES])
     out = (
         df
         .withColumn("_q", quality(F.col("text"), F.col("role")))
@@ -59,14 +61,16 @@ def scrub_transcripts(
             F.col("_s.n_regex").alias("n_regex"),
             F.col("_s.n_dict").alias("n_dict"),
             F.col("_s.n_heuristic").alias("n_heuristic"),
-            F.col("_q.lang").alias("lang"),
+            # decode the UDF's tiny-int codes to strings JVM-side (codegen)
+            F.element_at(lang_array, F.col("_q.lang_id") + 1).alias("lang"),
             F.col("_q.nll").alias("nll"),
             F.col("_q.n_chars").alias("n_chars"),
             F.col("_q.symbol_ratio").alias("symbol_ratio"),
             F.col("_q.distinct_trigram_ratio").alias("distinct_trigram_ratio"),
             F.col("_q.mojibake").alias("mojibake"),
             F.col("_q.keep").alias("keep"),
-            F.col("_q.drop_reason").alias("drop_reason"),
+            F.element_at(reason_array, F.col("_q.reason_id") + 1)
+             .alias("drop_reason"),
         )
     )
     return out
