@@ -1,11 +1,15 @@
 """Per-stage lineage + resumable restart (north rule requirement).
 
-Each stage write appends per-partition lineage rows
-``(stage, partition_id, n_turns, n_keep, n_drop, n_masked, wall_ms)`` under
-``<output>/_lineage/``; restarting reads only the output's key columns
-(column pruning keeps this cheap) and anti-joins processed
-``(conv_id, turn_idx)`` pairs out of the input, so a killed job resumes
-idempotently.  These are plain DataFrame ops -- no custom commit protocol.
+Stage counters are collected with ``DataFrame.observe`` -- they are computed
+*during* the write pass, so lineage costs zero extra scans at 100 TB.
+Per-partition granularity (for straggler forensics) is available behind
+``partition_stats=True`` which prices one extra column-pruned scan of the
+written output.
+
+Restart is idempotent: ``resume_filter`` anti-joins processed
+``(conv_id, turn_idx)`` keys out of the input, reading only the output's key
+columns (column pruning keeps that scan cheap).  Plain DataFrame ops -- no
+custom commit protocol.
 """
 
 from __future__ import annotations
@@ -16,29 +20,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_with_lineage(df: DataFrame, output_path: str, stage: str) -> int:
-    """Write data parquet + lineage parquet; returns row count.
+def write_with_lineage(
+    df: DataFrame, output_path: str, stage: str,
+    partition_stats: bool = False,
+) -> int:
+    """Write data parquet + lineage parquet; returns rows written this call.
 
-    The lineage aggregation runs on the written output (one extra cheap scan
-    over pruned columns) so its counters reflect exactly what landed."""
+    Lineage row: (stage, n_turns, n_keep, n_drop, n_masked, n_detections,
+    wall_ms) -- observed on the write pass itself.  With
+    ``partition_stats=True`` a second lineage file adds per-partition rows.
+    """
+    from pyspark.sql import Observation
+
     t0 = time.time()
-    df.write.mode("append").parquet(output_path)
-    spark = df.sparkSession
-    written = spark.read.parquet(output_path)
-    lineage = (
-        written
-        .select("keep", "n_detections",
-                F.spark_partition_id().alias("partition_id"))
-        .groupBy("partition_id")
-        .agg(F.count("*").alias("n_turns"),
-             F.sum(F.col("keep").cast("long")).alias("n_keep"),
-             F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
-             F.sum((F.col("n_detections") > 0).cast("long")).alias("n_masked"))
-        .withColumn("stage", F.lit(stage))
-        .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
+    obs = Observation(f"lineage_{stage}")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
+        F.sum((F.col("n_detections") > 0).cast("long")).alias("n_masked"),
+        F.sum("n_detections").alias("n_detections"),
     )
-    lineage.write.mode("append").parquet(f"{output_path}/_lineage")
-    return written.count()
+    observed.write.mode("append").parquet(output_path)
+    spark = df.sparkSession
+    metrics = obs.get
+    wall_ms = int((time.time() - t0) * 1000)
+    lineage_row = {
+        "stage": stage,
+        "n_turns": int(metrics.get("n_turns") or 0),
+        "n_keep": int(metrics.get("n_keep") or 0),
+        "n_drop": int(metrics.get("n_drop") or 0),
+        "n_masked": int(metrics.get("n_masked") or 0),
+        "n_detections": int(metrics.get("n_detections") or 0),
+        "wall_ms": wall_ms,
+    }
+    spark.createDataFrame([lineage_row]).write.mode("append").parquet(
+        f"{output_path}/_lineage")
+
+    if partition_stats:
+        written = spark.read.parquet(output_path)
+        (written
+         .select("keep", F.spark_partition_id().alias("partition_id"))
+         .groupBy("partition_id")
+         .agg(F.count("*").alias("n_turns"),
+              F.sum(F.col("keep").cast("long")).alias("n_keep"))
+         .withColumn("stage", F.lit(stage))
+         .write.mode("append").parquet(f"{output_path}/_lineage_partitions"))
+
+    return lineage_row["n_turns"]
 
 
 def resume_filter(df: DataFrame, output_path: str) -> DataFrame:

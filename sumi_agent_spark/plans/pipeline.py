@@ -155,6 +155,10 @@ def run_pipeline(
             "rows_per_sec": round(n / wall, 1) if wall > 0 else None}
 
 
+# note: run_pipeline's "rows" counts rows written by THIS invocation; under
+# --resume that is only the previously-unprocessed keys.
+
+
 def main() -> None:
     import argparse
     import json

@@ -131,13 +131,16 @@ def test_run_pipeline_and_resume(spark, fixture_pdf, tmp_path):
     fixture_pdf.head(100).to_parquet(inp, index=False)
     stats = run_pipeline(spark, inp, out)
     assert stats["rows"] == 100
-    # lineage written
+    # lineage observed on the write pass (no extra scan)
     lineage = spark.read.parquet(f"{out}/_lineage").toPandas()
     assert lineage["n_turns"].sum() == 100
-    # resume: nothing left to do -> no duplicate rows
+    assert (lineage["n_keep"] + lineage["n_drop"] == lineage["n_turns"]).all()
+    # resume: only the 50 new turns are processed, no duplicate rows
     fixture_pdf.head(150).to_parquet(inp, index=False)  # 50 new turns
     stats2 = run_pipeline(spark, inp, out, resume=True)
-    assert stats2["rows"] == 150  # total now in output, no dup of first 100
+    assert stats2["rows"] == 50
     final = spark.read.parquet(out).toPandas()
     assert len(final) == 150
     assert final.duplicated(["conv_id", "turn_idx"]).sum() == 0
+    lineage2 = spark.read.parquet(f"{out}/_lineage").toPandas()
+    assert lineage2["n_turns"].sum() == 150
