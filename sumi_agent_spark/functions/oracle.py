@@ -413,9 +413,15 @@ def apply_redaction(
     dets: list[Detection],
     keep_prefecture: bool = False,
     name_initial: bool = False,
+    reading_map: Optional[dict[str, str]] = None,
 ) -> str:
-    """Sequential literal replacement, longest value first (stable on ties)."""
-    reading_map = build_reading_map(text) if name_initial else None
+    """Sequential literal replacement, longest value first (stable on ties).
+
+    ``reading_map`` overrides the per-document reading map -- used by the
+    conversation-scoped grouped variant; the default (None) matches the
+    reference's per-document scope exactly."""
+    if name_initial and reading_map is None:
+        reading_map = build_reading_map(text)
     r = text
     for d in sorted((d for d in dets if d.enabled),
                     key=lambda d: -len(d.value or "")):

@@ -76,6 +76,62 @@ def scrub_transcripts(
     return out
 
 
+def scrub_conversations_grouped(
+    df: DataFrame,
+    keep_prefecture: bool = True,
+    current_year: int = 2026,
+) -> DataFrame:
+    """Conversation-scoped scrub via ``applyInPandas`` (SURVEY.md §2.9).
+
+    NON-DEFAULT variant: the furigana reading map is built over the WHOLE
+    conversation (turns in turn_idx order), so a name labeled with furigana
+    in one turn is initialed (``T.T.``) in every other turn.  This changes
+    masked bytes relative to the reference's per-document scope -- the
+    default ``scrub_transcripts`` remains the faithful path (SURVEY §7.3).
+
+    Grouping shuffles on conv_id; hot conversations land on one task here,
+    so this variant is for conversation-semantic use cases, not the bulk
+    hot path."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("masked_text", StringType()),
+        StructField("n_detections", IntegerType()),
+    ])
+
+    def scrub_conv(pdf):
+        import pandas as pd
+
+        from ..functions.batch_detect import detect_all_batch
+        from ..functions.oracle import (
+            apply_mask_config, apply_redaction, build_reading_map,
+        )
+
+        pdf = pdf.sort_values("turn_idx")
+        texts = pdf["text"].fillna("").tolist()
+        conv_reading = build_reading_map("\n".join(texts))
+        dets_all = detect_all_batch(texts, current_year=current_year)
+        masked, counts = [], []
+        for text, dets in zip(texts, dets_all):
+            dets = apply_mask_config(dets)
+            masked.append(apply_redaction(
+                text, dets, keep_prefecture, name_initial=True,
+                reading_map=conv_reading))
+            counts.append(len(dets))
+        return pd.DataFrame({
+            "conv_id": pdf["conv_id"].values,
+            "turn_idx": pdf["turn_idx"].values,
+            "masked_text": masked,
+            "n_detections": pd.array(counts, dtype="int32"),
+        })
+
+    return df.groupBy("conv_id").applyInPandas(scrub_conv, schema)
+
+
 def ordered(df: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
     """Stable (conv_id, turn_idx) ordering via range exchange.
 

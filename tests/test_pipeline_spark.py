@@ -113,6 +113,29 @@ def test_pipeline_metrics_rollup(spark, fixture_pdf):
     assert total == 300
 
 
+def test_scrub_conversations_grouped(spark):
+    import datetime
+
+    from sumi_agent_spark.plans.pipeline import scrub_conversations_grouped
+
+    rows = [
+        ("c1", 0, "user", "氏名：田中 太郎\nフリガナ：タナカ タロウ", "",
+         datetime.datetime(2025, 1, 1)),
+        ("c1", 1, "assistant", "担当：田中 太郎 に確認します。", "",
+         datetime.datetime(2025, 1, 1, 0, 1)),
+        ("c2", 0, "user", "担当：田中 太郎 に確認します。", "",
+         datetime.datetime(2025, 1, 2)),
+    ]
+    df = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    out = {(r["conv_id"], r["turn_idx"]): r["masked_text"]
+           for r in scrub_conversations_grouped(df).collect()}
+    # c1 turn 1: reading map from turn 0 crosses turns -> initials
+    assert "T.T." in out[("c1", 1)]
+    # c2 has no furigana anywhere -> kanji-initial fallback
+    assert "田.太." in out[("c2", 0)] or "[氏名非公開]" in out[("c2", 0)]
+
+
 def test_scrub_udf_name_initial_mode(spark):
     from pyspark.sql import functions as F
 
