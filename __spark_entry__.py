@@ -234,15 +234,21 @@ def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # norms are precomputed once per row (bit-identical to recomputing them
+    # per pair -- same sequential sum over the same values), so each pair
+    # pays one aggregate instead of three
+    nrm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    base = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    a = base.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                    F.col("nrm").alias("na"))
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                    F.col("nrm").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb",
                                  lambda x, y: x.cast("double") * y.cast("double")),
                       F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    cos = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
+    cos = dot / (F.col("na") * F.col("nb"))
     return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
             .filter(F.col("cos_sim") >= 0.5))

@@ -148,6 +148,19 @@ def test_scrub_udf_name_initial_mode(spark):
     assert "田中 太郎" not in out["masked_text"]
 
 
+def test_evaluation_harness(spark, fixture_pdf, scrubbed):
+    from sumi_agent_spark.plans.evaluate import evaluate_against_expected
+    exp = oracle_expected(fixture_pdf)
+    row = evaluate_against_expected(
+        spark.createDataFrame(scrubbed[["conv_id", "turn_idx", "keep",
+                                        "masked_text"]]),
+        spark.createDataFrame(exp[["conv_id", "turn_idx", "keep",
+                                   "masked_text"]])).first()
+    assert row["keep_f1"] == 1.0
+    assert row["exact_rate"] == 1.0
+    assert row["n_turns"] == len(fixture_pdf)
+
+
 def test_run_pipeline_and_resume(spark, fixture_pdf, tmp_path):
     inp = str(tmp_path / "in.parquet")
     out = str(tmp_path / "out")
