@@ -331,6 +331,52 @@ def _q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(strip_html("text")).alias("stripped_hash"))
 
 
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-5-gram Jaccard pairs (>=0.3), expressed with native
+    array functions so DuckDB can run the identical computation."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    k = 5
+    base = docs.select("doc_id", F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
+        lambda i: F.col("text").substr(i, F.lit(k)))).alias("sh"))
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    uni = F.size(F.array_union("sa", "sb")).cast("double")
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(inter / uni, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.3))
+
+
+def _q_lang_id_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Our real language-ID classifier over documents (UDF; rows-only)."""
+    from sumi_agent_spark.functions.udfs import make_quality_udf
+    docs = _t(spark, sf_dir, "documents")
+    quality = make_quality_udf()
+    out = docs.withColumn("_q", quality(F.col("text"), F.lit("user")))
+    return (out.groupBy(F.col("_q.lang_id").alias("lang_id"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("_q.keep").cast("long")).alias("n_kept"))
+            .orderBy("lang_id"))
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: hyperplane-LSH bucketed top-k (rows-only)."""
+    from sumi_agent_spark.operators.similarity import build_lsh_index, lsh_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    indexed, planes = build_lsh_index(emb.filter("vec_id > 0"), dim=len(q),
+                                      n_planes=8)
+    return lsh_topk(indexed, planes, [float(x) for x in q], k=10)
+
+
+def _q_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sumi_agent_spark.operators.textstats import content_fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    return content_fingerprint(docs).select("doc_id", "fingerprint")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_hash": _q_normalize_hash,
@@ -361,6 +407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_json": _q_flatten_json,
         "sections": _q_sections,
         "strip_html": _q_strip_html,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "lang_id_detect": _q_lang_id_detect,
+        "lsh_topk": _q_lsh_topk,
+        "content_fingerprint": _q_content_fingerprint,
     }
 
 
@@ -510,5 +560,27 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(line, chr(10) ORDER BY line)) AS lines_hash
             FROM (SELECT c_custkey || ' | ' || c_name || ' | ' || c_mktsegment AS line
                   FROM customer)
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(text) - 4, 1) + 1),
+                       i -> substr(text, i, 5))) AS s
+              FROM documents WHERE doc_id < 200)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE,
+                         4) AS jaccard
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND round(len(list_intersect(a.s, b.s))::DOUBLE
+                        / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE,
+                        4) >= 0.3
+        """,
+        "content_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents
         """,
     }
