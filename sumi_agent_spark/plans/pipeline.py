@@ -153,6 +153,26 @@ def with_turn_rank(df: DataFrame, salt_buckets: int = 0) -> DataFrame:
     return df.withColumn("turn_rank", F.row_number().over(w))
 
 
+def deduplicate_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic exact dedup: among turns sharing the same
+    whitespace-normalized text, keep the first by (conv_id, turn_idx).
+
+    Built as groupBy(fingerprint).min(key) + semi-join rather than
+    ``dropDuplicates`` (which keeps an arbitrary row and is therefore
+    nondeterministic under retries/speculation).  Two shuffles on the
+    fingerprint/key -- run BEFORE the scrub stage so duplicate turns never
+    pay detection cost."""
+    norm = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    keyed = df.withColumn("_fp", norm)
+    winners = (keyed
+               .groupBy("_fp")
+               .agg(F.min(F.struct("conv_id", "turn_idx")).alias("_w"))
+               .select("_fp", F.col("_w.conv_id").alias("conv_id"),
+                       F.col("_w.turn_idx").alias("turn_idx")))
+    return (keyed.join(winners, ["_fp", "conv_id", "turn_idx"], "left_semi")
+            .drop("_fp"))
+
+
 def conversation_stats(df: DataFrame, salt: int = 16) -> DataFrame:
     """Per-conversation keep/drop/mask counters with two-phase salted agg."""
     partial = (
@@ -192,18 +212,23 @@ def run_pipeline(
     input_path: str,
     output_path: str,
     resume: bool = False,
+    dedup: bool = False,
     **scrub_kwargs,
 ) -> dict:
     """Batch entry point: parquet in, ordered parquet out, metrics + lineage.
 
     ``resume=True`` anti-joins against keys already present in the output
-    (idempotent restart per the north rule)."""
+    (idempotent restart per the north rule).  ``dedup=True`` drops
+    exact-duplicate turns before the scrub stage (deterministic
+    first-occurrence winner)."""
     from .checkpoint import resume_filter, write_with_lineage
 
     t0 = time.time()
     df = spark.read.parquet(input_path)
     if resume:
         df = resume_filter(df, output_path)
+    if dedup:
+        df = deduplicate_turns(df)
     scrubbed = scrub_transcripts(df, **scrub_kwargs)
     n = write_with_lineage(ordered(scrubbed), output_path, stage="scrub")
     wall = time.time() - t0
@@ -227,6 +252,8 @@ def main() -> None:
     ap.add_argument("--generate", type=int, default=0, metavar="N_CONVS",
                     help="generate a fixture table with N conversations instead of --input")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--dedup", action="store_true",
+                    help="drop exact-duplicate turns before scrubbing")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -242,7 +269,8 @@ def main() -> None:
         if not args.input:
             ap.error("--input or --generate required")
         input_path = args.input
-    stats = run_pipeline(spark, input_path, args.output, resume=args.resume)
+    stats = run_pipeline(spark, input_path, args.output, resume=args.resume,
+                         dedup=args.dedup)
     print(json.dumps(stats))
 
 

@@ -180,3 +180,25 @@ def test_run_pipeline_and_resume(spark, fixture_pdf, tmp_path):
     assert final.duplicated(["conv_id", "turn_idx"]).sum() == 0
     lineage2 = spark.read.parquet(f"{out}/_lineage").toPandas()
     assert lineage2["n_turns"].sum() == 150
+
+
+def test_deduplicate_turns(spark):
+    import datetime
+
+    from sumi_agent_spark.plans.pipeline import deduplicate_turns
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", "同じ  本文 です", "", ts),
+        ("c1", 1, "user", "同じ 本文  です", "", ts),   # ws-variant duplicate
+        ("c0", 5, "user", "同じ 本文 です", "", ts),     # earlier key wins
+        ("c2", 0, "user", "別の本文です", "", ts),
+    ]
+    df = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    out = deduplicate_turns(df).toPandas()
+    keys = set(zip(out["conv_id"], out["turn_idx"]))
+    assert keys == {("c0", 5), ("c2", 0)}  # c0 sorts before c1
+    # deterministic across repartitionings
+    out2 = deduplicate_turns(df.repartition(7)).toPandas()
+    assert set(zip(out2["conv_id"], out2["turn_idx"])) == keys
