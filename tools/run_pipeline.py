@@ -22,6 +22,7 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--generate", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--dedup", action="store_true")
     args = ap.parse_args()
 
     spark = (SparkSession.builder.appName("sumi-scrub")
@@ -39,7 +40,8 @@ def main() -> None:
         from sumi_agent_spark.sources.transcripts import write_parquet
         input_path = tempfile.mkdtemp(prefix="sumi_fx_") + "/t.parquet"
         write_parquet(input_path, n_convs=args.generate)
-    stats = run_pipeline(spark, input_path, args.output, resume=args.resume)
+    stats = run_pipeline(spark, input_path, args.output, resume=args.resume,
+                         dedup=args.dedup)
     print(json.dumps(stats))
 
 
