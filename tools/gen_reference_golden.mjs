@@ -68,6 +68,26 @@ const probes = [
   '令和5年4月1日に入社。平成2年8月12日生まれ。',
   '問い合わせは 0120-123-456 まで。内線 1234 5678 9012。',
   '承認者：長谷川 翔太 / 報告者：五十嵐 美咲',
+  // adversarial round 2: boundary + overlap + encoding edges
+  '田中太郎',                                   // name at position 0
+  '部長田中太郎が承認。課長鈴木健太も確認。',     // LABEL_ENDS boundary chars
+  '小林太郎と林太郎は別人です。',                 // overlapping surnames 小林/林
+  '担当：原田太郎、補佐：原太郎',                 // prefix surnames 原田/原
+  '生年月日：令和8年1月1日',                      // era year == current year
+  '生年月日：平成18年4月1日',                     // exactly currentYear-20 boundary
+  '2006年4月1日 と 2007年4月1日',                 // unlabeled boundary years
+  '〒123-4567 の前に 9123-4567 と 123-45678',     // postal adjacency traps
+  'マイナンバー 1234 5678 9012、期間 2020 - 2024', // mynumber near year range
+  'メール：ｔａｒｏ＠ｅｘａｍｐｌｅ．ｃｏｍ 電話：０３－１２３４－５６７８', // fullwidth PII
+  'Twitter: @a GitHub: x LinkedIn: /in/ab',        // below-min-length accounts
+  'line1\r\n氏名：田中 太郎\r\nフリガナ：タナカ タロウ\r\n',  // CRLF endings
+  '氏名：佐藤　花子\nフリガナ：サトウ　ハナコ',       // U+3000 separators
+  '住所：東京都' + '中央区日本橋'.repeat(6) + '1-2-3',        // long address tail
+  'url https://例.jp/パス と http://ex.com/a,b、c',           // URL boundary chars
+  '{"user":{"name":"田中 太郎","tel":"090-1234-5678"}}',      // JSON-embedded PII
+  'Ｘ： @fullwidth_x と X: @halfwidth_x',                     // fullwidth SNS label
+  '連絡先：　tanaka@example.com　（全角スペース）',
+  '氏名:田中 太郎 名前・山田 花子 氏 名：佐藤 誠',             // separator variants
 ]
 probes.forEach((t, i) => cases.push({ name: `probe_${String(i).padStart(2, '0')}`, text: t }))
 
