@@ -78,7 +78,7 @@ _DROP_TURNS = [
 _TOOLS = ["search", "file_read", "code_exec", "db_query"]
 
 
-def _pii_turn(rng: random.Random) -> str:
+def _pii_turn(rng: random.Random, variant_level: int = 1) -> str:
     sn, gn = rng.choice(_SURNAME_POOL), rng.choice(_GIVEN_POOL)
     kana = rng.choice(_KANA_POOL)
     sep = rng.choice([" ", "　", ""])
@@ -102,7 +102,20 @@ def _pii_turn(rng: random.Random) -> str:
         f"LINE ID: {rng.choice(['taro','hana'])}_{rng.randint(100,999)}",
         f"Qiita: tech_writer{rng.randint(1,99)}",
     ])
-    kind = rng.randrange(8)
+    kind = rng.randrange(12 if variant_level >= 2 else 8)
+    if kind == 8:  # fullwidth digits (normalization path; masking no-ops
+        # on the raw text by reference semantics)
+        fw = phone.translate(str.maketrans("0123456789", "０１２３４５６７８９"))
+        return f"電話：{fw} まで。担当：{sn} {gn}"
+    if kind == 9:  # bare postal + JA SNS labels
+        return (f"郵便番号 {rng.randint(100,999)}-{rng.randint(1000,9999):04d} 宛て。"
+                f"ツイッター：@{rng.choice(['dev','usr'])}_{rng.randint(10,99)} "
+                f"ライン ID: u{rng.randint(100,999)}")
+    if kind == 10:  # LABEL_ENDS boundary + era boundary date
+        return (f"部長{sn}{gn}が承認しました。"
+                f"生年月日：平成{rng.randint(15,20)}年{rng.randint(1,12)}月{rng.randint(1,28)}日")
+    if kind == 11:  # address without building + U+3000-separated name
+        return f"氏名：{sn}　{gn}\n住所：{addr.split(' ')[0]}"
     if kind == 0:
         return (f"応募者情報を登録しました。\n氏名：{sn}{sep}{gn}\nフリガナ：{kana}\n"
                 f"生年月日：{birthday}\n住所：{postal} {addr}")
@@ -152,12 +165,16 @@ def generate_transcripts(
     seed: int = 42,
     hot_conv_every: int = 25,
     hot_factor: int = 12,
+    variant_level: int = 1,
 ) -> pd.DataFrame:
     """Build the fixture table as pandas (write with to_parquet or Spark).
 
     Every ``hot_conv_every``-th conversation has ``hot_factor``x the average
     turn count, giving the skewed conv_id distribution the north rule's
-    salted-repartitioning strategy is designed for.
+    salted-repartitioning strategy is designed for.  ``variant_level=2``
+    adds rarer PII shapes (fullwidth digits, bare postal, JA SNS labels,
+    LABEL_ENDS boundaries) -- kept opt-in so bench fixtures stay comparable
+    across rounds.
     """
     rng = random.Random(seed)
     base_ts = datetime(2025, 1, 1, 0, 0, 0)
@@ -182,7 +199,7 @@ def generate_transcripts(
                 elif bucket < 0.55:
                     text = rng.choice(_CLEAN_EN)
                 elif bucket < 0.75:
-                    text = _pii_turn(rng)
+                    text = _pii_turn(rng, variant_level)
                 elif bucket < 0.87:
                     text = rng.choice(_FP_TRAPS)
                 else:

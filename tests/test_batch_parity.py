@@ -19,6 +19,19 @@ def test_batch_equals_per_row_on_fixture():
         assert got == detect_all(t)
 
 
+def test_batch_equals_per_row_on_rich_variants():
+    pdf = generate_transcripts(n_convs=40, avg_turns=15, seed=13,
+                               variant_level=2)
+    texts = pdf["text"].tolist()
+    batch = detect_all_batch(texts)
+    for t, got in zip(texts, batch):
+        assert got == detect_all(t)
+    # the rich variants must actually appear
+    joined = "\n".join(texts)
+    assert "ツイッター：" in joined and "部長" in joined
+    assert "０" in joined or "１" in joined  # fullwidth digits present
+
+
 def test_batch_equals_per_row_on_golden_corpus():
     texts = [c["text"] for c in GOLDEN["cases"]]
     year = GOLDEN["current_year"]
