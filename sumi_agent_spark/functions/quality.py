@@ -362,19 +362,25 @@ def quality_frame(
     n_tri_pos = np.maximum(lens - 2, 0).astype(np.int64)
     distinct_ratio = np.ones(n)
     if len(cps) >= 3:
-        tri = (cps[:-2].astype(np.int64) * 0x110000 + cps[1:-1]) * 131 + cps[2:]
+        # injective trigram key: base-0x110000 positional encoding covers the
+        # full codepoint range with no collisions (max value ~2^60.3 < 2^63)
+        B = np.int64(0x110000)
+        tri = (cps[:-2].astype(np.int64) * B + cps[1:-1]) * B + cps[2:]
         # tag each trigram with its row id; mask out cross-row trigrams
         row_of = np.repeat(np.arange(n), lens)
         tri_row = row_of[: len(tri)]
         valid = (row_of[: len(tri)] == row_of[2: len(tri) + 2])
-        # combine row id and trigram hash into one sortable key
-        combo = (tri_row[valid].astype(np.uint64) << np.uint64(44)) ^ \
-            (tri[valid].astype(np.uint64) & np.uint64((1 << 44) - 1))
-        order = np.sort(combo)
-        new_unique = np.concatenate([[True], order[1:] != order[:-1]])
-        uniq_rows = (order >> np.uint64(44)).astype(np.int64)
-        uniq_per_row = np.bincount(uniq_rows[new_unique], minlength=n)
-        tot_per_row = np.bincount(tri_row[valid], minlength=n)
+        # exact distinct count per row: lexsort (row, trigram) pairs -- no
+        # lossy bit-packing, so diverse text is never misflagged
+        rows_v = tri_row[valid]
+        tris_v = tri[valid]
+        order = np.lexsort((tris_v, rows_v))
+        r_s, t_s = rows_v[order], tris_v[order]
+        new_unique = np.concatenate(
+            [[True], (r_s[1:] != r_s[:-1]) | (t_s[1:] != t_s[:-1])]) \
+            if len(r_s) else np.zeros(0, dtype=bool)
+        uniq_per_row = np.bincount(r_s[new_unique], minlength=n)
+        tot_per_row = np.bincount(rows_v, minlength=n)
         safe_tot = np.maximum(tot_per_row, 1)
         distinct_ratio = uniq_per_row / safe_tot
         n_tri_pos = tot_per_row

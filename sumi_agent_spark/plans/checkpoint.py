@@ -72,12 +72,22 @@ def write_with_lineage(
 
 
 def resume_filter(df: DataFrame, output_path: str) -> DataFrame:
-    """Drop (conv_id, turn_idx) pairs already present in the output."""
+    """Drop (conv_id, turn_idx) pairs already present in the output.
+
+    Only a missing output path means "fresh start".  Any other read error
+    (corrupt files, schema trouble, transient storage failure) propagates:
+    swallowing it would silently reprocess everything and append duplicate
+    rows, breaking the idempotent-restart guarantee."""
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
     try:
         done = spark.read.parquet(output_path).select("conv_id", "turn_idx")
-    except Exception:
-        return df  # nothing written yet
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return df  # nothing written yet
+        raise
     return df.join(done, on=["conv_id", "turn_idx"], how="left_anti")
 
 

@@ -15,25 +15,44 @@ from pyspark.sql import functions as F
 
 
 def evaluate_against_expected(scrubbed: DataFrame, expected: DataFrame) -> DataFrame:
-    """One-row DataFrame: n_turns, tp/fp/fn, keep_f1, n_exact, exact_rate.
+    """One-row DataFrame: n_turns, tp/fp/fn, keep_f1, n_exact, exact_rate,
+    n_missing (expected keys absent from the output -- dropped rows) and
+    n_extra (output keys absent from expected -- duplicated/fabricated rows).
 
-    ``expected`` needs (conv_id, turn_idx, keep, masked_text)."""
+    The join is FULL OUTER on (conv_id, turn_idx): an inner join would hide
+    rows the pipeline silently lost or duplicated, letting exact_rate read
+    1.0 over a lossy output.  ``expected`` needs (conv_id, turn_idx, keep,
+    masked_text)."""
     exp = expected.select(
         "conv_id", "turn_idx",
         F.col("keep").alias("exp_keep"),
-        F.col("masked_text").alias("exp_masked"))
-    joined = scrubbed.select("conv_id", "turn_idx", "keep", "masked_text") \
-        .join(exp, ["conv_id", "turn_idx"], "inner")
+        F.col("masked_text").alias("exp_masked"),
+        F.lit(True).alias("_in_exp"))
+    got = scrubbed.select(
+        "conv_id", "turn_idx",
+        F.col("keep").alias("got_keep"),
+        F.col("masked_text").alias("got_masked"),
+        F.lit(True).alias("_in_got"))
+    joined = got.join(exp, ["conv_id", "turn_idx"], "full")
+    # presence markers (not payload nullness: a matched row may carry NULLs)
+    in_got = F.coalesce(F.col("_in_got"), F.lit(False))
+    in_exp = F.coalesce(F.col("_in_exp"), F.lit(False))
+    matched = in_got & in_exp
     agg = joined.agg(
-        F.count("*").alias("n_turns"),
-        F.sum((F.col("keep") & F.col("exp_keep")).cast("long")).alias("tp"),
-        F.sum((F.col("keep") & ~F.col("exp_keep")).cast("long")).alias("fp"),
-        F.sum((~F.col("keep") & F.col("exp_keep")).cast("long")).alias("fn"),
-        F.sum((F.col("masked_text") == F.col("exp_masked")).cast("long"))
-         .alias("n_exact"),
+        F.sum(matched.cast("long")).alias("n_turns"),
+        F.sum((in_exp & ~in_got).cast("long")).alias("n_missing"),
+        F.sum((in_got & ~in_exp).cast("long")).alias("n_extra"),
+        F.sum((matched & F.col("got_keep") & F.col("exp_keep")).cast("long"))
+         .alias("tp"),
+        F.sum((matched & F.col("got_keep") & ~F.col("exp_keep")).cast("long"))
+         .alias("fp"),
+        F.sum((matched & ~F.col("got_keep") & F.col("exp_keep")).cast("long"))
+         .alias("fn"),
+        F.sum((matched & (F.col("got_masked").eqNullSafe(F.col("exp_masked"))))
+              .cast("long")).alias("n_exact"),
     )
     return agg.select(
-        "n_turns", "tp", "fp", "fn",
+        "n_turns", "n_missing", "n_extra", "tp", "fp", "fn",
         F.round(2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
                 6).alias("keep_f1"),
         "n_exact",
@@ -90,6 +109,8 @@ def main() -> None:
         ap.error("--expected or --n-convs required")
     row = evaluate_against_expected(scrubbed, expected).first().asDict()
     print(json.dumps(row))
+    assert row["n_missing"] == 0, "pipeline dropped rows present in expected"
+    assert row["n_extra"] == 0, "pipeline emitted rows absent from expected"
     assert row["keep_f1"] >= 0.99, "keep/drop F1 below acceptance threshold"
     assert row["exact_rate"] == 1.0, "masked text not byte-exact"
 

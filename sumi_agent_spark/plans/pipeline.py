@@ -161,8 +161,15 @@ def deduplicate_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``dropDuplicates`` (which keeps an arbitrary row and is therefore
     nondeterministic under retries/speculation).  Two shuffles on the
     fingerprint/key -- run BEFORE the scrub stage so duplicate turns never
-    pay detection cost."""
-    norm = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    pay detection cost.
+
+    NULL text coalesces to a sentinel before fingerprinting: md5(NULL) is
+    NULL and a plain equi-join never matches NULL keys, so without the
+    coalesce every NULL-text turn would silently vanish (they now dedup
+    against each other like any other group)."""
+    norm = F.md5(F.coalesce(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "),
+        F.lit("\x00<null-text>")))
     keyed = df.withColumn("_fp", norm)
     winners = (keyed
                .groupBy("_fp")

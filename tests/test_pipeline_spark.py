@@ -202,3 +202,57 @@ def test_deduplicate_turns(spark):
     # deterministic across repartitionings
     out2 = deduplicate_turns(df.repartition(7)).toPandas()
     assert set(zip(out2["conv_id"], out2["turn_idx"])) == keys
+
+
+def test_deduplicate_turns_null_text(spark):
+    """NULL-text turns must not vanish (md5(NULL)=NULL never equi-joins)."""
+    import datetime
+
+    from sumi_agent_spark.plans.pipeline import deduplicate_turns
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", None, "", ts),
+        ("c2", 3, "user", None, "", ts),        # NULLs dedup to the first key
+        ("c1", 1, "user", "本文です", "", ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = deduplicate_turns(df).toPandas()
+    keys = set(zip(out["conv_id"], out["turn_idx"]))
+    assert keys == {("c1", 0), ("c1", 1)}
+
+
+def test_resume_filter_propagates_corrupt_output(spark, tmp_path):
+    """A corrupt/unreadable EXISTING output must raise, not reprocess all."""
+    import pytest
+
+    from sumi_agent_spark.plans.checkpoint import resume_filter
+
+    df = spark.createDataFrame([("c1", 0)], ["conv_id", "turn_idx"])
+    # missing path -> fresh start passthrough
+    assert resume_filter(df, str(tmp_path / "nope")).count() == 1
+    # existing dir with junk (footer read fails) -> must propagate, any type
+    bad = tmp_path / "bad_out"
+    bad.mkdir()
+    (bad / "junk.txt").write_text("not parquet")
+    with pytest.raises(Exception, match="(?i)parquet|footer|schema"):
+        resume_filter(df, str(bad)).count()
+
+
+def test_evaluation_catches_dropped_and_extra_rows(spark):
+    from sumi_agent_spark.plans.evaluate import evaluate_against_expected
+
+    exp = spark.createDataFrame(
+        [("c1", 0, True, "a"), ("c1", 1, True, "b"), ("c2", 0, False, "c")],
+        ["conv_id", "turn_idx", "keep", "masked_text"])
+    got = spark.createDataFrame(  # drops (c2,0), fabricates (c9,9)
+        [("c1", 0, True, "a"), ("c1", 1, True, "b"), ("c9", 9, True, "z")],
+        ["conv_id", "turn_idx", "keep", "masked_text"])
+    row = evaluate_against_expected(got, exp).first()
+    assert row["n_missing"] == 1
+    assert row["n_extra"] == 1
+    assert row["n_turns"] == 2          # only matched keys scored
+    assert row["exact_rate"] == 1.0     # ...and a lossy output still reads
+    assert row["keep_f1"] == 1.0        # perfect on them: hence the counters
