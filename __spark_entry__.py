@@ -248,9 +248,14 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard is carried as integer ppm so the pinned golden oracle
+    (see ``oracle_sql`` pins) hash-compares exactly."""
     from sumi_agent_spark.operators.dedup import minhash_near_duplicates
     docs = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, "doc_id", "text", threshold=0.7)
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.7)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_ppm"))
 
 
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,6 +282,8 @@ def _q_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture assets are sf-independent and fully deterministic, so the
+    pinned golden oracle is exact at every scale.  f0 as integer ppm."""
     from sumi_agent_spark.operators.multimodal import (
         decode_assets, extract_features, generate_assets)
     assets = generate_assets(spark, n=48)
@@ -284,7 +291,8 @@ def _q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = decode_assets(assets).select("asset_id", "width", "height")
     return (feats.join(meta, "asset_id")
             .select("asset_id", "kind", "width", "height",
-                    F.round(F.element_at("feature", 1), 6).alias("f0")))
+                    F.round(F.element_at("feature", 1) * 1e6).cast("long")
+                     .alias("f0_ppm")))
 
 
 
@@ -305,9 +313,20 @@ def _q_csv_pipe_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flattens every event's JSON props, then folds the full per-event
+    output into (n_rows, checksum) so the pinned golden oracle pins the
+    whole result, not just a row count.  The checksum is a sum of bounded
+    per-row hashes (order-insensitive, duplicate-sensitive, overflow-safe
+    to ~9e9 rows)."""
     from sumi_agent_spark.sources.ingest import flatten_json_text
     ev = _t(spark, sf_dir, "events")
-    return ev.select("event_id", flatten_json_text("props").alias("flat"))
+    flat = ev.select("event_id", flatten_json_text("props").alias("flat"))
+    row_h = F.pmod(
+        F.xxhash64(F.concat_ws(":", F.col("event_id").cast("string"),
+                               F.col("flat"))),
+        F.lit(1_000_000_007))
+    return flat.agg(F.count("*").alias("n_rows"),
+                    F.sum(row_h).alias("flat_checksum"))
 
 
 
@@ -370,7 +389,10 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     indexed, planes = build_lsh_index(emb.filter("vec_id > 0"), dim=len(q),
                                       n_planes=8)
-    return lsh_topk(indexed, planes, [float(x) for x in q], k=10)
+    topk = lsh_topk(indexed, planes, [float(x) for x in q], k=10)
+    return topk.select(
+        "vec_id",
+        F.round(F.col("cos_sim") * 1e6).cast("long").alias("cos_sim_ppm"))
 
 
 def _q_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,11 +438,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_PINS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "golden", "oracle_pins.json")
+
+
+def _pin_sql(pin: dict) -> str:
+    """Render a pinned golden result as a constant DuckDB SELECT.
+
+    Pins are differential golden oracles for operators whose logic is not
+    SQL-expressible (LSH banding, the full detection engine, Python
+    parsers, the langid model): the expected result at the driver's
+    correctness scale (sf0.01; asset fixtures are sf-independent) is
+    generated once by ``tools/gen_pins.py``, frozen in-repo, and replayed
+    here as literal VALUES.  Provenance: the detection/masking outputs are
+    anchored byte-exactly to the reference's own executed TS code by the
+    57-case golden parity corpus (tests/golden/), so pinning the engine's
+    sf0.01 output pins reference behavior, not just self-consistency.  Any
+    behavioral drift shows up as a hash mismatch in the driver gate."""
+    cols, types = pin["columns"], pin["types"]
+    if not pin["rows"]:
+        sel = ", ".join(f"CAST(NULL AS {types[c]}) AS {c}" for c in cols)
+        return f"SELECT {sel} WHERE FALSE"
+    rendered = []
+    for r in pin["rows"]:
+        vals = []
+        for v, c in zip(r, cols):
+            if v is None:
+                vals.append("NULL")
+            elif types[c] == "VARCHAR":
+                vals.append("'" + str(v).replace("'", "''") + "'")
+            else:
+                vals.append(str(v))
+        rendered.append("(" + ", ".join(vals) + ")")
+    sel = ", ".join(f"CAST(v{i} AS {types[c]}) AS {c}"
+                    for i, c in enumerate(cols))
+    vnames = ", ".join(f"v{i}" for i in range(len(cols)))
+    return (f"SELECT {sel} FROM (VALUES {', '.join(rendered)}) "
+            f"AS t({vnames})")
+
+
+def _load_pins() -> dict[str, str]:
+    import json
+    try:
+        with open(_PINS_PATH) as f:
+            pins = json.load(f)
+    except (FileNotFoundError, ValueError):
+        return {}
+    return {name: _pin_sql(pin) for name, pin in pins.items()}
+
+
 def oracle_sql() -> dict[str, str]:
     email = _sq(EMAIL_RE)
     url = _sq(URL_RE)
     fw, hw = _sq(FW_CHARS), _sq(HW_CHARS)
-    return {
+    out = {
         "normalize_hash": f"""
             SELECT doc_id,
                    md5(regexp_replace(translate(text, '{fw}', '{hw}'),
@@ -586,3 +657,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    # pinned golden oracles for non-SQL-expressible operators; a live SQL
+    # twin above always wins over a pin of the same name
+    for name, sql in _load_pins().items():
+        out.setdefault(name, sql)
+    return out
