@@ -344,6 +344,25 @@ def _q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_rtf_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip check for the parseRTF analog: wrap each document in a
+    synthesized RTF envelope (header groups, font selector, ``\\par``
+    markers for newlines), strip it with the faithful reference port, and
+    hash the result.  For backslash/brace-free inputs the strip provably
+    recovers the original text modulo the reference's newline collapse and
+    trim -- which is exactly what the DuckDB twin computes directly, so
+    this oracle is live SQL, not a pin."""
+    from sumi_agent_spark.sources.ingest import strip_rtf
+    docs = _t(spark, sf_dir, "documents").filter(
+        ~F.col("text").rlike(r"[\\{}]"))
+    payload = F.regexp_replace("text", r"\n", r"\\\\par ")
+    rtf = F.concat(
+        F.lit(r"{\rtf1\ansi{\fonttbl{\f0 Arial;}}"
+              r"{\colortbl;\red0\green0\blue0;}\f0 "),
+        payload, F.lit("}"))
+    return docs.select("doc_id", F.md5(strip_rtf(rtf)).alias("rtf_hash"))
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-5-gram Jaccard pairs (>=0.3), expressed with native
     array functions so DuckDB can run the identical computation."""
@@ -431,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_json": _q_flatten_json,
         "sections": _q_sections,
         "strip_html": _q_strip_html,
+        "rtf_strip": _q_rtf_strip,
         "ngram_jaccard": _q_ngram_jaccard,
         "lang_id_detect": _q_lang_id_detect,
         "lsh_topk": _q_lsh_topk,
@@ -650,6 +670,16 @@ def oracle_sql() -> dict[str, str]:
               AND round(len(list_intersect(a.s, b.s))::DOUBLE
                         / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE,
                         4) >= 0.3
+        """,
+        "rtf_strip": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(text, '\n{3,}',
+                                           chr(10) || chr(10), 'g'),
+                            ' ' || chr(9) || chr(10) || chr(13)
+                                || chr(12) || chr(11) || '　')) AS rtf_hash
+            FROM documents
+            WHERE NOT regexp_matches(text, '[{}]')
+              AND NOT contains(text, chr(92))
         """,
         "content_fingerprint": """
             SELECT doc_id,

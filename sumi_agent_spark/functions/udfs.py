@@ -46,6 +46,7 @@ SCRUB_RESULT_TYPE = StructType([
     StructField("n_regex", IntegerType()),
     StructField("n_dict", IntegerType()),
     StructField("n_heuristic", IntegerType()),
+    StructField("n_ai", IntegerType()),
 ])
 
 # lang/drop_reason cross the Arrow boundary as tiny ints (cheaper columns
@@ -75,20 +76,37 @@ def make_scrub_udf(
     keep_prefecture: bool = DEFAULT_KEEP_PREFECTURE,
     name_initial: bool = DEFAULT_NAME_INITIAL,
     current_year: int = DEFAULT_CURRENT_YEAR,
+    ai_caller=None,
+    ai_fallback_caller=None,
 ):
     """Series[str] -> struct(masked_text, n_detections, n_regex, n_dict,
-    n_heuristic).  Deterministic; marked nondeterministic=False by default."""
+    n_heuristic, n_ai).  Deterministic unless ``ai_caller`` is injected.
+
+    ``ai_caller`` (default None = OFF, the deterministic reference path)
+    enables the optional AI-enrichment stage (reference detectWithAI,
+    RedactPro.tsx:1715-1722): per row, AI detections are merged into the
+    base set with first-wins ``merge_detections`` BEFORE mask config and
+    redaction, exactly where the reference merges them.  The callable must
+    be picklable (tests inject a deterministic fake; production would close
+    over an endpoint client).  AI failures degrade to zero AI detections,
+    never an error row."""
     kw = list(custom_keywords) if custom_keywords else None
     cfg = dict(DEFAULT_MASK_CONFIG if mask_config is None else mask_config)
 
     @pandas_udf(SCRUB_RESULT_TYPE)
     def scrub(texts: pd.Series) -> pd.DataFrame:
         from .batch_detect import detect_all_batch
-        from .oracle import apply_mask_config, apply_redaction
+        from .oracle import apply_mask_config, apply_redaction, merge_detections
 
         raw = texts.fillna("").tolist()
         all_dets = detect_all_batch(raw, kw, current_year)
-        masked, n_det, n_re, n_di, n_he = [], [], [], [], []
+        if ai_caller is not None:
+            from .ai_detect import detect_with_ai
+            all_dets = [
+                merge_detections(
+                    dets, detect_with_ai(text, ai_caller, ai_fallback_caller)[0])
+                for text, dets in zip(raw, all_dets)]
+        masked, n_det, n_re, n_di, n_he, n_ai = [], [], [], [], [], []
         for text, dets in zip(raw, all_dets):
             dets = apply_mask_config(dets, cfg)
             m = apply_redaction(text, dets, keep_prefecture, name_initial)
@@ -97,12 +115,14 @@ def make_scrub_udf(
             n_re.append(sum(1 for d in dets if d.source == "regex"))
             n_di.append(sum(1 for d in dets if d.source == "dict"))
             n_he.append(sum(1 for d in dets if d.source == "heuristic"))
+            n_ai.append(sum(1 for d in dets if d.source == "ai"))
         return pd.DataFrame({
             "masked_text": masked,
             "n_detections": pd.array(n_det, dtype="int32"),
             "n_regex": pd.array(n_re, dtype="int32"),
             "n_dict": pd.array(n_di, dtype="int32"),
             "n_heuristic": pd.array(n_he, dtype="int32"),
+            "n_ai": pd.array(n_ai, dtype="int32"),
         })
 
     return scrub

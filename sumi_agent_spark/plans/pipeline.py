@@ -29,7 +29,7 @@ from ..functions.udfs import LANG_CODES, REASON_CODES, make_quality_udf, make_sc
 
 OUTPUT_COLUMNS = [
     "conv_id", "turn_idx", "role", "tool", "ts", "text", "masked_text",
-    "n_detections", "n_regex", "n_dict", "n_heuristic",
+    "n_detections", "n_regex", "n_dict", "n_heuristic", "n_ai",
     "lang", "nll", "n_chars", "symbol_ratio", "distinct_trigram_ratio",
     "mojibake", "keep", "drop_reason",
 ]
@@ -43,10 +43,17 @@ def scrub_transcripts(
     name_initial: bool = False,
     current_year: int = 2026,
     quality_cfg: QualityConfig = DEFAULT_QUALITY_CONFIG,
+    ai_caller=None,
+    ai_fallback_caller=None,
 ) -> DataFrame:
-    """The flagship transform.  One narrow stage: no shuffle, no collect."""
+    """The flagship transform.  One narrow stage: no shuffle, no collect.
+
+    ``ai_caller`` (default None = off) switches on the optional
+    AI-enrichment detection stage inside the scrub UDF -- see
+    ``functions.udfs.make_scrub_udf``; the plan shape is unchanged."""
     scrub = make_scrub_udf(custom_keywords, mask_config, keep_prefecture,
-                           name_initial, current_year)
+                           name_initial, current_year,
+                           ai_caller, ai_fallback_caller)
     quality = make_quality_udf(quality_cfg)
     lang_array = F.array(*[F.lit(x) for x in LANG_CODES])
     reason_array = F.array(*[F.lit(x) for x in REASON_CODES])
@@ -61,6 +68,7 @@ def scrub_transcripts(
             F.col("_s.n_regex").alias("n_regex"),
             F.col("_s.n_dict").alias("n_dict"),
             F.col("_s.n_heuristic").alias("n_heuristic"),
+            F.col("_s.n_ai").alias("n_ai"),
             # decode the UDF's tiny-int codes to strings JVM-side (codegen)
             F.element_at(lang_array, F.col("_q.lang_id") + 1).alias("lang"),
             F.col("_q.nll").alias("nll"),
@@ -214,12 +222,45 @@ def pipeline_metrics(df: DataFrame) -> DataFrame:
     )
 
 
+class RetentionError(RuntimeError):
+    """A pipeline stage lost rows or destroyed content beyond tolerance."""
+
+
+def _nonempty_lines(col) -> F.Column:
+    return F.size(F.filter(F.split(F.coalesce(col, F.lit("")), "\n"),
+                           lambda x: F.length(F.trim(x)) > 0))
+
+
+def _assert_retention(stage: str, rows_in: int, rows_out: int,
+                      lines_in: int, lines_out: int,
+                      min_line_ratio: float) -> dict:
+    """The reference's accept/reject content validation, as hard guards.
+
+    Analog of RedactPro.tsx:1337-1349 (cleaned lines >= 0.6x) and
+    :1390-1398 (final output rejected under 0.5x of input lines) -- but
+    the scrub stage is 1:1 by construction, so rows get an exact ==
+    guard and only the content-line ratio is a threshold."""
+    if rows_out != rows_in:
+        raise RetentionError(
+            f"stage {stage}: wrote {rows_out} rows for {rows_in} input rows "
+            f"(the scrub stage is row-preserving; a transform corrupted it)")
+    if lines_in > 0 and lines_out < min_line_ratio * lines_in:
+        raise RetentionError(
+            f"stage {stage}: masked output retains {lines_out}/{lines_in} "
+            f"non-empty lines (< {min_line_ratio:.0%}); rejecting the run")
+    return {"stage": f"{stage}_retention", "rows_in": rows_in,
+            "rows_out": rows_out, "lines_in": lines_in,
+            "lines_out": lines_out}
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,
     output_path: str,
     resume: bool = False,
     dedup: bool = False,
+    min_line_ratio: float = 0.5,
+    scrub_transform=scrub_transcripts,
     **scrub_kwargs,
 ) -> dict:
     """Batch entry point: parquet in, ordered parquet out, metrics + lineage.
@@ -227,7 +268,20 @@ def run_pipeline(
     ``resume=True`` anti-joins against keys already present in the output
     (idempotent restart per the north rule).  ``dedup=True`` drops
     exact-duplicate turns before the scrub stage (deterministic
-    first-occurrence winner)."""
+    first-occurrence winner).
+
+    Retention guards (reference accept/reject ratios,
+    RedactPro.tsx:1337-1349,1390-1398): input rows and masked non-empty
+    line counts are observed on the SAME pass as the write (zero extra
+    scans); after the write the run fails with ``RetentionError`` if any
+    row was lost/duplicated by the scrub stage or if masked content drops
+    below ``min_line_ratio`` of the input's non-empty lines.  Guard
+    metrics are appended to the ``_lineage_guards`` sidecar (separate from
+    ``_lineage``: mixed schemas in one parquet dir read back unreliably).  ``scrub_transform``
+    is the stage injection point (swap in a variant transform; tests use
+    it to prove a corrupting transform trips the guard)."""
+    from pyspark.sql import Observation
+
     from .checkpoint import resume_filter, write_with_lineage
 
     t0 = time.time()
@@ -236,11 +290,39 @@ def run_pipeline(
         df = resume_filter(df, output_path)
     if dedup:
         df = deduplicate_turns(df)
-    scrubbed = scrub_transcripts(df, **scrub_kwargs)
+
+    in_obs = Observation("retention_in")
+    df = df.observe(in_obs, F.count(F.lit(1)).alias("rows_in"))
+    scrubbed = scrub_transform(df, **scrub_kwargs)
+    out_obs = Observation("retention_out")
+    scrubbed = scrubbed.observe(
+        out_obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(_nonempty_lines(F.col("text")).cast("long")).alias("lines_in"),
+        F.sum(_nonempty_lines(F.col("masked_text")).cast("long"))
+         .alias("lines_out"))
+
     n = write_with_lineage(ordered(scrubbed), output_path, stage="scrub")
+    m_in, m_out = in_obs.get, out_obs.get
+    # Both observations sit BELOW the range exchange, whose boundary-sampling
+    # job executes the child plan an extra time -- every metric is scaled by
+    # the same pass count, so the ==/ratio guards stay exact; normalize the
+    # reported numbers back to single-pass values via the true written count
+    # (observed once, above the exchange, by write_with_lineage).
+    rows_in = int(m_in.get("rows_in") or 0)
+    rows_out = int(m_out.get("rows_out") or 0)
+    lines_in = int(m_out.get("lines_in") or 0)
+    lines_out = int(m_out.get("lines_out") or 0)
+    passes = rows_out // n if n and rows_out % n == 0 else 1
+    guard_row = _assert_retention(
+        "scrub", rows_in // passes, rows_out // passes,
+        lines_in // passes, lines_out // passes, min_line_ratio)
+    spark.createDataFrame([guard_row]).write.mode("append").parquet(
+        f"{output_path}/_lineage_guards")
     wall = time.time() - t0
     return {"rows": n, "wall_sec": round(wall, 3),
-            "rows_per_sec": round(n / wall, 1) if wall > 0 else None}
+            "rows_per_sec": round(n / wall, 1) if wall > 0 else None,
+            **{k: v for k, v in guard_row.items() if k != "stage"}}
 
 
 # note: run_pipeline's "rows" counts rows written by THIS invocation; under

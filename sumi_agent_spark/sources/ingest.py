@@ -15,6 +15,9 @@ that have transcript analogs:
 * ``strip_html``          -- extractTextFromHTML (RedactPro.tsx:1402-1436):
   noise tags dropped, block tags break lines, ``li`` -> ``・``, ``td`` ->
   `` | ``, anchor hrefs appended, title prefixed.
+* ``strip_rtf``           -- parseRTF (RedactPro.tsx:1543-1563): header
+  group removal, ``\\par``/``\\line``/``\\tab`` conversion, ``\\'XX`` /
+  ``\\uN`` decoding, control-word and brace stripping, newline collapse.
 * ``detect_encoding``     -- the UTF-8 / Shift-JIS / EUC-JP sniffer
   (RedactPro.tsx:879): BOM checks then byte-pattern scoring over the first
   10 KB, for ``binaryFile``-sourced ingest.
@@ -164,6 +167,55 @@ def strip_html(texts: pd.Series) -> pd.Series:
         text = _MANY_NL.sub("\n\n", _WS_LINES.sub("\n", text)).strip()
         out.append(text)
     return pd.Series(out)
+
+
+# ─── RTF stripping (parseRTF analog, RedactPro.tsx:1543-1563) ───
+
+_RTF_GROUPS = [
+    re.compile(r"\{\\fonttbl[^}]*(?:\{[^}]*\})*[^}]*\}"),
+    re.compile(r"\{\\colortbl[^}]*\}"),
+    re.compile(r"\{\\stylesheet[^}]*(?:\{[^}]*\})*[^}]*\}"),
+    re.compile(r"\{\\info[^}]*(?:\{[^}]*\})*[^}]*\}"),
+]
+_RTF_PAR = re.compile(r"\\par[d]?\s?")
+_RTF_LINE = re.compile(r"\\line\s?")
+_RTF_TAB = re.compile(r"\\tab\s?")
+_RTF_ESCNL = re.compile(r"\\\n")
+_RTF_HEX = re.compile(r"\\'([0-9a-fA-F]{2})")
+_RTF_UNI = re.compile(r"\\u(\d+)\s?\??")
+_RTF_CTRL = re.compile(r"\\[a-z]+[-]?\d*\s?")
+_RTF_BRACES = re.compile(r"[{}]")
+_RTF_MANY_NL = re.compile(r"\n{3,}")
+
+
+def _rtf_unichar(m: re.Match) -> str:
+    # JS String.fromCharCode applies ToUint16; map the (crafted-input-only)
+    # lone-surrogate range to U+FFFD so the result stays Arrow-encodable
+    cp = int(m.group(1)) & 0xFFFF
+    return "\ufffd" if 0xD800 <= cp <= 0xDFFF else chr(cp)
+
+
+def strip_rtf_text(text: str) -> str:
+    """Basic RTF text extraction (parseRTF, RedactPro.tsx:1543-1563):
+    drop header groups, convert \\par/\\line/\\tab, decode \\'XX and \\uN,
+    strip remaining control words and braces, collapse 3+ newlines, trim."""
+    r = text
+    for g in _RTF_GROUPS:
+        r = g.sub("", r)
+    r = _RTF_PAR.sub("\n", r)
+    r = _RTF_LINE.sub("\n", r)
+    r = _RTF_TAB.sub("\t", r)
+    r = _RTF_ESCNL.sub("\n", r)
+    r = _RTF_HEX.sub(lambda m: chr(int(m.group(1), 16)), r)
+    r = _RTF_UNI.sub(_rtf_unichar, r)
+    r = _RTF_CTRL.sub("", r)
+    r = _RTF_BRACES.sub("", r)
+    return _RTF_MANY_NL.sub("\n\n", r).strip()
+
+
+@pandas_udf(StringType())
+def strip_rtf(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(strip_rtf_text)
 
 
 # ─── Encoding detection (RedactPro.tsx:879 analog) ───

@@ -133,3 +133,28 @@ def test_streaming_windowed_counts(spark, tmp_path):
     # batch the final windows may be withheld -- assert plumbing, not totals
     assert set(got.columns) == {"window_start", "window_end", "conv_id",
                                 "n_turns", "n_keep", "n_detections"}
+
+
+def test_strip_rtf_reference_semantics():
+    """parseRTF port (RedactPro.tsx:1543-1563): control words, groups,
+    hex/unicode escapes, newline collapse, trim."""
+    from sumi_agent_spark.sources.ingest import strip_rtf_text
+
+    bs = chr(92)
+    rtf = ("{" + bs + "rtf1" + bs + "ansi{" + bs + "fonttbl{" + bs
+           + "f0 Times New Roman;}}{" + bs + "colortbl;" + bs + "red0"
+           + bs + "green0" + bs + "blue0;}" + bs + "f0 Hello" + bs
+           + "par World" + bs + "line Tab" + bs + "tab here " + bs
+           + "'e9 and " + bs + "u12354?end}")
+    assert strip_rtf_text(rtf) == (
+        "Hello\nWorld\nTab\there \xe9 and " + chr(12354) + "end")
+    # envelope round-trip recovers the payload modulo newline collapse/trim
+    text = "  line one\nline two\n\n\n\n\nline three\n"
+    payload = text.replace("\n", bs + "par ")
+    wrapped = ("{" + bs + "rtf1" + bs + "ansi{" + bs + "fonttbl{" + bs
+               + "f0 Arial;}}" + bs + "f0 " + payload + "}")
+    assert strip_rtf_text(wrapped) == "line one\nline two\n\nline three"
+    # lone-surrogate \uN maps to U+FFFD (Arrow-encodable), not a crash
+    assert chr(0xFFFD) in strip_rtf_text(bs + "u55296?x")
+    assert strip_rtf_text("") == ""
+    assert strip_rtf_text("plain text, no rtf") == "plain text, no rtf"

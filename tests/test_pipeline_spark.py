@@ -256,3 +256,41 @@ def test_evaluation_catches_dropped_and_extra_rows(spark):
     assert row["n_turns"] == 2          # only matched keys scored
     assert row["exact_rate"] == 1.0     # ...and a lossy output still reads
     assert row["keep_f1"] == 1.0        # perfect on them: hence the counters
+
+
+def test_retention_guard_trips_on_corrupting_transform(spark, fixture_pdf,
+                                                       tmp_path):
+    """A transform that destroys masked content must fail the run."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sumi_agent_spark.plans.pipeline import (
+        RetentionError, run_pipeline, scrub_transcripts,
+    )
+
+    inp = str(tmp_path / "in.parquet")
+    fixture_pdf.head(60).to_parquet(inp, index=False)
+
+    def line_eater(df, **kw):  # corrupting UDF analog: blanks every line
+        return scrub_transcripts(df, **kw).withColumn(
+            "masked_text", F.lit(""))
+
+    with pytest.raises(RetentionError, match="non-empty lines"):
+        run_pipeline(spark, inp, str(tmp_path / "out_bad"),
+                     scrub_transform=line_eater)
+
+    def row_eater(df, **kw):  # drops a row: row-preservation must trip
+        out = scrub_transcripts(df, **kw)
+        return out.filter(F.col("turn_idx") != 0)
+
+    with pytest.raises(RetentionError, match="row-preserving"):
+        run_pipeline(spark, inp, str(tmp_path / "out_bad2"),
+                     scrub_transform=row_eater)
+
+    # the healthy pipeline passes the guards and records them in lineage
+    stats = run_pipeline(spark, inp, str(tmp_path / "out_ok"))
+    assert stats["rows_in"] == stats["rows_out"] == 60
+    assert stats["lines_out"] >= 0.5 * stats["lines_in"]
+    guards = spark.read.parquet(
+        str(tmp_path / "out_ok") + "/_lineage_guards").toPandas()
+    assert guards["stage"].tolist() == ["scrub_retention"]
