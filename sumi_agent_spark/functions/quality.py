@@ -260,6 +260,43 @@ def _seg_sum(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.nda
     return csum[ends] - csum[starts]
 
 
+def _subset_nll(model: _NgramModel, t: pd.Series, lens: np.ndarray,
+                mask: np.ndarray, lowercase: bool) -> np.ndarray:
+    """Per-row mean bigram NLL under ``model``, computed ONLY for rows in
+    ``mask`` (zeros elsewhere).
+
+    The models are strictly intra-row (cross-row positions are zeroed and
+    trigrams spanning a row boundary degrade to bigrams), so scoring a
+    sub-concatenation of just the masked rows is byte-identical to scoring
+    the full batch and discarding the rest -- while skipping, e.g., the EN
+    and OTHER table lookups for every Japanese row."""
+    n = len(t)
+    out = np.zeros(n)
+    if not mask.any():
+        return out
+    sub_joined = "".join(t[mask].tolist())
+    if lowercase:
+        low = sub_joined.lower()
+        if len(low) == len(sub_joined):  # .lower() may change lengths (rare)
+            sub_joined = low
+    cps = np.frombuffer(sub_joined.encode("utf-32-le"), dtype=np.uint32)
+    sub_lens = lens[mask]
+    ends = np.cumsum(sub_lens)
+    starts = ends - sub_lens
+    row_break = np.zeros(max(len(cps) - 1, 0), dtype=bool)
+    inner_ends = ends[:-1]
+    row_break[inner_ends[(inner_ends > 0) & (inner_ends < len(cps))] - 1] = True
+    pos_nll = model.nll(cps, row_break)
+    if not len(pos_nll):
+        return out
+    n_pos = max(len(cps) - 1, 0)
+    ps = np.minimum(starts, n_pos)
+    pe = np.minimum(np.maximum(ends - 1, starts), n_pos)
+    safe_bi = np.maximum(sub_lens - 1, 1).astype(np.float64)
+    out[mask] = _seg_sum(pos_nll, ps, pe) / safe_bi
+    return out
+
+
 def quality_frame(
     texts: pd.Series,
     roles: Optional[pd.Series] = None,
@@ -312,37 +349,7 @@ def quality_frame(
     symbol_ratio = (non_ws - n_word) / safe_nonws
     has_letters = (n_latin + n_kana + n_kanji) > 0
 
-    # ── language-ID + NLL ──
-    row_break = np.zeros(max(len(cps) - 1, 0), dtype=bool)
-    inner_ends = ends[:-1]
-    row_break[inner_ends[(inner_ends > 0) & (inner_ends < len(cps))] - 1] = True
-
-    nll_ja_pos = _MODEL_JA.nll(cps, row_break)
-    lower = joined.lower()
-    cps_lo = np.frombuffer(lower.encode("utf-32-le"), dtype=np.uint32)
-    if len(cps_lo) != len(cps):  # .lower() changed lengths (rare); fall back
-        cps_lo = cps
-        lower = joined
-    nll_en_pos = _MODEL_EN.nll(cps_lo, row_break)
-    nll_ot_pos = _MODEL_OTHER.nll(cps_lo, row_break)
-
-    # bigram-position segment bounds, clamped into the (N-1)-sized NLL array:
-    # a zero-length row at the very end would otherwise index past it
-    n_pos = max(len(cps) - 1, 0)
-    ps = np.minimum(starts, n_pos)
-    pe = np.minimum(np.maximum(ends - 1, starts), n_pos)
-    n_bi = np.maximum(lens - 1, 0).astype(np.float64)
-    safe_bi = np.maximum(n_bi, 1)
-    nll_ja = _seg_sum(nll_ja_pos, ps, pe) / safe_bi if len(nll_ja_pos) else np.zeros(n)
-    nll_en = _seg_sum(nll_en_pos, ps, pe) / safe_bi if len(nll_en_pos) else np.zeros(n)
-    nll_ot = _seg_sum(nll_ot_pos, ps, pe) / safe_bi if len(nll_ot_pos) else np.zeros(n)
-
-    # en-vs-other: stopword evidence first (robust), NLL as tiebreak
-    t_lower = t.str.lower()
-    en_sw = t_lower.str.count(_EN_SW_RE).to_numpy()
-    ot_sw = t_lower.str.count(_OTHER_SW_RE).to_numpy()
-    en_wins = (en_sw > ot_sw) | ((en_sw == ot_sw) & (nll_en <= nll_ot))
-
+    # ── language-ID masks from character-class ratios (no NLL needed) ──
     lang = np.full(n, "other", dtype=object)
     lang[~has_letters] = "unknown"
     latin_dom = has_letters & (ja_ratio < cfg.ja_char_ratio) & \
@@ -352,34 +359,63 @@ def quality_frame(
     # kanji-only fragments (names, address blocks) stay ja
     ja_mask = has_letters & (ja_ratio >= cfg.ja_char_ratio) & \
         ((n_kana > 0) | (non_ws < cfg.zh_guard_min_chars))
+
+    # en-vs-other: stopword evidence first (robust), NLL as tiebreak --
+    # both computed ONLY over latin-dominant rows (subset scoring is
+    # byte-identical per row; see _subset_nll)
+    en_sw = np.zeros(n, dtype=np.int64)
+    ot_sw = np.zeros(n, dtype=np.int64)
+    if latin_dom.any():
+        t_lat = t[latin_dom].str.lower()
+        en_sw[latin_dom] = t_lat.str.count(_EN_SW_RE).to_numpy()
+        ot_sw[latin_dom] = t_lat.str.count(_OTHER_SW_RE).to_numpy()
+    nll_en = _subset_nll(_MODEL_EN, t, lens, latin_dom, lowercase=True)
+    nll_ot_latin = _subset_nll(_MODEL_OTHER, t, lens, latin_dom,
+                               lowercase=True)
+    en_wins = (en_sw > ot_sw) | ((en_sw == ot_sw) & (nll_en <= nll_ot_latin))
+
     en_mask = latin_dom & en_wins
     lang[latin_dom & ~en_wins] = "other"
     lang[en_mask] = "en"
     lang[ja_mask] = "ja"
+
+    # per-model NLL only where that model's score is consumed
+    nll_ja = _subset_nll(_MODEL_JA, t, lens, ja_mask, lowercase=False)
+    rest = ~ja_mask & ~latin_dom  # unknown / non-latin other -> OTHER model
+    nll_ot = nll_ot_latin + _subset_nll(_MODEL_OTHER, t, lens, rest,
+                                        lowercase=True)
     nll = np.where(ja_mask, nll_ja, np.where(en_mask, nll_en, nll_ot))
 
     # ── repetition: distinct-trigram ratio, one global sort ──
     n_tri_pos = np.maximum(lens - 2, 0).astype(np.int64)
     distinct_ratio = np.ones(n)
     if len(cps) >= 3:
-        # injective trigram key: base-0x110000 positional encoding covers the
-        # full codepoint range with no collisions (max value ~2^60.3 < 2^63)
-        B = np.int64(0x110000)
-        tri = (cps[:-2].astype(np.int64) * B + cps[1:-1]) * B + cps[2:]
-        # tag each trigram with its row id; mask out cross-row trigrams
+        # remap codepoints to batch-vocabulary ids so the (row, trigram)
+        # key packs injectively into int64 with ONE sort; huge vocabularies
+        # (or huge batches) fall back to an exact two-key lexsort
+        vocab = np.unique(cps)
+        V = np.int64(len(vocab) + 1)
+        ids = np.searchsorted(vocab, cps).astype(np.int64)
         row_of = np.repeat(np.arange(n), lens)
-        tri_row = row_of[: len(tri)]
-        valid = (row_of[: len(tri)] == row_of[2: len(tri) + 2])
-        # exact distinct count per row: lexsort (row, trigram) pairs -- no
-        # lossy bit-packing, so diverse text is never misflagged
-        rows_v = tri_row[valid]
-        tris_v = tri[valid]
-        order = np.lexsort((tris_v, rows_v))
-        r_s, t_s = rows_v[order], tris_v[order]
-        new_unique = np.concatenate(
-            [[True], (r_s[1:] != r_s[:-1]) | (t_s[1:] != t_s[:-1])]) \
-            if len(r_s) else np.zeros(0, dtype=bool)
-        uniq_per_row = np.bincount(r_s[new_unique], minlength=n)
+        valid = (row_of[:len(cps) - 2] == row_of[2:])
+        rows_v = row_of[:len(cps) - 2][valid]
+        if int(V) ** 3 * max(n, 1) < 2 ** 62:
+            tri = ((ids[:-2] * V + ids[1:-1]) * V + ids[2:])[valid]
+            combo = np.sort(rows_v * (V * V * V) + tri)
+            new_unique = np.concatenate([[True], combo[1:] != combo[:-1]]) \
+                if len(combo) else np.zeros(0, dtype=bool)
+            uniq_rows = (combo // (V * V * V))[new_unique]
+        else:
+            B = np.int64(0x110000)  # injective over raw codepoints
+            tris_v = ((cps[:-2].astype(np.int64) * B + cps[1:-1]) * B
+                      + cps[2:])[valid]
+            order = np.lexsort((tris_v, rows_v))
+            r_s, t_s = rows_v[order], tris_v[order]
+            new_unique = np.concatenate(
+                [[True], (r_s[1:] != r_s[:-1]) | (t_s[1:] != t_s[:-1])]) \
+                if len(r_s) else np.zeros(0, dtype=bool)
+            uniq_rows = r_s[new_unique]
+        uniq_per_row = np.bincount(uniq_rows, minlength=n)
         tot_per_row = np.bincount(rows_v, minlength=n)
         safe_tot = np.maximum(tot_per_row, 1)
         distinct_ratio = uniq_per_row / safe_tot
