@@ -289,7 +289,7 @@ def _q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = generate_assets(spark, n=48)
     feats = extract_features(assets)
     meta = decode_assets(assets).select("asset_id", "width", "height")
-    return (feats.join(meta, "asset_id")
+    return (feats.join(F.broadcast(meta), "asset_id")
             .select("asset_id", "kind", "width", "height",
                     F.round(F.element_at("feature", 1) * 1e6).cast("long")
                      .alias("f0_ppm")))

@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 FIXTURE_CACHE = "/tmp/sumi_bench_fixture_v1.parquet"
+FIXTURE_RICH_CACHE = "/tmp/sumi_bench_fixture_rich_v1.parquet"
 FIXTURE_CONVS = 5000  # ~140k turns at avg 20/conv, seed 42
 
 
@@ -31,22 +32,26 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def ensure_fixture() -> str:
-    if not os.path.exists(FIXTURE_CACHE):
+def ensure_fixture(variant_level: int = 1) -> str:
+    path = FIXTURE_RICH_CACHE if variant_level >= 2 else FIXTURE_CACHE
+    if not os.path.exists(path):
         from sumi_agent_spark.sources.transcripts import write_parquet
-        log(f"generating bench fixture ({FIXTURE_CONVS} convs)...")
-        write_parquet(FIXTURE_CACHE, n_convs=FIXTURE_CONVS, avg_turns=20, seed=42)
-    return FIXTURE_CACHE
+        log(f"generating bench fixture ({FIXTURE_CONVS} convs, "
+            f"variant_level={variant_level})...")
+        write_parquet(path, n_convs=FIXTURE_CONVS, avg_turns=20, seed=42,
+                      variant_level=variant_level)
+    return path
 
 
-def ensure_big_fixture(spark, repl: int) -> str:
+def ensure_big_fixture(spark, repl: int, variant_level: int = 1) -> str:
     """Materialize the replicated fixture once as 64-way parquet so the
     timed region is the pure hot path: scan -> fused UDFs -> agg."""
     from pyspark.sql import functions as F
 
-    path = f"/tmp/sumi_bench_big_v2_r{repl}.parquet"
+    suffix = "rich_" if variant_level >= 2 else ""
+    path = f"/tmp/sumi_bench_big_v2_{suffix}r{repl}.parquet"
     if not os.path.exists(path):
-        base = spark.read.parquet(ensure_fixture())
+        base = spark.read.parquet(ensure_fixture(variant_level))
         if repl > 1:
             reps = spark.range(repl).select(F.col("id").alias("rep"))
             base = (base.crossJoin(F.broadcast(reps))
@@ -60,13 +65,13 @@ def ensure_big_fixture(spark, repl: int) -> str:
     return path
 
 
-def scrub_bench(spark, repl: int) -> tuple[float, int]:
+def scrub_bench(spark, repl: int, variant_level: int = 1) -> tuple[float, int]:
     """Time the full scrub+quality pipeline; returns (sec, n_turns)."""
     from pyspark.sql import functions as F
 
     from sumi_agent_spark.plans.pipeline import scrub_transcripts
 
-    base = spark.read.parquet(ensure_big_fixture(spark, repl))
+    base = spark.read.parquet(ensure_big_fixture(spark, repl, variant_level))
     n = base.count()
     scrubbed = scrub_transcripts(base)
 
@@ -89,13 +94,22 @@ import pandas as pd  # noqa: E402  (module scope: pandas_udf resolves annotation
 
 
 def _warm(spark) -> None:
-    """Start the JVM stages AND the Python UDF workers before timing."""
+    """Start the JVM stages AND the Python UDF workers before timing.
+
+    The warm UDF also imports the engine modules inside every worker:
+    Python workers are reused across queries, so module import (regex
+    compilation, n-gram model build, numpy) is a one-time per-executor
+    cost in production -- paying it here keeps the timed region pure."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 
     @pandas_udf(IntegerType())
     def _noop(s: pd.Series) -> pd.Series:
+        import sumi_agent_spark.functions.batch_detect  # noqa: F401
+        import sumi_agent_spark.functions.quality  # noqa: F401
+        import sumi_agent_spark.operators.dedup  # noqa: F401
+        import sumi_agent_spark.operators.multimodal  # noqa: F401
         return s.astype("int32")
 
     n = spark.sparkContext.defaultParallelism * 4
@@ -122,6 +136,14 @@ def main() -> None:
     queries["scrub_pipeline"] = round(sec, 3)
     turns_per_sec = round(n_turns / sec, 1)
     log(f"scrub_pipeline: {n_turns} turns in {sec:.1f}s = {turns_per_sec}/s")
+
+    # second lane: rich-PII fixture (variant_level=2 -- fullwidth phones,
+    # bare postals, SNS labels) at 1/4 replication, exercising the batch
+    # screen's literal prescreens under realistic density; lane 1 stays
+    # variant_level=1 for round-over-round comparability
+    sec2, n2 = scrub_bench(spark, max(1, repl // 4), variant_level=2)
+    queries["scrub_pipeline_rich"] = round(sec2, 3)
+    log(f"scrub_pipeline_rich: {n2} turns in {sec2:.1f}s = {n2/sec2:.0f}/s")
 
     for name, fn in entrymod.queries().items():
         t0 = time.time()

@@ -50,16 +50,26 @@ FEATURED_SCHEMA = StructType([
 
 
 def generate_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake asset table (payload = seeded bytes)."""
+    """Deterministic fake asset table (payload = seeded bytes).
+
+    Built from a pandas frame so the local fixture ships to the JVM as one
+    Arrow batch (plain-row createDataFrame would round-trip every payload
+    through pickled-RDD Python workers -- seconds of overhead for a tiny
+    table); coalesced so downstream Python stages don't pay worker startup
+    for dozens of one-row partitions."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
-    rows = []
+    rows = {"asset_id": [], "kind": [], "payload": [], "mime": [],
+            "source_doc_id": []}
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(rng.randint(64, 2048))
-        rows.append((i, kind, bytearray(payload),
-                     f"{kind}/fake", i % 16))
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+        rows["asset_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(rng.bytes(rng.randint(64, 2048)))
+        rows["mime"].append(f"{kind}/fake")
+        rows["source_doc_id"].append(i % 16)
+    pdf = pd.DataFrame(rows)
+    return spark.createDataFrame(pdf, ASSET_SCHEMA).coalesce(8)
 
 
 def _fake_meta(payload: bytes) -> tuple[int, int, int, int]:

@@ -294,3 +294,16 @@ def test_retention_guard_trips_on_corrupting_transform(spark, fixture_pdf,
     guards = spark.read.parquet(
         str(tmp_path / "out_ok") + "/_lineage_guards").toPandas()
     assert guards["stage"].tolist() == ["scrub_retention"]
+
+
+def test_pipeline_byte_exact_on_rich_variants(spark):
+    """End-to-end Spark scrub equals the Python oracle on the rich-PII
+    (variant_level=2) fixture: fullwidth phones, bare postals, SNS labels."""
+    pdf = generate_transcripts(n_convs=25, avg_turns=8, seed=99,
+                               variant_level=2)
+    out = scrub_transcripts(spark.createDataFrame(pdf)).toPandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = oracle_expected(pdf)
+    assert (out["masked_text"] == exp["masked_text"]).all()
+    assert (out["keep"] == exp["keep"]).all()
+    assert (out["drop_reason"] == exp["drop_reason"]).all()
