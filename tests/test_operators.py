@@ -188,3 +188,52 @@ def test_multimodal_strict_mode_stubbed(spark):
     assets = generate_assets(spark, n=3)
     with pytest.raises(Exception):  # NotImplementedError inside the executor
         decode_assets(assets, decode_mode="strict").collect()
+
+
+def test_batch_shingles_match_per_row():
+    import numpy as np
+
+    from sumi_agent_spark.operators.dedup import _batch_shingles, _shingle_hashes
+    texts = ["hello world this is a test", "", "ab", "同じ本文です" * 3,
+             "x" * 4, "hello world this is a test", "あ", " \n "]
+    vals, rs = _batch_shingles(texts, 5)
+    for i, t in enumerate(texts):
+        assert np.array_equal(_shingle_hashes(t, 5), vals[rs[i]:rs[i + 1]])
+
+
+def test_cosine_pairs_blocked_matches_brute(spark):
+    from pyspark.sql import functions as F
+
+    from sumi_agent_spark.operators.similarity import cosine_pairs_blocked
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(60)]
+    # plant two highly similar pairs
+    rows.append((100, rows[0][1]))
+    rows.append((101, [v * 1.001 + 0.0001 for v in rows[5][1]]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    blocked = {(r.id_a, r.id_b): r.cos_sim
+               for r in cosine_pairs_blocked(df, threshold=0.5).collect()}
+
+    # brute-force HOF reference (the DuckDB-twin definition)
+    nrm = F.sqrt(F.aggregate(F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x))
+    base = df.select("vec_id", "embedding", nrm.alias("nrm"))
+    a = base.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("vec_id").alias("id_b"),
+                    F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    brute = {(r.id_a, r.id_b): r.cos_sim for r in
+             (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b",
+                      F.round(dot / (F.col("na") * F.col("nb")), 4)
+                       .alias("cos_sim"))
+              .filter(F.col("cos_sim") >= 0.5)).collect()}
+    assert blocked == brute
+    assert (0, 100) in blocked and (5, 101) in blocked
