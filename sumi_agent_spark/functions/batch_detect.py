@@ -15,6 +15,13 @@ class in the catalog excludes at least one of the two characters (``\\s``
 classes stop at 、; negated-newline classes stop at \\n; kanji/kana/latin
 classes match neither), and 、 after a single \\n blocks the ``\\s*`` label
 separators, so no catalog pattern can bridge two rows.
+
+Windowed screening (second level): rules screened by ``"digit"`` share one
+scan restricted to margin-padded windows around digit runs; rules screened
+by literal tuples scan only windows around their literal occurrences (the
+windows are joined with the same unbridgeable separator).  See the margin
+safety argument at ``_WIN_LEFT``/``_WIN_RIGHT``; edge spacing is
+stress-tested in tests/test_batch_parity.py.
 """
 
 from __future__ import annotations
@@ -41,11 +48,72 @@ _SURNAMES_BY_FIRST: dict[str, list[tuple[int, str]]] = {}
 for _i, _sn in enumerate(SURNAMES):
     _SURNAMES_BY_FIRST.setdefault(_sn[0], []).append((_i, _sn))
 
+# Windowed scanning margins.  A screened rule is scanned only inside
+# [occurrence-LEFT, occurrence+RIGHT] windows around its screen markers
+# (digit runs, or literal substrings).  Safe because in the catalog no
+# match extends more than a few chars left of its first marker (postal 〒,
+# era names, label literals at match start) nor ~64 chars right of it
+# (addresses cap at ~48, usernames at ~40), and all lookbehinds are <=2
+# chars; margins are set several times wider.  Windows around markers of
+# ONE match always overlap (intra-match marker gaps are tiny), so a match
+# is never split across windows.  Screening stays conservative: window
+# edges can only ADD candidate rows (a lookbehind that would reject on
+# out-of-window context), never hide a real match -- and candidates are
+# re-verified verbatim per row.
+_WIN_LEFT, _WIN_RIGHT = 16, 96
+_DIGIT_RUN_RE = re.compile(r"[0-9]+")
+
 
 def _row_of(starts: list[int], lens: list[int], pos: int) -> int:
     """Map a concat offset to its row (or the preceding row if inside SEP)."""
     i = bisect_right(starts, pos) - 1
     return i
+
+
+def _marker_spans(n: int, intervals: list[tuple[int, int]]) -> list[list[int]]:
+    """Margin-padded, merged [a, b) windows around sorted marker intervals."""
+    spans: list[list[int]] = []
+    for s, e in intervals:
+        a, b = max(s - _WIN_LEFT, 0), min(e + _WIN_RIGHT, n)
+        if spans and a <= spans[-1][1]:
+            spans[-1][1] = max(spans[-1][1], b)
+        else:
+            spans.append([a, b])
+    return spans
+
+
+def _literal_intervals(big_l: str, markers: tuple[str, ...]) -> list[tuple[int, int]]:
+    """Sorted occurrence intervals of any marker (lowercased text)."""
+    out: list[tuple[int, int]] = []
+    for mk in markers:
+        p = big_l.find(mk)
+        while p != -1:
+            out.append((p, p + len(mk)))
+            p = big_l.find(mk, p + 1)
+    out.sort()
+    return out
+
+
+class _WindowScanner:
+    """Scan regexes over marker windows of the batch instead of the whole
+    batch, mapping match positions back to concat space."""
+
+    def __init__(self, big: str, spans: list[list[int]]):
+        self.spans = spans
+        pieces = [big[a:b] for a, b in spans]
+        self.win = SEP.join(pieces)
+        self.w_starts: list[int] = []
+        off = 0
+        for p in pieces:
+            self.w_starts.append(off)
+            off += len(p) + len(SEP)
+
+    def finditer_starts(self, regex) -> list[int]:
+        out = []
+        for m in regex.finditer(self.win):
+            i = bisect_right(self.w_starts, m.start()) - 1
+            out.append(self.spans[i][0] + (m.start() - self.w_starts[i]))
+        return out
 
 
 def detect_all_batch(
@@ -65,22 +133,30 @@ def detect_all_batch(
         pos += len(t) + len(SEP)
     lens = [len(t) for t in normed]
 
-    # ── regex rules: one finditer per rule over the batch ──
+    # ── regex rules: one scan per rule, windowed where a screen exists ──
+    # "digit"-screened rules share one window set around digit runs; tuple-
+    # screened rules get windows around their literal occurrences; rules
+    # with no screen scan the full concat
+    digit_scanner: Optional[_WindowScanner] = None
+    if any(RULE_SCREENS.get(r.id) == "digit" for r in REGEX_RULES):
+        runs = [(m.start(), m.end()) for m in _DIGIT_RUN_RE.finditer(big)]
+        digit_scanner = _WindowScanner(big, _marker_spans(len(big), runs))
+
     rule_rows: list[list[int]] = []  # parallel to REGEX_RULES: candidate rows
     for rule in REGEX_RULES:
         screen = RULE_SCREENS.get(rule.id)
-        if isinstance(screen, tuple):
-            hit = False
-            for mk in screen:
-                if mk in big_l:
-                    hit = True
-                    break
-            if not hit:
+        if screen == "digit":
+            starts_at = digit_scanner.finditer_starts(rule.regex)
+        elif isinstance(screen, tuple):
+            iv = _literal_intervals(big_l, screen)
+            if not iv:
                 rule_rows.append([])
                 continue
-        rows: set[int] = set()
-        for m in rule.regex.finditer(big):
-            rows.add(_row_of(starts, lens, m.start()))
+            scanner = _WindowScanner(big, _marker_spans(len(big), iv))
+            starts_at = scanner.finditer_starts(rule.regex)
+        else:
+            starts_at = [m.start() for m in rule.regex.finditer(big)]
+        rows = {_row_of(starts, lens, p) for p in starts_at}
         rule_rows.append(sorted(rows))
 
     rules_per_row: list[list] = [[] for _ in range(n)]

@@ -65,3 +65,23 @@ def test_batch_custom_keywords():
     batch = detect_all_batch(texts, custom_keywords=["ABC社"])
     for t, got in zip(texts, batch):
         assert got == detect_all(t, custom_keywords=["ABC社"])
+
+
+def test_batch_windowed_screen_edges():
+    """Adversarial spacing around the windowed-scan margins: markers at
+    window boundaries, dense digit runs, long prefixes before literals."""
+    pad = "あ" * 16  # exactly _WIN_LEFT
+    wide = "い" * 96  # exactly _WIN_RIGHT
+    texts = [
+        pad + "〒123-4567" + wide,                        # postal at margins
+        "1" * 30 + " " + "090-1234-5678",                 # adjacent runs merge
+        "平成 3 年 4 月 5 日" + wide + "令和2年3月4日",    # two dated spans
+        wide + "GitHub: octocat-dev",                     # literal deep in row
+        "x" * 200,                                        # screen char, no match
+        "東京都千代田区1-2-3 マンション501",               # address + digits
+        "digits 1234 5678 9012 then far away " + "あ" * 200 + " 111-2222",
+        "",
+    ]
+    batch = detect_all_batch(texts)
+    for t, got in zip(texts, batch):
+        assert got == detect_all(t), t[:40]
