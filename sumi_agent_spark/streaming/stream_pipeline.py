@@ -72,6 +72,88 @@ def windowed_conversation_counts(
     )
 
 
+SESSION_OUTPUT = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("session_start", TimestampType(), False),
+    StructField("session_end", TimestampType(), False),
+    StructField("n_turns", IntegerType(), False),
+    StructField("n_keep", IntegerType(), False),
+    StructField("n_detections", IntegerType(), False),
+])
+
+# state carried between micro-batches, timestamps as epoch micros
+_SESSION_STATE = "start_us LONG, last_us LONG, n_turns INT, n_keep INT, n_det INT"
+
+
+def sessionize_conversations(
+    scrubbed: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): conversation
+    sessionization with idle-gap splitting.
+
+    Per conv_id the state holds the open session's (start, last-activity,
+    counters).  A session is emitted when (a) a new turn arrives more than
+    ``gap_minutes`` after the last one -- the gap splits the conversation --
+    or (b) the event-time watermark passes last-activity + gap
+    (``EventTimeTimeout``), flushing idle conversations without waiting for
+    their next turn.  State is therefore bounded by the number of
+    *currently active* conversations, not the corpus -- the property that
+    matters at 10^12-turn scale.  The checkpoint persists state across
+    restarts (test: two availableNow runs against one checkpoint)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        closed: list[tuple] = []
+
+        def close(st):
+            closed.append((
+                conv_id,
+                pd.Timestamp(st[0], unit="us"),
+                pd.Timestamp(st[1], unit="us"),
+                st[2], st[3], st[4]))
+
+        if state.hasTimedOut:
+            if state.exists:
+                close(list(state.get))
+                state.remove()
+        else:
+            st = list(state.get) if state.exists else None
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts")
+                for ts, keep, ndet in zip(pdf["ts"], pdf["keep"],
+                                          pdf["n_detections"]):
+                    t = pd.Timestamp(ts).value // 1000  # ns -> us
+                    if st is None:
+                        st = [t, t, 0, 0, 0]
+                    elif t - st[1] > gap_us:
+                        close(st)
+                        st = [t, t, 0, 0, 0]
+                    st[1] = max(st[1], t)
+                    st[2] += 1
+                    st[3] += int(bool(keep))
+                    st[4] += int(ndet)
+            if st is not None:
+                state.update(tuple(st))
+                # flush when the watermark passes last-activity + gap
+                state.setTimeoutTimestamp((st[1] + gap_us) // 1000)  # ms
+        if closed:
+            yield pd.DataFrame(closed, columns=[f.name for f in
+                                                SESSION_OUTPUT.fields])
+
+    return (scrubbed
+            .withWatermark("ts", watermark)
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                fn, SESSION_OUTPUT, _SESSION_STATE, "append",
+                GroupStateTimeout.EventTimeTimeout))
+
+
 def start_scrub_sink(
     scrubbed: DataFrame, output_dir: str, checkpoint_dir: str,
     available_now: bool = True,

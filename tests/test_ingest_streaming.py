@@ -158,3 +158,65 @@ def test_strip_rtf_reference_semantics():
     assert chr(0xFFFD) in strip_rtf_text(bs + "u55296?x")
     assert strip_rtf_text("") == ""
     assert strip_rtf_text("plain text, no rtf") == "plain text, no rtf"
+
+
+def test_sessionize_conversations_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: gap-split within a batch, idle
+    flush via EventTimeTimeout across micro-batches, and state surviving a
+    checkpointed restart (two availableNow runs on one checkpoint)."""
+    import datetime
+
+    from sumi_agent_spark.streaming.stream_pipeline import (
+        TRANSCRIPT_SCHEMA, read_transcript_stream, sessionize_conversations,
+    )
+
+    t0 = datetime.datetime(2025, 1, 1, 9, 0, 0)
+    mins = datetime.timedelta(minutes=1)
+
+    def turn(conv, idx, ts, keep=True, ndet=1):
+        return (conv, idx, "user", "本文", "", ts, ndet, keep)
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "n_detections", "keep"]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp, n_detections int, keep boolean")
+
+    in_dir = str(tmp_path / "in_sess")
+    out = str(tmp_path / "out_sess")
+    ckpt = str(tmp_path / "ckpt_sess")
+
+    # batch 1: conv A has two bursts separated by a 90-min gap (splits);
+    # conv B has one turn and then goes idle forever
+    batch1 = [turn("A", 0, t0), turn("A", 1, t0 + 2 * mins),
+              turn("A", 2, t0 + 92 * mins),
+              turn("B", 0, t0 + 1 * mins, ndet=3)]
+    spark.createDataFrame(batch1, schema).write.parquet(in_dir)
+
+    def run_once():
+        stream = (spark.readStream.schema(
+            spark.createDataFrame([], schema).schema).parquet(in_dir))
+        q = (sessionize_conversations(stream, gap_minutes=30,
+                                      watermark="5 minutes")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = spark.read.parquet(out).toPandas()
+    # the intra-batch gap split must have closed A's first burst
+    a1 = got1[got1["conv_id"] == "A"]
+    assert len(a1) == 1 and a1.iloc[0]["n_turns"] == 2
+
+    # batch 2: much-later activity on conv C advances the watermark past
+    # everyone's idle timeout -> B's session (and A's second burst) flush
+    batch2 = [turn("C", 0, t0 + datetime.timedelta(hours=6))]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(in_dir)
+    run_once()
+    got2 = spark.read.parquet(out).toPandas()
+    b = got2[got2["conv_id"] == "B"]
+    assert len(b) == 1
+    assert b.iloc[0]["n_turns"] == 1 and b.iloc[0]["n_detections"] == 3
+    a_all = got2[got2["conv_id"] == "A"].sort_values("session_start")
+    assert len(a_all) == 2          # burst 1 (gap split) + burst 2 (timeout)
+    assert a_all.iloc[1]["n_turns"] == 1
