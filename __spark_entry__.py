@@ -261,7 +261,9 @@ def _q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sumi_agent_spark.operators.dedup import simhash_near_duplicates
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    out = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    # canonical long ints so the pinned-oracle schema matches exactly
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,7 +279,8 @@ def _q_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     scrub = make_scrub_udf()
     return (docs.withColumn("_s", scrub("text"))
-            .select("doc_id", F.col("_s.n_detections").alias("n_detections"),
+            .select("doc_id",
+                    F.col("_s.n_detections").cast("long").alias("n_detections"),
                     F.md5(F.col("_s.masked_text")).alias("masked_hash")))
 
 
@@ -290,7 +293,9 @@ def _q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(assets)
     meta = decode_assets(assets).select("asset_id", "width", "height")
     return (feats.join(F.broadcast(meta), "asset_id")
-            .select("asset_id", "kind", "width", "height",
+            .select("asset_id", "kind",
+                    F.col("width").cast("long").alias("width"),
+                    F.col("height").cast("long").alias("height"),
                     F.round(F.element_at("feature", 1) * 1e6).cast("long")
                      .alias("f0_ppm")))
 
@@ -334,7 +339,7 @@ def _q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sumi_agent_spark.functions.sections import parse_sections_udf
     docs = _t(spark, sf_dir, "documents")
     return (docs.withColumn("s", parse_sections_udf("text"))
-            .select("doc_id", F.size("s").alias("n_sections")))
+            .select("doc_id", F.size("s").cast("long").alias("n_sections")))
 
 
 def _q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,7 +400,7 @@ def _q_lang_id_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     quality = make_quality_udf()
     out = docs.withColumn("_q", quality(F.col("text"), F.lit("user")))
-    return (out.groupBy(F.col("_q.lang_id").alias("lang_id"))
+    return (out.groupBy(F.col("_q.lang_id").cast("long").alias("lang_id"))
             .agg(F.count("*").alias("n_docs"),
                  F.sum(F.col("_q.keep").cast("long")).alias("n_kept"))
             .orderBy("lang_id"))

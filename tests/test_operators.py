@@ -334,3 +334,29 @@ def test_cosine_pairs_blocked_matches_brute(spark):
               .filter(F.col("cos_sim") >= 0.5)).collect()}
     assert blocked == brute
     assert (0, 100) in blocked and (5, 101) in blocked
+
+
+def test_oracle_pins_fresh(spark):
+    """Stored pins must match a live re-run of (cheap) pinned queries at
+    the driver's correctness scale -- catches semantics changes that forgot
+    `python tools/gen_pins.py` before the driver gate does."""
+    import json
+    import os
+
+    import pandas as pd
+
+    if not os.path.isdir("/root/testdata/sf0.01"):
+        pytest.skip("driver testdata unavailable")
+    import __spark_entry__ as entrymod
+    pins = json.load(open(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests/golden/oracle_pins.json")))
+    qs = entrymod.queries()
+    for name in ["winnow_stats", "sections", "lang_id_detect",
+                 "asset_features"]:
+        got = qs[name](spark, "/root/testdata/sf0.01").toPandas()
+        exp = pd.DataFrame(pins[name]["rows"], columns=pins[name]["columns"])
+        got = got[sorted(got.columns)].sort_values(list(sorted(got.columns)))
+        exp = exp[sorted(exp.columns)].sort_values(list(sorted(exp.columns)))
+        assert [tuple(map(str, r)) for r in got.itertuples(index=False)] == \
+               [tuple(map(str, r)) for r in exp.itertuples(index=False)], name
