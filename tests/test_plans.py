@@ -51,3 +51,32 @@ def test_quality_filter_predicate_stays_after_udf(spark, tmp_path):
     plan = _plan(out)
     read_schema = plan.split("ReadSchema:")[-1]
     assert "tool" not in read_schema  # unused input column pruned
+
+
+def test_blocked_cosine_plan_is_scan_to_mapinpandas(spark):
+    """cosine_pairs must stay shuffle-free: scan -> MapInPandas, 2-col read."""
+    import __spark_entry__ as e
+    plan = _plan(e.queries()["cosine_pairs"](spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    assert "text" not in plan.split("ReadSchema:")[-1]
+
+
+def test_scrub_docs_plan_prunes_and_fuses(spark):
+    import __spark_entry__ as e
+    plan = _plan(e.queries()["scrub_docs"](spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    read = plan.split("ReadSchema:")[-1]
+    assert "doc_id" in read and "source" not in read  # unused cols pruned
+
+
+def test_rtf_strip_filter_stays_below_udf(spark):
+    """The backslash/brace prefilter must evaluate at the scan, not after
+    the Python stage (a reorder would waste UDF work on filtered rows)."""
+    import __spark_entry__ as e
+    plan = _plan(e.queries()["rtf_strip"](spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    arrow_pos = plan.index("ArrowEvalPython")
+    filter_pos = plan.index("Filter ")
+    assert filter_pos > arrow_pos  # deeper in the tree = earlier execution
