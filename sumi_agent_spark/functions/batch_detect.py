@@ -71,15 +71,23 @@ def _row_of(starts: list[int], lens: list[int], pos: int) -> int:
 
 
 def _marker_spans(n: int, intervals: list[tuple[int, int]]) -> list[list[int]]:
-    """Margin-padded, merged [a, b) windows around sorted marker intervals."""
-    spans: list[list[int]] = []
-    for s, e in intervals:
-        a, b = max(s - _WIN_LEFT, 0), min(e + _WIN_RIGHT, n)
-        if spans and a <= spans[-1][1]:
-            spans[-1][1] = max(spans[-1][1], b)
-        else:
-            spans.append([a, b])
-    return spans
+    """Margin-padded, merged [a, b) windows around sorted marker intervals
+    (vectorized: a new span starts wherever the padded start exceeds the
+    running max of previous padded ends)."""
+    if not intervals:
+        return []
+    import numpy as np
+
+    iv = np.asarray(intervals, dtype=np.int64)
+    a = np.maximum(iv[:, 0] - _WIN_LEFT, 0)
+    b = np.minimum(iv[:, 1] + _WIN_RIGHT, n)
+    b_run = np.maximum.accumulate(b)
+    new_span = np.concatenate([[True], a[1:] > b_run[:-1]])
+    starts = a[new_span]
+    # each span ends at the running max just before the next span starts
+    idx = np.nonzero(new_span)[0]
+    ends = np.concatenate([b_run[idx[1:] - 1], [b_run[-1]]])
+    return [[int(s), int(e)] for s, e in zip(starts, ends)]
 
 
 def _literal_intervals(big_l: str, markers: tuple[str, ...]) -> list[tuple[int, int]]:
