@@ -419,6 +419,18 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cos_sim") * 1e6).cast("long").alias("cos_sim_ppm"))
 
 
+def _q_toxicity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon toxicity scorer (north-rule 'toxicity-scrub' component):
+    pure regexp_count expressions, so the DuckDB twin runs the identical
+    computation (live SQL, not a pin)."""
+    from sumi_agent_spark.operators.toxicity import toxicity_scores
+    docs = _t(spark, sf_dir, "documents")
+    return (toxicity_scores(docs)
+            .select("doc_id", "n_severe", "n_mild",
+                    F.round(F.col("toxicity") * 1e6).cast("long")
+                     .alias("tox_ppm")))
+
+
 def _q_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sumi_agent_spark.operators.textstats import content_fingerprint
     docs = _t(spark, sf_dir, "documents")
@@ -459,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "lang_id_detect": _q_lang_id_detect,
         "lsh_topk": _q_lsh_topk,
+        "toxicity_score": _q_toxicity_score,
         "content_fingerprint": _q_content_fingerprint,
     }
 
@@ -500,6 +513,28 @@ def _pin_sql(pin: dict) -> str:
     vnames = ", ".join(f"v{i}" for i in range(len(cols)))
     return (f"SELECT {sel} FROM (VALUES {', '.join(rendered)}) "
             f"AS t({vnames})")
+
+
+def _toxicity_twin_sql() -> str:
+    """DuckDB twin of operators/toxicity.py, built from the SAME lexicon
+    constants so the two sides cannot drift."""
+    from sumi_agent_spark.operators.toxicity import MILD_RE, SEVERE_RE
+    sev, mld = _sq(SEVERE_RE), _sq(MILD_RE)
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{sev}')) AS BIGINT)
+                 AS n_severe,
+               CAST(len(regexp_extract_all(lower(text), '{mld}')) AS BIGINT)
+                 AS n_mild,
+               CAST(round(least(
+                     (2.0 * len(regexp_extract_all(lower(text), '{sev}'))
+                      + len(regexp_extract_all(lower(text), '{mld}')))
+                     / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                                END, 4.0),
+                     1.0) * 1e6) AS BIGINT) AS tox_ppm
+        FROM documents
+    """
 
 
 def _load_pins() -> dict[str, str]:
@@ -691,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
             FROM documents
         """,
+        "toxicity_score": _toxicity_twin_sql(),
     }
     # pinned golden oracles for non-SQL-expressible operators; a live SQL
     # twin above always wins over a pin of the same name

@@ -259,6 +259,7 @@ def run_pipeline(
     output_path: str,
     resume: bool = False,
     dedup: bool = False,
+    drop_toxic_above: Optional[float] = None,
     min_line_ratio: float = 0.5,
     scrub_transform=scrub_transcripts,
     **scrub_kwargs,
@@ -268,7 +269,10 @@ def run_pipeline(
     ``resume=True`` anti-joins against keys already present in the output
     (idempotent restart per the north rule).  ``dedup=True`` drops
     exact-duplicate turns before the scrub stage (deterministic
-    first-occurrence winner).
+    first-occurrence winner).  ``drop_toxic_above`` (e.g. 0.3) drops turns
+    whose lexicon toxicity score exceeds the threshold, also pre-scrub so
+    toxic turns never pay detection cost (operators/toxicity.py; NULL text
+    scores 0 and is never dropped by this gate).
 
     Retention guards (reference accept/reject ratios,
     RedactPro.tsx:1337-1349,1390-1398): input rows and masked non-empty
@@ -290,6 +294,10 @@ def run_pipeline(
         df = resume_filter(df, output_path)
     if dedup:
         df = deduplicate_turns(df)
+    if drop_toxic_above is not None:
+        from ..operators.toxicity import toxicity_score_col
+        df = df.filter(toxicity_score_col(F.col("text"))
+                       <= float(drop_toxic_above))
 
     in_obs = Observation("retention_in")
     df = df.observe(in_obs, F.count(F.lit(1)).alias("rows_in"))
@@ -343,6 +351,8 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dedup", action="store_true",
                     help="drop exact-duplicate turns before scrubbing")
+    ap.add_argument("--drop-toxic-above", type=float, default=None,
+                    metavar="T", help="drop turns with toxicity score > T")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -359,7 +369,8 @@ def main() -> None:
             ap.error("--input or --generate required")
         input_path = args.input
     stats = run_pipeline(spark, input_path, args.output, resume=args.resume,
-                         dedup=args.dedup)
+                         dedup=args.dedup,
+                         drop_toxic_above=args.drop_toxic_above)
     print(json.dumps(stats))
 
 

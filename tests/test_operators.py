@@ -360,3 +360,23 @@ def test_oracle_pins_fresh(spark):
         exp = exp[sorted(exp.columns)].sort_values(list(sorted(exp.columns)))
         assert [tuple(map(str, r)) for r in got.itertuples(index=False)] == \
                [tuple(map(str, r)) for r in exp.itertuples(index=False)], name
+
+
+def test_toxicity_scores(spark):
+    from sumi_agent_spark.operators.toxicity import toxicity_scores
+
+    rows = [(0, "you are an idiot and a loser"),
+            (1, "お前はバカだ。死ね。"),
+            (2, "a perfectly nice message about data pipelines"),
+            (3, "idiot " * 50),            # saturation capped at 1.0
+            (4, ""), (5, None),
+            (6, "the word idiotic is not the word idiot-")]  # \b semantics
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = toxicity_scores(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_mild"] == 2 and out.loc[0, "n_severe"] == 0
+    assert out.loc[1, "n_severe"] == 1 and out.loc[1, "n_mild"] == 1
+    assert out.loc[1, "toxicity"] > out.loc[0, "toxicity"] > 0
+    assert out.loc[2, "toxicity"] == 0.0
+    assert out.loc[3, "toxicity"] == 1.0
+    assert out.loc[4, "toxicity"] == 0.0 and out.loc[5, "toxicity"] == 0.0
+    assert out.loc[6, "n_mild"] == 1  # "idiotic" no, trailing "idiot-" yes

@@ -307,3 +307,27 @@ def test_pipeline_byte_exact_on_rich_variants(spark):
     assert (out["masked_text"] == exp["masked_text"]).all()
     assert (out["keep"] == exp["keep"]).all()
     assert (out["drop_reason"] == exp["drop_reason"]).all()
+
+
+def test_pipeline_toxicity_gate(spark, tmp_path):
+    """drop_toxic_above filters toxic turns pre-scrub; NULL text and clean
+    turns survive, and the retention guard sees the post-gate row count."""
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", "普通の問い合わせ内容です。よろしくお願いします。", "", ts),
+        ("c1", 1, "user", "お前はバカだ。死ね。消えろ。", "", ts),
+        ("c2", 0, "user", None, "", ts),
+        ("c2", 1, "user", "you are a worthless idiot loser", "", ts),
+    ]
+    inp = str(tmp_path / "tox_in.parquet")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").write.parquet(inp)
+    out = str(tmp_path / "tox_out")
+    stats = run_pipeline(spark, inp, out, drop_toxic_above=0.3)
+    got = spark.read.parquet(out).toPandas()
+    keys = set(zip(got["conv_id"], got["turn_idx"]))
+    assert keys == {("c1", 0), ("c2", 0)}   # both toxic turns gated out
+    assert stats["rows_in"] == stats["rows_out"] == 2

@@ -23,6 +23,7 @@ def main() -> None:
     ap.add_argument("--generate", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dedup", action="store_true")
+    ap.add_argument("--drop-toxic-above", type=float, default=None)
     args = ap.parse_args()
 
     spark = (SparkSession.builder.appName("sumi-scrub")
@@ -41,7 +42,8 @@ def main() -> None:
         input_path = tempfile.mkdtemp(prefix="sumi_fx_") + "/t.parquet"
         write_parquet(input_path, n_convs=args.generate)
     stats = run_pipeline(spark, input_path, args.output, resume=args.resume,
-                         dedup=args.dedup)
+                         dedup=args.dedup,
+                         drop_toxic_above=args.drop_toxic_above)
     print(json.dumps(stats))
 
 
