@@ -419,6 +419,23 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cos_sim") * 1e6).cast("long").alias("cos_sim_ppm"))
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: deterministic spherical-kmeans lists, probe the
+    4 nearest of 16.  Deterministic end-to-end (driver-trained quantizer on
+    an id-ordered sample), so the pinned golden oracle is exact."""
+    from sumi_agent_spark.operators.similarity import (
+        assign_ivf_lists, ivf_topk, train_ivf_centroids)
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = emb.filter(F.col("vec_id") > 0)
+    cents = train_ivf_centroids(cand, n_lists=16)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    topk = ivf_topk(assign_ivf_lists(cand, cents), cents,
+                    [float(x) for x in q], k=10, n_probe=4)
+    return topk.select(
+        "vec_id",
+        F.round(F.col("cos_sim") * 1e6).cast("long").alias("cos_sim_ppm"))
+
+
 def _q_toxicity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon toxicity scorer (north-rule 'toxicity-scrub' component):
     pure regexp_count expressions, so the DuckDB twin runs the identical
@@ -471,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "lang_id_detect": _q_lang_id_detect,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "toxicity_score": _q_toxicity_score,
         "content_fingerprint": _q_content_fingerprint,
     }

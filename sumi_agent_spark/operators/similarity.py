@@ -114,6 +114,73 @@ def cosine_pairs_blocked(
         .mapInPandas(block_sim, out_schema)
 
 
+# ─── IVF (inverted-file) ANN ───
+
+def train_ivf_centroids(
+    df: DataFrame, n_lists: int = 16, sample: int = 4096, iters: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = _SEED,
+) -> np.ndarray:
+    """Coarse quantizer: Lloyd k-means on a bounded deterministic sample.
+
+    Training happens driver-side on ``sample`` vectors (ordered by id, so
+    the sample -- and therefore the centroids -- are independent of
+    partitioning; IVF quantizers are conventionally trained on a subset).
+    Returns L2-normalized centroids (n_lists, dim): spherical k-means, the
+    right geometry for cosine retrieval."""
+    rows = (df.select(id_col, vec_col).orderBy(id_col).limit(sample)
+            .collect())
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1), 1e-300)[:, None]
+    rng = np.random.RandomState(seed)
+    init_idx = rng.choice(len(X), size=min(n_lists, len(X)), replace=False)
+    C = X[np.sort(init_idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-300)
+    return C
+
+
+def assign_ivf_lists(
+    df: DataFrame, centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``list_id`` = argmax-cosine centroid.  At 100 TB the table is
+    written partitioned by ``list_id`` so a query's n_probe lists prune to
+    a handful of partitions (same deployment story as the LSH buckets)."""
+    from pyspark.sql.types import IntegerType
+
+    C = centroids
+
+    @pandas_udf(IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-300)[:, None]
+        return pd.Series(np.argmax(m @ C.T, axis=1).astype(np.int32))
+
+    return df.withColumn("list_id", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    indexed: DataFrame, centroids: np.ndarray, query_vec: list[float],
+    k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k scanning only the ``n_probe`` lists nearest the query."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-300)
+    probe = np.argsort(-(centroids @ qn))[:n_probe]
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    cand = indexed.filter(F.col("list_id").isin([int(p) for p in probe]))
+    return (cand.select(F.col(id_col),
+                        F.round(_cosine_col(vec_col, qlit), 6).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+            .limit(k))
+
+
 def hyperplane_bucket_udf(dim: int, n_planes: int = 12):
     """vec -> int64 sign-bucket under fixed random hyperplanes."""
     rng = np.random.RandomState(_SEED)

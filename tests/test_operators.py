@@ -380,3 +380,33 @@ def test_toxicity_scores(spark):
     assert out.loc[3, "toxicity"] == 1.0
     assert out.loc[4, "toxicity"] == 0.0 and out.loc[5, "toxicity"] == 0.0
     assert out.loc[6, "n_mild"] == 1  # "idiotic" no, trailing "idiot-" yes
+
+
+def test_ivf_topk_recovers_similar_cluster(spark):
+    """IVF probes must recover a planted similar cluster, like the LSH
+    path; also checks assignment determinism across repartitionings."""
+    from sumi_agent_spark.operators.similarity import (
+        assign_ivf_lists, cosine_topk, ivf_topk, train_ivf_centroids,
+    )
+    rng = np.random.RandomState(23)
+    base = rng.standard_normal(32)
+    rows = [(i, [float(x) for x in base + 0.05 * rng.standard_normal(32)])
+            for i in range(10)]
+    rows += [(i, [float(x) for x in rng.standard_normal(32)])
+             for i in range(10, 300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_ivf_centroids(df, n_lists=8, sample=300)
+    indexed = assign_ivf_lists(df, cents)
+    ann = ivf_topk(indexed, cents, [float(x) for x in base],
+                   k=10, n_probe=2).toPandas()
+    brute = cosine_topk(df, [float(x) for x in base], k=10).toPandas()
+    assert len(set(brute["vec_id"]) & set(ann["vec_id"])) >= 8
+    # probing scans a subset, not everything
+    n_probed = indexed.filter(
+        indexed["list_id"].isin([0, 1, 2, 3, 4, 5, 6, 7])).count()
+    assert n_probed == 300
+    # deterministic across partitionings
+    a = sorted(map(tuple, ann.itertuples(index=False)))
+    ann2 = ivf_topk(assign_ivf_lists(df.repartition(7), cents), cents,
+                    [float(x) for x in base], k=10, n_probe=2).toPandas()
+    assert sorted(map(tuple, ann2.itertuples(index=False))) == a

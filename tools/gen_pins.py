@@ -40,6 +40,7 @@ PIN_QUERIES = [
     "strip_html",
     "lang_id_detect",
     "lsh_topk",
+    "ivf_topk",
 ]
 
 SF_DIR = "/root/testdata/sf0.01"
