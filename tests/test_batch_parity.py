@@ -85,3 +85,32 @@ def test_batch_windowed_screen_edges():
     batch = detect_all_batch(texts)
     for t, got in zip(texts, batch):
         assert got == detect_all(t), t[:40]
+
+
+def test_batch_parity_property_random_texts():
+    """Hypothesis: batch screening equals per-row detection on arbitrary
+    mixes of PII-ish fragments, digits, markers, and separator shrapnel."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.sampled_from([
+        "〒123-4567", "090-1234-5678", "2020年4月1日", "平成3年4月5日",
+        "1234 5678 9012", "taro@example.com", "東京都千代田区1-2-3",
+        "田中", "太郎", "ツイッター：@ta_ro", "GitHub: octo-cat",
+        "氏名：山田 花子", "フリガナ：ヤマダ ハナコ", "、", "\n", "。",
+        "これは普通の日本語の文です", "plain english words here",
+        "12345678901234567890", "あ" * 17, "x" * 97, " ", "：", "〒",
+        "2020年4月 - 2024年3月",  # year-range FP trap
+    ])
+    texts_strategy = st.lists(
+        st.lists(frag, min_size=0, max_size=8).map("".join),
+        min_size=1, max_size=6)
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts_strategy)
+    def check(texts):
+        batch = detect_all_batch(texts)
+        for t, got in zip(texts, batch):
+            assert got == detect_all(t)
+
+    check()
