@@ -249,10 +249,12 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard is carried as integer ppm so the pinned golden oracle
-    (see ``oracle_sql`` pins) hash-compares exactly."""
+    (see ``oracle_sql`` pins) hash-compares exactly.  Threshold 0.8 pairs
+    with the default 8-rows/band geometry (S-curve midpoint ~0.71): recall
+    ~0.95 at the threshold edge and ->1 above it."""
     from sumi_agent_spark.operators.dedup import minhash_near_duplicates
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.7)
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.8)
     return pairs.select(
         "id_a", "id_b",
         F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_ppm"))
@@ -555,13 +557,30 @@ def _toxicity_twin_sql() -> str:
     """
 
 
+def _rtf_twin_sql() -> str:
+    """DuckDB twin of the rtf_strip round-trip, trimming the SAME explicit
+    JS-trim character set the strip applies (shared constant)."""
+    from sumi_agent_spark.sources.ingest import JS_TRIM_CHARS
+    return f"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(text, '\n{{3,}}',
+                                       chr(10) || chr(10), 'g'),
+                        '{_sq(JS_TRIM_CHARS)}')) AS rtf_hash
+        FROM documents
+        WHERE NOT regexp_matches(text, '[{{}}]')
+          AND NOT contains(text, chr(92))
+    """
+
+
 def _load_pins() -> dict[str, str]:
     import json
     try:
         with open(_PINS_PATH) as f:
             pins = json.load(f)
-    except (FileNotFoundError, ValueError):
-        return {}
+    except FileNotFoundError:
+        return {}  # genuinely ungenerated (pre-gen_pins state)
+    # a CORRUPT pins file must fail loudly -- silently dropping all pinned
+    # oracles would let behavioral drift pass the gate unnoticed
     return {name: _pin_sql(pin) for name, pin in pins.items()}
 
 
@@ -729,16 +748,7 @@ def oracle_sql() -> dict[str, str]:
                         / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE,
                         4) >= 0.3
         """,
-        "rtf_strip": """
-            SELECT doc_id,
-                   md5(trim(regexp_replace(text, '\n{3,}',
-                                           chr(10) || chr(10), 'g'),
-                            ' ' || chr(9) || chr(10) || chr(13)
-                                || chr(12) || chr(11) || '　')) AS rtf_hash
-            FROM documents
-            WHERE NOT regexp_matches(text, '[{}]')
-              AND NOT contains(text, chr(92))
-        """,
+        "rtf_strip": _rtf_twin_sql(),
         "content_fingerprint": """
             SELECT doc_id,
                    md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint

@@ -16,12 +16,15 @@ classes stop at 、; negated-newline classes stop at \\n; kanji/kana/latin
 classes match neither), and 、 after a single \\n blocks the ``\\s*`` label
 separators, so no catalog pattern can bridge two rows.
 
-Windowed screening (second level): rules screened by ``"digit"`` share one
-scan restricted to margin-padded windows around digit runs; rules screened
-by literal tuples scan only windows around their literal occurrences (the
-windows are joined with the same unbridgeable separator).  See the margin
-safety argument at ``_WIN_LEFT``/``_WIN_RIGHT``; edge spacing is
-stress-tested in tests/test_batch_parity.py.
+Row-subset screening (second level): rules screened by ``"digit"`` share
+one scan restricted to the rows containing a digit; rules screened by
+literal tuples scan only the rows containing one of their literals (the
+row subsets are joined with the same unbridgeable separator).  Soundness
+needs no margin analysis: every match of a screened rule contains its
+marker and no match crosses rows, so marker-free rows cannot match --
+whole-row windows keep unbounded pattern extents and lookbehind context
+fully visible.  Stress-tested (boundary spacing, lowercase length drift,
+long \\s* gaps, hypothesis-random batches) in tests/test_batch_parity.py.
 """
 
 from __future__ import annotations
@@ -48,20 +51,16 @@ _SURNAMES_BY_FIRST: dict[str, list[tuple[int, str]]] = {}
 for _i, _sn in enumerate(SURNAMES):
     _SURNAMES_BY_FIRST.setdefault(_sn[0], []).append((_i, _sn))
 
-# Windowed scanning margins.  A screened rule is scanned only inside
-# [occurrence-LEFT, occurrence+RIGHT] windows around its screen markers
-# (digit runs, or literal substrings).  Safe because in the catalog no
-# match extends more than a few chars left of its first marker (postal 〒,
-# era names, label literals at match start) nor ~64 chars right of it
-# (addresses cap at ~48, usernames at ~40), and all lookbehinds are <=2
-# chars; margins are set several times wider.  Windows around markers of
-# ONE match always overlap (intra-match marker gaps are tiny), so a match
-# is never split across windows.  Screening stays conservative: window
-# edges can only ADD candidate rows (a lookbehind that would reject on
-# out-of-window context), never hide a real match -- and candidates are
-# re-verified verbatim per row.
-_WIN_LEFT, _WIN_RIGHT = 16, 96
-_DIGIT_RUN_RE = re.compile(r"[0-9]+")
+# Row-subset scanning: a screened rule is scanned only over the rows that
+# contain at least one of its screen markers (digit, or literal
+# substring).  This is sound with NO margin analysis: every match of a
+# screened rule contains a marker, and no match crosses rows (the
+# separator is unbridgeable), so a row without a marker cannot contain a
+# match.  Whole rows are scanned, so unbounded pattern extents (email
+# domains, \s* gaps to a label) and lookbehind context inside the row are
+# fully visible; screening stays conservative and the per-row detectors
+# re-verify verbatim.
+_DIGIT_RUN_RE = re.compile(r"[0-9]")
 
 
 def _row_of(starts: list[int], lens: list[int], pos: int) -> int:
@@ -70,45 +69,30 @@ def _row_of(starts: list[int], lens: list[int], pos: int) -> int:
     return i
 
 
-def _marker_spans(n: int, intervals: list[tuple[int, int]]) -> list[list[int]]:
-    """Margin-padded, merged [a, b) windows around sorted marker intervals
-    (vectorized: a new span starts wherever the padded start exceeds the
-    running max of previous padded ends)."""
-    if not intervals:
-        return []
-    import numpy as np
+def _rows_with_literals(lower_rows: list[str], markers: tuple[str, ...],
+                        big_l: str, starts_l: list[int]) -> list[int]:
+    """Sorted row ids whose text contains any marker.
 
-    iv = np.asarray(intervals, dtype=np.int64)
-    a = np.maximum(iv[:, 0] - _WIN_LEFT, 0)
-    b = np.minimum(iv[:, 1] + _WIN_RIGHT, n)
-    b_run = np.maximum.accumulate(b)
-    new_span = np.concatenate([[True], a[1:] > b_run[:-1]])
-    starts = a[new_span]
-    # each span ends at the running max just before the next span starts
-    idx = np.nonzero(new_span)[0]
-    ends = np.concatenate([b_run[idx[1:] - 1], [b_run[-1]]])
-    return [[int(s), int(e)] for s, e in zip(starts, ends)]
-
-
-def _literal_intervals(big_l: str, markers: tuple[str, ...]) -> list[tuple[int, int]]:
-    """Sorted occurrence intervals of any marker (lowercased text)."""
-    out: list[tuple[int, int]] = []
+    Searches ONE concat built from the per-row lowercased texts with its
+    own offset table (lowercasing can change string lengths -- e.g. U+0130
+    -> 2 chars -- so offsets into a lowercase of the original concat would
+    misalign)."""
+    rows: set[int] = set()
+    lens_l = [len(t) for t in lower_rows]
     for mk in markers:
         p = big_l.find(mk)
         while p != -1:
-            out.append((p, p + len(mk)))
+            rows.add(_row_of(starts_l, lens_l, p))
             p = big_l.find(mk, p + 1)
-    out.sort()
-    return out
+    return sorted(rows)
 
 
-class _WindowScanner:
-    """Scan regexes over marker windows of the batch instead of the whole
-    batch, mapping match positions back to concat space."""
+class _RowSubsetScanner:
+    """Scan regexes over a SEP-joined subset of rows, yielding row ids."""
 
-    def __init__(self, big: str, spans: list[list[int]]):
-        self.spans = spans
-        pieces = [big[a:b] for a, b in spans]
+    def __init__(self, rows_text: list[str], row_ids: list[int]):
+        self.row_ids = row_ids
+        pieces = [rows_text[i] for i in row_ids]
         self.win = SEP.join(pieces)
         self.w_starts: list[int] = []
         off = 0
@@ -116,11 +100,11 @@ class _WindowScanner:
             self.w_starts.append(off)
             off += len(p) + len(SEP)
 
-    def finditer_starts(self, regex) -> list[int]:
-        out = []
+    def match_rows(self, regex) -> set[int]:
+        out: set[int] = set()
         for m in regex.finditer(self.win):
             i = bisect_right(self.w_starts, m.start()) - 1
-            out.append(self.spans[i][0] + (m.start() - self.w_starts[i]))
+            out.add(self.row_ids[i])
         return out
 
 
@@ -133,38 +117,44 @@ def detect_all_batch(
     n = len(texts)
     normed = [normalize_text(t or "") for t in texts]
     big = SEP.join(normed)
-    big_l = big.lower()
+    lower_rows = [t.lower() for t in normed]
+    big_l = SEP.join(lower_rows)
     starts: list[int] = []
     pos = 0
     for t in normed:
         starts.append(pos)
         pos += len(t) + len(SEP)
     lens = [len(t) for t in normed]
+    starts_l: list[int] = []
+    pos = 0
+    for t in lower_rows:
+        starts_l.append(pos)
+        pos += len(t) + len(SEP)
 
-    # ── regex rules: one scan per rule, windowed where a screen exists ──
-    # "digit"-screened rules share one window set around digit runs; tuple-
-    # screened rules get windows around their literal occurrences; rules
-    # with no screen scan the full concat
-    digit_scanner: Optional[_WindowScanner] = None
+    # ── regex rules: one scan per rule over its marker-bearing rows ──
+    # "digit"-screened rules share one row subset; tuple-screened rules
+    # each get the rows containing their literals; unscreened rules scan
+    # the full concat
+    digit_scanner: Optional[_RowSubsetScanner] = None
     if any(RULE_SCREENS.get(r.id) == "digit" for r in REGEX_RULES):
-        runs = [(m.start(), m.end()) for m in _DIGIT_RUN_RE.finditer(big)]
-        digit_scanner = _WindowScanner(big, _marker_spans(len(big), runs))
+        digit_rows = sorted({_row_of(starts, lens, m.start())
+                             for m in _DIGIT_RUN_RE.finditer(big)})
+        digit_scanner = _RowSubsetScanner(normed, digit_rows)
 
     rule_rows: list[list[int]] = []  # parallel to REGEX_RULES: candidate rows
     for rule in REGEX_RULES:
         screen = RULE_SCREENS.get(rule.id)
         if screen == "digit":
-            starts_at = digit_scanner.finditer_starts(rule.regex)
+            rows = digit_scanner.match_rows(rule.regex)
         elif isinstance(screen, tuple):
-            iv = _literal_intervals(big_l, screen)
-            if not iv:
+            cand = _rows_with_literals(lower_rows, screen, big_l, starts_l)
+            if not cand:
                 rule_rows.append([])
                 continue
-            scanner = _WindowScanner(big, _marker_spans(len(big), iv))
-            starts_at = scanner.finditer_starts(rule.regex)
+            rows = _RowSubsetScanner(normed, cand).match_rows(rule.regex)
         else:
-            starts_at = [m.start() for m in rule.regex.finditer(big)]
-        rows = {_row_of(starts, lens, p) for p in starts_at}
+            rows = {_row_of(starts, lens, m.start())
+                    for m in rule.regex.finditer(big)}
         rule_rows.append(sorted(rows))
 
     rules_per_row: list[list] = [[] for _ in range(n)]

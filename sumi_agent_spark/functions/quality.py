@@ -419,6 +419,10 @@ def quality_frame(
         tot_per_row = np.bincount(rows_v, minlength=n)
         safe_tot = np.maximum(tot_per_row, 1)
         distinct_ratio = uniq_per_row / safe_tot
+        # rows with NO trigrams define ratio=1.0 ALWAYS -- without this the
+        # value would depend on whether the surrounding batch had >=3 chars
+        # (nondeterministic under repartitioning)
+        distinct_ratio[tot_per_row == 0] = 1.0
         n_tri_pos = tot_per_row
 
     mojibake = (n_fffd >= 1) | (n_l1 / safe_nonws >= cfg.mojibake_latin1_ratio)

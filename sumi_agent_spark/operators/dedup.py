@@ -56,6 +56,8 @@ def _batch_shingles(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
     replaces len(batch) separate per-row numpy pipelines; per-row results
     are identical to ``_shingle_hashes``."""
     n = len(texts)
+    if n == 0:  # empty Arrow batch: W below would go negative
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
     padded = [t if len(t) >= k else t + "\x1f" * (k - len(t)) for t in texts]
     joined = "".join(padded)
     cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
@@ -206,12 +208,14 @@ def minhash_near_duplicates(
     false positives; recall follows the (n_hashes, bands) S-curve.
 
     Band geometry: default 128 hashes / 16 bands = 8 rows per band, S-curve
-    midpoint (1/16)^(1/8) ~= 0.71.  Wider bands matter at corpus scale:
-    prose corpora carry background shingle similarity ~0.2 from shared
-    boilerplate, and at 4 rows/band that floods the self-join with ~5% of
-    all O(n^2) pairs as candidates; at 8 rows/band the background collision
-    rate is ~(0.2)^8 ~ 1e-5.  For a low detection threshold (<=0.6) pass
-    bands=32 explicitly and accept the candidate volume.
+    midpoint (1/16)^(1/8) ~= 0.71 -- paired with the default threshold 0.8
+    (recall ~0.95 at the threshold edge, ->1 above).  Choose bands so the
+    midpoint sits ~0.1 BELOW your threshold: at threshold<=0.7 pass
+    bands=32 (midpoint ~0.42) or recall at the edge drops to a coin flip.
+    Wider bands matter at corpus scale: prose corpora carry background
+    shingle similarity ~0.2 from shared boilerplate, and at 4 rows/band
+    that floods the self-join with ~5% of all O(n^2) pairs as candidates;
+    at 8 rows/band the background collision rate is ~(0.2)^8 ~ 1e-5.
 
     Verify stage is JVM-side: candidates join back to each doc's unique
     shingle-hash array (the cheap half of the signature UDF) and exact
@@ -336,6 +340,8 @@ def embedding_near_duplicates(
 
     @pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
         m = np.vstack(vecs.to_numpy())
         signs = (m @ planes.T) > 0
         keys = np.zeros(len(m), dtype=np.int64)

@@ -69,24 +69,34 @@ def cosine_pairs_blocked(
     1 GB), this handles 'pairs vs a reference set' at any streaming scale.
     For genuinely unbounded self-joins, block BOTH sides on a block-id
     cross join (same kernel per block pair), or drop to the lossy-recall
-    LSH path (``operators.dedup.embedding_near_duplicates``)."""
+    LSH path (``operators.dedup.embedding_near_duplicates``).
+
+    Float caveat: pre-normalized BLAS summation can differ from a
+    sequential dot/(|a||b|) fold in the last ~1e-15 relative ulps, so a
+    cosine landing EXACTLY on a rounding/threshold boundary could round
+    differently than a reference computed with another summation order --
+    a measure-zero event for real-valued embeddings (verified identical to
+    the HOF fold on the full benchmark tables), but not a bit-for-bit
+    contract."""
     import pyarrow  # noqa: F401  (mapInPandas requires Arrow)
     from pyspark.sql.types import (
         DoubleType, LongType, StructField, StructType,
     )
-
-    rows = df.select(F.col(id_col).cast("long"), vec_col).collect()
-    ids_b = np.array([r[0] for r in rows], dtype=np.int64)
-    mat_b = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat_b, axis=1)
-    unit_b = mat_b / np.maximum(norms, 1e-300)[:, None]
-    bc = df.sparkSession.sparkContext.broadcast((ids_b, unit_b))
 
     out_schema = StructType([
         StructField("id_a", LongType()),
         StructField("id_b", LongType()),
         StructField("cos_sim", DoubleType()),
     ])
+
+    rows = df.select(F.col(id_col).cast("long"), vec_col).collect()
+    if not rows:
+        return df.sparkSession.createDataFrame([], out_schema)
+    ids_b = np.array([r[0] for r in rows], dtype=np.int64)
+    mat_b = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat_b, axis=1)
+    unit_b = mat_b / np.maximum(norms, 1e-300)[:, None]
+    bc = df.sparkSession.sparkContext.broadcast((ids_b, unit_b))
     chunk = max(1, chunk_elems // max(len(ids_b), 1))
 
     def block_sim(batches):
@@ -157,6 +167,8 @@ def assign_ivf_lists(
 
     @pandas_udf(IntegerType())
     def nearest(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
         m = np.array(vecs.tolist(), dtype=np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-300)[:, None]
         return pd.Series(np.argmax(m @ C.T, axis=1).astype(np.int32))
@@ -188,6 +200,8 @@ def hyperplane_bucket_udf(dim: int, n_planes: int = 12):
 
     @pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
         m = np.vstack(vecs.to_numpy())
         signs = (m @ planes.T) > 0
         keys = np.zeros(len(m), dtype=np.int64)

@@ -186,6 +186,13 @@ _RTF_UNI = re.compile(r"\\u(\d+)\s?\??")
 _RTF_CTRL = re.compile(r"\\[a-z]+[-]?\d*\s?")
 _RTF_BRACES = re.compile(r"[{}]")
 _RTF_MANY_NL = re.compile(r"\n{3,}")
+# the exact character set JS String.prototype.trim strips (WhiteSpace +
+# LineTerminator) -- explicit so the DuckDB oracle can trim the same set;
+# Python's argless strip() would strip a slightly different set (e.g.
+# U+001C-1F) and silently diverge
+JS_TRIM_CHARS = ("\t\n\x0b\f\r \xa0\u1680\u2000\u2001\u2002\u2003\u2004"
+                 "\u2005\u2006\u2007\u2008\u2009\u200a\u2028\u2029\u202f"
+                 "\u205f\u3000\ufeff")
 
 
 def _rtf_unichar(m: re.Match) -> str:
@@ -210,7 +217,7 @@ def strip_rtf_text(text: str) -> str:
     r = _RTF_UNI.sub(_rtf_unichar, r)
     r = _RTF_CTRL.sub("", r)
     r = _RTF_BRACES.sub("", r)
-    return _RTF_MANY_NL.sub("\n\n", r).strip()
+    return _RTF_MANY_NL.sub("\n\n", r).strip(JS_TRIM_CHARS)
 
 
 @pandas_udf(StringType())

@@ -124,10 +124,15 @@ def sessionize_conversations(
                 state.remove()
         else:
             st = list(state.get) if state.exists else None
-            for pdf in pdfs:
-                pdf = pdf.sort_values("ts")
-                for ts, keep, ndet in zip(pdf["ts"], pdf["keep"],
-                                          pdf["n_detections"]):
+            # concatenate BEFORE sorting: a group larger than the Arrow
+            # batch size arrives as multiple chunks, and chunk-local sorts
+            # would process turns out of event-time order across chunks
+            chunks = list(pdfs)
+            batch = pd.concat(chunks) if chunks else None
+            if batch is not None and len(batch):
+                batch = batch.sort_values("ts")
+                for ts, keep, ndet in zip(batch["ts"], batch["keep"],
+                                          batch["n_detections"]):
                     t = pd.Timestamp(ts).value // 1000  # ns -> us
                     if st is None:
                         st = [t, t, 0, 0, 0]

@@ -114,3 +114,20 @@ def test_batch_parity_property_random_texts():
             assert got == detect_all(t)
 
     check()
+
+
+def test_batch_parity_review_regressions():
+    """Cases that broke the (removed) margin-window screening: unbounded
+    right extents, \\s* gaps to labels, and lowercase length drift."""
+    cases = [
+        ["連絡先: user@" + "a" * 120 + ".com です"],     # long email domain
+        ["GitHub:" + "\n" * 100 + "@octocat"],            # \s* gap to handle
+        ["氏名：" + "\n" * 100 + "山田 太郎"],            # \s* gap to label
+        ["İ" * 20 + " plain row",                         # lower() grows 20ch
+         "later row taro@example.jp here"],
+        ["東京都" + "x" * 30 + "丁目"],                   # address, no digits
+    ]
+    for texts in cases:
+        batch = detect_all_batch(texts)
+        for t, got in zip(texts, batch):
+            assert got == detect_all(t), t[:40]

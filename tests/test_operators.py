@@ -410,3 +410,21 @@ def test_ivf_topk_recovers_similar_cluster(spark):
     ann2 = ivf_topk(assign_ivf_lists(df.repartition(7), cents), cents,
                     [float(x) for x in base], k=10, n_probe=2).toPandas()
     assert sorted(map(tuple, ann2.itertuples(index=False))) == a
+
+
+def test_empty_inputs_do_not_crash(spark):
+    """Empty tables / empty Arrow batches degrade to empty results."""
+    from sumi_agent_spark.operators.dedup import (
+        _batch_shingles, minhash_near_duplicates,
+    )
+    from sumi_agent_spark.operators.similarity import (
+        assign_ivf_lists, cosine_pairs_blocked,
+    )
+    vals, rs = _batch_shingles([], 5)
+    assert len(vals) == 0 and list(rs) == [0]
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cosine_pairs_blocked(empty_emb).count() == 0
+    cents = np.eye(4)
+    assert assign_ivf_lists(empty_emb, cents).count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_near_duplicates(empty_docs, "doc_id", "text").count() == 0

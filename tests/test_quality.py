@@ -140,3 +140,18 @@ def test_zh_guard():
 def test_nll_sane_range():
     out = qf([JA, EN])
     assert (out["nll"] > 0.5).all() and (out["nll"] < 6.0).all()
+
+
+def test_distinct_trigram_ratio_batch_independent():
+    """Rows with no trigrams must score ratio 1.0 regardless of what else
+    shares the Arrow batch (determinism under repartitioning)."""
+    import pandas as pd
+
+    from sumi_agent_spark.functions.quality import quality_frame
+
+    alone = quality_frame(pd.Series(["", "あ", "ab"]))
+    mixed = quality_frame(pd.Series(["", "あ", "ab",
+                                     "a much longer text with trigrams"]))
+    for i in range(3):
+        assert alone["distinct_trigram_ratio"].iloc[i] == 1.0
+        assert mixed["distinct_trigram_ratio"].iloc[i] == 1.0
