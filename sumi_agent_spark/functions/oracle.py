@@ -458,10 +458,11 @@ def annotation_spans(
     text: str, dets: list[Detection]
 ) -> list[tuple[int, int, str, bool]]:
     """Greedy non-overlapping span selection for annotation output
-    (buildNonOverlappingMatches/buildAnnotations, RedactPro.tsx:695-796):
-    all literal occurrences of every detection value, sorted by start asc
-    then length desc (enabled-before-disabled on full ties), kept greedily
-    when start >= last end.  Returns (start, end, type, enabled)."""
+    (buildAnnotations, RedactPro.tsx:725-796): NON-overlapping literal
+    occurrences of every detection value (the reference steps the search
+    index by the value length, :749), sorted by start asc then length desc
+    with a STABLE sort so full ties keep detection order exactly like the
+    reference's stable JS sort.  Returns (start, end, type, enabled)."""
     matches: list[tuple[int, int, str, bool]] = []
     for d in dets:
         if not d.value or len(d.value) < 2:
@@ -469,8 +470,8 @@ def annotation_spans(
         p = text.find(d.value)
         while p != -1:
             matches.append((p, p + len(d.value), d.type, d.enabled))
-            p = text.find(d.value, p + 1)
-    matches.sort(key=lambda m: (m[0], -(m[1] - m[0]), not m[3]))
+            p = text.find(d.value, p + len(d.value))
+    matches.sort(key=lambda m: (m[0], -(m[1] - m[0])))
     out: list[tuple[int, int, str, bool]] = []
     last_end = -1
     for m in matches:
@@ -480,12 +481,17 @@ def annotation_spans(
     return out
 
 
+_PII_VALUE_RE = re.compile(r"^\s*(\[[^\]]*非公開[^\]]*\]\s*)+$")
+
+
 def is_pii_value(value: str) -> bool:
-    """True when the value is nothing but redaction placeholders
-    (RedactPro.tsx:3075-3077 analog)."""
-    from .rules import PLACEHOLDER_RE
-    stripped = PLACEHOLDER_RE.sub("", value).strip()
-    return bool(value.strip()) and stripped == ""
+    """True when the value is nothing but redaction placeholders.
+
+    Exact reference semantics (RedactPro.tsx:3076): any bracketed token
+    CONTAINING 非公開 counts -- including ad-hoc ones like [当日非公開扱い]
+    -- while bracketed tokens without it ([顔写真削除]) do not, so this is
+    deliberately NOT the closed PLACEHOLDER_RE list."""
+    return bool(_PII_VALUE_RE.match(value or ""))
 
 
 # ─── One-call scrub (the §3.2 pure path: detect_all -> apply_redaction) ───

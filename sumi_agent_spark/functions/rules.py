@@ -31,8 +31,42 @@ class RegexRule(NamedTuple):
     group: int  # 0 = whole match
 
 
+def _ascii_shorthands(pat: str) -> str:
+    r"""Rewrite ``\d``/``\w`` to explicit ASCII classes.
+
+    JS ``\d``/``\w`` match ASCII only; Python's unicode mode matches every
+    Unicode digit/word char, so e.g. ``(?<!\d)`` would wrongly treat
+    Arabic-Indic digits as digits (suppressing a phone match the reference
+    finds) and ``\.\w+`` would match kanji after a dot.  ``\s`` is NOT
+    rewritten: JS ``\s`` is Unicode-aware (it must keep matching U+3000,
+    which survives normalization) and Python's unicode ``\s`` differs only
+    on exotica (U+001C-1F/U+0085 extra, U+FEFF missing) -- the documented
+    deltas above.  Character-class context gets class-body fragments."""
+    out: list[str] = []
+    i, in_class = 0, False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            nxt = pat[i + 1]
+            if nxt == "d":
+                out.append("0-9" if in_class else "[0-9]")
+            elif nxt == "w":
+                out.append("A-Za-z0-9_" if in_class else "[A-Za-z0-9_]")
+            else:
+                out.append(pat[i:i + 2])
+            i += 2
+            continue
+        if c == "[" and not in_class:
+            in_class = True
+        elif c == "]" and in_class:
+            in_class = False
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _r(pat: str, flags: int = 0) -> "re.Pattern[str]":
-    return re.compile(pat, flags)
+    return re.compile(_ascii_shorthands(pat), flags)
 
 
 _I = re.IGNORECASE
@@ -192,7 +226,9 @@ PII_LABEL_BEFORE = _r(r"(?:é›»è©±|TEL|tel|Tel|æºå¸¯|FAX|fax|é€£çµ¡å…ˆ|ã€’|éƒµä¾
 LINE_LEADING_YEAR = _r(r"^\s*(?:(?:19|20)\d{2}|(?:æ˜­å’Œ|å¹³æˆ|ä»¤å’Œ)\s?\d{1,2})\s*[å¹´/.\-]")
 EMAIL_LOCALPART_BEFORE = _r(r"[a-zA-Z0-9._%+\-]@")
 DOTTED_WORD_AFTER = _r(r"\.\w+")
-URL_BEFORE = _r(r"https?://\S*$")
+# \Z, not $: Python $ also matches before a trailing newline, which would
+# wrongly suppress an SNS handle on the line AFTER a URL (JS $ = end only)
+URL_BEFORE = _r(r"https?://\S*\Z")
 BIRTHDAY_LABEL_BEFORE = _r(r"(?:ç”Ÿå¹´æœˆæ—¥|èª•ç”Ÿæ—¥|ç”Ÿã¾ã‚Œ|DOB|Date of Birth)\s*[ï¼š:ãƒ»]?\s*$", _I)
 DOC_DATE_LABEL_BEFORE = _r(
     r"(?:ä½œæˆæ—¥|æå‡ºæ—¥|æ›´æ–°æ—¥|è¨˜å…¥æ—¥|ç™ºè¡Œæ—¥|å°åˆ·æ—¥|å‡ºåŠ›æ—¥|æ—¥ä»˜|ç¾åœ¨|å¿œå‹Ÿæ—¥|é€ä»˜æ—¥|è¨˜è¼‰æ—¥)"

@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-from ..functions.rules import PLACEHOLDER_RE
 
 
 def ingest_post_clean(col: Column) -> Column:
@@ -270,31 +269,46 @@ def decode_binary_text(payloads: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-# ─── Export-side content cleanup (RedactPro.tsx:3078-3093 analog) ───
+# ─── Export-side content cleanup (cleanContent, RedactPro.tsx:3078-3093) ───
 
-_KV_LINE = re.compile(r"^[^：:]{1,20}[：:]\s*(.*)$")
+# reference regexes verbatim (JS \d/\s translated per rules.py conventions)
+_KV_LINE = re.compile(r"^(.+?)[：:]\s*(.+)$")
+_PAGE_MARKER_LINE = re.compile(r"^-{2,}\s*Page\s+[0-9]+\s*-{2,}$")
+_SHEET_MARKER_LINE = re.compile(r"^-{2,}\s*Sheet:\s*.+\s*-{2,}$")
 
 
-def _is_redaction_only(line: str) -> bool:
-    stripped = line.strip()
-    if not stripped:
-        return False
-    no_ph = PLACEHOLDER_RE.sub("", stripped).strip()
-    if no_ph == "":
+def _drop_line(line: str, remove_redaction_only: bool) -> bool:
+    from ..functions.oracle import is_pii_value
+
+    trimmed = line.strip(JS_TRIM_CHARS)
+    if not trimmed:
+        return False  # blank lines are kept (reference returns true)
+    if _PAGE_MARKER_LINE.match(trimmed) or _SHEET_MARKER_LINE.match(trimmed):
         return True
-    kv = _KV_LINE.match(stripped)
-    if kv:
-        val = kv.group(1).strip()
-        if val and PLACEHOLDER_RE.sub("", val).strip() == "":
+    if remove_redaction_only:
+        kv = _KV_LINE.match(trimmed)
+        if kv and is_pii_value(kv.group(2)):
+            return True
+        if is_pii_value(trimmed):
             return True
     return False
 
 
-@pandas_udf(StringType())
-def clean_content(texts: pd.Series) -> pd.Series:
-    """Drop lines that carry nothing but redaction placeholders."""
-    out = []
-    for t in texts.fillna(""):
-        kept = [ln for ln in t.split("\n") if not _is_redaction_only(ln)]
-        out.append("\n".join(kept))
-    return pd.Series(out)
+def make_clean_content_udf(remove_redaction_only: bool = True):
+    """Full reference cleanContent: page/sheet marker lines always drop;
+    redaction-only lines (bare, or the value side of a ``key: value``
+    line) drop when ``remove_redaction_only``."""
+
+    @pandas_udf(StringType())
+    def clean(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            kept = [ln for ln in t.split("\n")
+                    if not _drop_line(ln, remove_redaction_only)]
+            out.append("\n".join(kept))
+        return pd.Series(out)
+
+    return clean
+
+
+clean_content = make_clean_content_udf()

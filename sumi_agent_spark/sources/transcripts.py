@@ -17,7 +17,6 @@ import json
 import random
 from datetime import datetime, timedelta
 
-import numpy as np
 import pandas as pd
 
 SCHEMA_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]

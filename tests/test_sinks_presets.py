@@ -31,7 +31,13 @@ def test_pipe_lines_to_cells(spark):
     rows = [list(c) for c in out["cells"]]
     assert ["社員番号", "氏名", "部署"] in rows
     assert ["001", "[氏名非公開]", "開発部"] in rows
-    assert ["footer note"] in rows
+    # reference pads non-pipe rows to the header width, line in column 0
+    assert ["footer note", "", ""] in rows
+    # JS-trim semantics: fullwidth-space padding trims away
+    df2 = spark.createDataFrame(
+        [(2, "a | b\n\u3000note\u3000\nc | d")], ["doc_id", "masked_text"])
+    rows2 = [list(c) for c in pipe_lines_to_cells(df2).toPandas()["cells"]]
+    assert ["note", ""] in rows2
 
 
 def test_write_scrubbed_csv_json(spark, tmp_path):

@@ -41,11 +41,26 @@ def test_annotation_spans_greedy_non_overlapping():
     assert spans2 == [(0, len(text2), "address", True)]
 
 
-def test_annotation_spans_enabled_priority():
+def test_annotation_spans_full_tie_keeps_detection_order():
+    # reference buildAnnotations resolves full ties by stable sort order
+    # (first-listed detection wins), with NO enabled-priority
     text = "ABCDEF"
     dets = [det("1", "ABC", enabled=False), det("2", "ABC", enabled=True)]
     spans = annotation_spans(text, dets)
-    assert spans == [(0, 3, "email", True)]
+    assert spans == [(0, 3, "email", False)]
+
+
+def test_annotation_spans_non_overlapping_occurrences():
+    # reference steps the search index by the value length (:749), so
+    # overlapping self-occurrences are never collected
+    dets = [det("1", "aa", enabled=True)]
+    assert annotation_spans("aaaa", dets) == [(0, 2, "email", True),
+                                              (2, 4, "email", True)]
+    dets2 = [det("1", "ba"), det("2", "aa")]
+    # 'aa' in "baaa" yields only (1,3) under length stepping, which the
+    # greedy pass drops against 'ba'(0,2) -- the old overlapping search
+    # wrongly also emitted (2,4)
+    assert annotation_spans("baaa", dets2) == [(0, 2, "email", True)]
 
 
 def test_is_pii_value():
@@ -54,6 +69,11 @@ def test_is_pii_value():
     assert not is_pii_value("田中 [氏名非公開]")
     assert not is_pii_value("")
     assert not is_pii_value("普通のテキスト")
+    # exact reference regex semantics (RedactPro.tsx:3076): any bracketed
+    # token CONTAINING 非公開 counts; brackets without it do not
+    assert is_pii_value("[当日非公開扱い]")
+    assert not is_pii_value("[顔写真削除]")
+    assert not is_pii_value("[Name Redacted]")
 
 
 def test_partitioned_write(spark, tmp_path):
