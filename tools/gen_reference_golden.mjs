@@ -88,6 +88,13 @@ const probes = [
   'Ｘ： @fullwidth_x と X: @halfwidth_x',                     // fullwidth SNS label
   '連絡先：　tanaka@example.com　（全角スペース）',
   '氏名:田中 太郎 名前・山田 花子 氏 名：佐藤 誠',             // separator variants
+  // adversarial round 3: regex-dialect parity (JS vs Python semantics)
+  'http://a.io\nTwitter: @user_1',               // $ vs \Z: URL on PREVIOUS line
+  'サイト http://a.io Twitter: @user_2',         // URL same line (suppressed)
+  '番号 ١٢٣-١٢٣٤ です',                          // Arabic-Indic digits != \d
+  '٣090-1234-5678 に連絡',                       // unicode digit before phone
+  '電話０９０-１２３４-５６７８と09012345678',    // fullwidth + bare phone
+  'Qiita: user.名前 です',                        // \w after dot: kanji not word
 ]
 probes.forEach((t, i) => cases.push({ name: `probe_${String(i).padStart(2, '0')}`, text: t }))
 
