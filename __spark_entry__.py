@@ -535,6 +535,23 @@ def _pin_sql(pin: dict) -> str:
             f"AS t({vnames})")
 
 
+def _post_clean_twin_sql() -> str:
+    """DuckDB twin of ingest_post_clean, built from the SAME explicit
+    whitespace-class constant (JS \\s-minus-newline) so the per-line
+    trailing-whitespace strip cannot drift between dialects."""
+    from sumi_agent_spark.sources.ingest import _WS_NOT_NL
+    cls = _sq(_WS_NOT_NL)
+    return f"""
+        SELECT doc_id, md5(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '[{cls}]+\n', chr(10), 'g'),
+            '\n{{3,}}', chr(10) || chr(10), 'g'),
+            '^\n+', '', 'g'),
+            '[{cls}\n]+$', '', 'g')) AS clean_hash
+        FROM documents
+    """
+
+
 def _toxicity_twin_sql() -> str:
     """DuckDB twin of operators/toxicity.py, built from the SAME lexicon
     constants so the two sides cannot drift."""
@@ -633,7 +650,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT sum(n)::BIGINT AS total_tokens,
                    max(n)::BIGINT AS max_tokens,
                    min(n)::BIGINT AS min_tokens
-            FROM (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n
+            FROM (SELECT len(regexp_extract_all(text, '\S+')) AS n
                   FROM documents)
         """,
         "doc_source_stats": """
@@ -702,9 +719,7 @@ def oracle_sql() -> dict[str, str]:
                    , 1.0), 0.0), 6) AS quality_score
             FROM (SELECT doc_id, text,
                          length(text)::DOUBLE / greatest(
-                           CASE WHEN length(trim(text)) = 0 THEN 0
-                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                           END, 1)::DOUBLE AS mw
+                           len(regexp_extract_all(text, '\S+')), 1)::DOUBLE AS mw
                   FROM documents)
         """,
         "cosine_pairs": """
@@ -716,15 +731,7 @@ def oracle_sql() -> dict[str, str]:
               AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 4) >= 0.5
         """,
-        "ingest_post_clean": """
-            SELECT doc_id, md5(
-              regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-                '[ \t]+\n', chr(10), 'g'),
-                '\n{3,}', chr(10) || chr(10), 'g'),
-                '^\n+', '', 'g'),
-                '[\s　]+$', '', 'g')) AS clean_hash
-            FROM documents
-        """,
+        "ingest_post_clean": _post_clean_twin_sql(),
         "csv_pipe_lines": """
             SELECT count(*) AS n_lines,
                    md5(string_agg(line, chr(10) ORDER BY line)) AS lines_hash
@@ -751,7 +758,8 @@ def oracle_sql() -> dict[str, str]:
         "rtf_strip": _rtf_twin_sql(),
         "content_fingerprint": """
             SELECT doc_id,
-                   md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
+                   md5(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
+                                      '^ | $', '', 'g')) AS fingerprint
             FROM documents
         """,
         "toxicity_score": _toxicity_twin_sql(),

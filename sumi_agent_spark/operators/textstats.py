@@ -20,10 +20,13 @@ BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + BPE-ish piece count per row, JVM-side."""
-    trimmed = F.trim(F.col(text_col))
-    ws = F.when(F.length(trimmed) == 0, F.lit(0)) \
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
+    """Whitespace tokens + BPE-ish piece count per row, JVM-side.
+
+    Tokens are counted as ``\\S+`` runs: trim+split would miscount text
+    bounded by non-space whitespace (``'a b\\n'`` -> 3, ``'\\t'`` -> 2,
+    because F.trim strips ASCII spaces only and split keeps boundary
+    empties)."""
+    ws = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
     bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_RE))
     return (df.withColumn("n_ws_tokens", ws.cast("long"))
               .withColumn("n_bpe_tokens", bpe.cast("long")))
@@ -31,9 +34,13 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def content_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whole-content fingerprint: md5 of the whitespace-normalized text.
-    SQL-expressible, used for exact dedup across formatting variants."""
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    return df.withColumn("fingerprint", F.md5(norm))
+    SQL-expressible, used for exact dedup across formatting variants.
+    Normalize FIRST, then trim single-space ends: trimming first left
+    boundary tabs/newlines to become trailing spaces, so formatting
+    variants of identical content fingerprinted differently."""
+    norm = F.regexp_replace(F.col(text_col), r"\s+", " ")
+    return df.withColumn(
+        "fingerprint", F.md5(F.regexp_replace(norm, r"^ | $", "")))
 
 
 def make_winnow_udf(k: int = 8, window: int = 4):
@@ -58,10 +65,8 @@ def make_winnow_udf(k: int = 8, window: int = 4):
             if len(h) <= window:
                 sel = np.array([h.min()])
             else:
-                idx = np.arange(len(h) - window + 1)
                 wins = np.lib.stride_tricks.sliding_window_view(h, window)
                 sel = np.unique(wins.min(axis=1))
-                del idx
             out.append(np.sort(sel).astype(np.int64).tolist())
         return pd.Series(out)
 
@@ -76,8 +81,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     safe_n = F.greatest(n, F.lit(1.0))
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z぀-ゟ゠-ヿ一-鿿]", "")) / safe_n
     digits = F.length(F.regexp_replace(t, r"[^0-9]", "")) / safe_n
-    ws_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)) \
-        .otherwise(F.size(F.split(F.trim(t), r"\s+"))).cast("double")
+    ws_tokens = F.regexp_count(t, F.lit(r"\S+")).cast("double")
     mean_wlen = n / F.greatest(ws_tokens, F.lit(1.0))
     len_score = F.least(n / F.lit(200.0), F.lit(1.0))
     wlen_score = F.when((mean_wlen >= 2) & (mean_wlen <= 12), F.lit(1.0)) \

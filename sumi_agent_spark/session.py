@@ -4,6 +4,12 @@ Local-mode defaults mirror what a 1000-executor cluster deployment would set
 per executor: AQE on (skew-join splitting + partition coalescing), Arrow
 transfer for the pandas UDF stages, and shuffle partitions sized to the
 parallelism instead of the 200 default.
+
+Caveat: ``spark.driver.memory`` set here (SPARK_DRIVER_MEM) only takes
+effect when THIS process launches the JVM (plain ``python ...``).  Under
+``spark-submit`` the gateway already exists, so the builder value is
+silently ignored -- pass ``--driver-memory`` on the spark-submit command
+line instead (tools/run_pipeline.py documents the full invocation).
 """
 
 from __future__ import annotations

@@ -40,20 +40,46 @@ from pyspark.sql.types import StringType
 
 
 
+# the exact character set JS String.prototype.trim strips (WhiteSpace +
+# LineTerminator) -- explicit so the DuckDB oracle can trim the same set;
+# Python's argless strip() would strip a slightly different set (e.g.
+# U+001C-1F) and silently diverge
+JS_TRIM_CHARS = ("\t\n\x0b\f\r \xa0\u1680\u2000\u2001\u2002\u2003\u2004"
+                 "\u2005\u2006\u2007\u2008\u2009\u200a\u2028\u2029\u202f"
+                 "\u205f\u3000\ufeff")
+
+# JS \s minus \n, as an explicit class usable identically by Java and RE2
+# (the reference's /[^\S\n]+$/gm): includes \r -- CRLF input must lose its
+# trailing \r per line or the \n{3,} collapse never fires -- plus U+3000
+# and the rest of the JS whitespace set
+_WS_NOT_NL = JS_TRIM_CHARS.replace("\n", "")
+
+
 def ingest_post_clean(col: Column) -> Column:
-    """Native projection of the parse post-clean (RedactPro.tsx:1628)."""
-    c = F.regexp_replace(col, r"[ \t]+\n", "\n")      # trailing ws per line
-    c = F.regexp_replace(c, r"\n{3,}", "\n\n")         # collapse 3+ newlines
-    c = F.regexp_replace(c, r"^\n+", "")               # strip leading newlines
-    c = F.regexp_replace(c, r"[\s　]+$", "")       # trimEnd
+    """Native projection of the parse post-clean (RedactPro.tsx:1628):
+    strip trailing whitespace-except-newline per line (JS ``[^\\S\\n]+$``m
+    via the explicit class, lookahead-free so the DuckDB twin can run the
+    identical regex), collapse 3+ newlines, strip leading newlines,
+    trimEnd."""
+    c = F.regexp_replace(col, f"[{_WS_NOT_NL}]+\n", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    c = F.regexp_replace(c, r"^\n+", "")
+    c = F.regexp_replace(c, f"[{_WS_NOT_NL}\n]+$", "")
     return c
 
 
 def csv_to_pipe_lines(df: DataFrame, cols: Optional[list[str]] = None) -> DataFrame:
-    """Rows -> one ``a | b | c`` line per row (parseCSV analog)."""
+    """Rows -> one ``a | b | c`` line per row (parseCSV analog).
+
+    NULL cells render as empty strings (concat_ws would silently SKIP
+    them, shifting every later field one position left), and all-blank
+    rows are dropped like the reference's ``r.some(c => c.trim())``
+    filter."""
     cols = cols or df.columns
-    return df.select(F.concat_ws(" | ", *[F.col(c).cast("string") for c in cols])
-                     .alias("line"))
+    cells = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    any_content = F.exists(F.array(*cells), lambda c: F.trim(c) != "")
+    return (df.filter(any_content)
+            .select(F.concat_ws(" | ", *cells).alias("line")))
 
 
 # ─── JSON flattening (parseJSON analog) ───
@@ -80,18 +106,26 @@ def flatten_json_text(texts: pd.Series) -> pd.Series:
         if s[:1] in ("{", "["):
             try:
                 lines: list[str] = []
-                _flatten_json(json.loads(s), "", lines)
+                # parse_constant: JSON.parse rejects NaN/Infinity literals,
+                # so the reference passes such text through raw -- match it
+                obj = json.loads(s, parse_constant=_reject_constant)
+                _flatten_json(obj, "", lines)
                 out.append("\n".join(lines))
                 continue
-            except (json.JSONDecodeError, RecursionError):
+            except (json.JSONDecodeError, RecursionError, ValueError):
                 pass
         out.append(t)
     return pd.Series(out)
 
 
+def _reject_constant(const: str):
+    raise ValueError(f"non-JSON constant {const!r}")
+
+
 # ─── HTML stripping (extractTextFromHTML analog) ───
 
-_NOISE_TAGS = {"script", "style", "noscript", "iframe", "svg", "meta", "link"}
+_NOISE_TAGS = {"script", "style", "noscript", "iframe", "svg", "path",
+               "nav", "meta", "link"}
 _BLOCK_TAGS = {"p", "div", "section", "article", "header", "footer", "main",
                "br", "h1", "h2", "h3", "h4", "h5", "h6", "tr", "ul", "ol",
                "table", "blockquote", "pre"}
@@ -105,16 +139,29 @@ class _TextExtractor(HTMLParser):
         self.title: list[str] = []
         self.in_title = False
         self.href: Optional[str] = None
+        self.meta_desc: str = ""
+        self.og_title: str = ""
 
     def handle_starttag(self, tag, attrs):
         if tag in _NOISE_TAGS:
+            if tag == "meta":
+                # reference prefix: meta description / og:title (:1427-1432)
+                a = dict(attrs)
+                if a.get("name") == "description" and a.get("content"):
+                    self.meta_desc = a["content"]
+                elif a.get("property") == "og:title" and a.get("content"):
+                    self.og_title = a["content"]
             if tag not in ("meta", "link", "br"):
                 self.skip_depth += 1
+            return
+        if self.skip_depth:  # structure inside skipped subtrees must not leak
             return
         if tag == "title":
             self.in_title = True
         if tag in _BLOCK_TAGS:
             self.parts.append("\n")
+        elif tag == "hr":
+            self.parts.append("\n---\n")
         elif tag == "li":
             self.parts.append("\n・")
         elif tag == "td" or tag == "th":
@@ -125,6 +172,9 @@ class _TextExtractor(HTMLParser):
     def handle_endtag(self, tag):
         if tag in _NOISE_TAGS and tag not in ("meta", "link", "br"):
             self.skip_depth = max(0, self.skip_depth - 1)
+            return
+        if self.skip_depth:
+            return
         if tag == "title":
             self.in_title = False
         if tag == "a" and self.href and self.href.startswith("http"):
@@ -142,12 +192,18 @@ class _TextExtractor(HTMLParser):
             self.parts.append(data)
 
 
-_WS_LINES = re.compile(r"[ \t]+\n")
 _MANY_NL = re.compile(r"\n{3,}")
+_MULTI_SPACE_TAB = re.compile(r"[ \t]{2,}")
 
 
 @pandas_udf(StringType())
 def strip_html(texts: pd.Series) -> pd.Series:
+    """Stream-parser approximation of extractTextFromHTML
+    (RedactPro.tsx:1402-1436): noise subtrees (incl. nav) dropped, block
+    tags break lines, hr -> ---, li/td markers, http hrefs appended,
+    title + og:title + meta description prefixed above a --- divider,
+    newline collapse + space-run collapse + trim.  (The reference walks a
+    DOM and trims per element; this is the streaming analog.)"""
     out = []
     for t in texts.fillna(""):
         if "<" not in t:
@@ -161,10 +217,18 @@ def strip_html(texts: pd.Series) -> pd.Series:
             out.append(t)
             continue
         body = "".join(p.parts)
+        body = _MANY_NL.sub("\n\n", _MULTI_SPACE_TAB.sub(" ", body)).strip()
         title = " ".join(x for x in p.title if x)
-        text = (title + "\n" + body) if title else body
-        text = _MANY_NL.sub("\n\n", _WS_LINES.sub("\n", text)).strip()
-        out.append(text)
+        prefix = ""
+        if title:
+            prefix += title + "\n"
+        if p.og_title and p.og_title != title:
+            prefix += p.og_title + "\n"
+        if p.meta_desc:
+            prefix += p.meta_desc + "\n"
+        if prefix:
+            prefix += "\n---\n\n"
+        out.append(prefix + body)
     return pd.Series(out)
 
 
@@ -181,17 +245,10 @@ _RTF_LINE = re.compile(r"\\line\s?")
 _RTF_TAB = re.compile(r"\\tab\s?")
 _RTF_ESCNL = re.compile(r"\\\n")
 _RTF_HEX = re.compile(r"\\'([0-9a-fA-F]{2})")
-_RTF_UNI = re.compile(r"\\u(\d+)\s?\??")
-_RTF_CTRL = re.compile(r"\\[a-z]+[-]?\d*\s?")
+_RTF_UNI = re.compile(r"\\u([0-9]+)\s?\??")  # JS \d is ASCII
+_RTF_CTRL = re.compile(r"\\[a-z]+[-]?[0-9]*\s?")  # JS \d is ASCII
 _RTF_BRACES = re.compile(r"[{}]")
 _RTF_MANY_NL = re.compile(r"\n{3,}")
-# the exact character set JS String.prototype.trim strips (WhiteSpace +
-# LineTerminator) -- explicit so the DuckDB oracle can trim the same set;
-# Python's argless strip() would strip a slightly different set (e.g.
-# U+001C-1F) and silently diverge
-JS_TRIM_CHARS = ("\t\n\x0b\f\r \xa0\u1680\u2000\u2001\u2002\u2003\u2004"
-                 "\u2005\u2006\u2007\u2008\u2009\u200a\u2028\u2029\u202f"
-                 "\u205f\u3000\ufeff")
 
 
 def _rtf_unichar(m: re.Match) -> str:
@@ -236,8 +293,13 @@ def detect_encoding(data: bytes) -> str:
     try:
         head.decode("utf-8")
         return "utf-8"
-    except UnicodeDecodeError:
-        pass
+    except UnicodeDecodeError as e:
+        # the 10 KB head can cut a multibyte sequence in half; a decode
+        # error only AT THE TRUNCATION POINT is still valid UTF-8 (without
+        # this, every large UTF-8 file risks whole-file mojibake via a
+        # false Shift-JIS classification)
+        if e.reason == "unexpected end of data" and e.start >= len(head) - 3:
+            return "utf-8"
     scores = {"shift_jis": 0, "euc_jp": 0}
     i = 0
     while i < len(head) - 1:
