@@ -123,8 +123,11 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts \\S+ runs, the same definition as operators/textstats
+    token_counts AND the DuckDB twin (trim+split miscounts text bounded by
+    non-space whitespace)."""
     docs = _t(spark, sf_dir, "documents")
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tok = F.regexp_count(F.col("text"), F.lit(r"\S+"))
     return docs.agg(
         F.sum(n_tok.cast("long")).alias("total_tokens"),
         F.max(n_tok.cast("long")).alias("max_tokens"),
@@ -535,6 +538,13 @@ def _pin_sql(pin: dict) -> str:
             f"AS t({vnames})")
 
 
+def _bpe_re_sql() -> str:
+    """BPE-ish pattern for the DuckDB twin, derived from the SAME constant
+    the Spark side imports (a hand-copied literal could silently drift)."""
+    from sumi_agent_spark.operators.textstats import BPE_ISH_RE
+    return _sq(BPE_ISH_RE)
+
+
 def _post_clean_twin_sql() -> str:
     """DuckDB twin of ingest_post_clean, built from the SAME explicit
     whitespace-class constant (JS \\s-minus-newline) so the per-line
@@ -557,18 +567,19 @@ def _toxicity_twin_sql() -> str:
     constants so the two sides cannot drift."""
     from sumi_agent_spark.operators.toxicity import MILD_RE, SEVERE_RE
     sev, mld = _sq(SEVERE_RE), _sq(MILD_RE)
+    # coalesce mirrors the Spark side: NULL text scores 0, never NULL/1e6
+    low = "lower(coalesce(text, ''))"
     return f"""
         SELECT doc_id,
-               CAST(len(regexp_extract_all(lower(text), '{sev}')) AS BIGINT)
+               CAST(len(regexp_extract_all({low}, '{sev}')) AS BIGINT)
                  AS n_severe,
-               CAST(len(regexp_extract_all(lower(text), '{mld}')) AS BIGINT)
+               CAST(len(regexp_extract_all({low}, '{mld}')) AS BIGINT)
                  AS n_mild,
                CAST(round(least(
-                     (2.0 * len(regexp_extract_all(lower(text), '{sev}'))
-                      + len(regexp_extract_all(lower(text), '{mld}')))
-                     / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                                END, 4.0),
+                     (2.0 * len(regexp_extract_all({low}, '{sev}'))
+                      + len(regexp_extract_all({low}, '{mld}')))
+                     / greatest(len(regexp_extract_all(coalesce(text, ''),
+                                                       '\\S+')), 4.0),
                      1.0) * 1e6) AS BIGINT) AS tox_ppm
         FROM documents
     """
@@ -598,7 +609,8 @@ def _load_pins() -> dict[str, str]:
         return {}  # genuinely ungenerated (pre-gen_pins state)
     # a CORRUPT pins file must fail loudly -- silently dropping all pinned
     # oracles would let behavioral drift pass the gate unnoticed
-    return {name: _pin_sql(pin) for name, pin in pins.items()}
+    return {name: _pin_sql(pin) for name, pin in pins.items()
+            if not name.startswith("_")}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -701,11 +713,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.vec_id > 0
             ORDER BY cos_sim DESC, c.vec_id LIMIT 10
         """,
-        "bpe_token_stats": """
+        "bpe_token_stats": f"""
             SELECT CAST(sum(n) AS BIGINT) AS total_bpe_tokens,
                    CAST(max(n) AS BIGINT) AS max_bpe_tokens
-            FROM (SELECT len(regexp_extract_all(text,'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'
-                   )) AS n FROM documents)
+            FROM (SELECT len(regexp_extract_all(text, '{_bpe_re_sql()}')) AS n
+                  FROM documents)
         """,
         "quality_score": """
             SELECT doc_id,
@@ -735,8 +747,13 @@ def oracle_sql() -> dict[str, str]:
         "csv_pipe_lines": """
             SELECT count(*) AS n_lines,
                    md5(string_agg(line, chr(10) ORDER BY line)) AS lines_hash
-            FROM (SELECT c_custkey || ' | ' || c_name || ' | ' || c_mktsegment AS line
-                  FROM customer)
+            FROM (SELECT coalesce(CAST(c_custkey AS VARCHAR), '') || ' | '
+                         || coalesce(c_name, '') || ' | '
+                         || coalesce(c_mktsegment, '') AS line
+                  FROM customer
+                  WHERE trim(coalesce(CAST(c_custkey AS VARCHAR), '')) != ''
+                     OR trim(coalesce(c_name, '')) != ''
+                     OR trim(coalesce(c_mktsegment, '')) != '')
         """,
         "ngram_jaccard": """
             WITH sh AS (

@@ -38,8 +38,12 @@ def ensure_fixture(variant_level: int = 1) -> str:
         from sumi_agent_spark.sources.transcripts import write_parquet
         log(f"generating bench fixture ({FIXTURE_CONVS} convs, "
             f"variant_level={variant_level})...")
-        write_parquet(path, n_convs=FIXTURE_CONVS, avg_turns=20, seed=42,
+        # write-then-rename: a killed run must not leave a half-written
+        # file that later invocations silently reuse
+        tmp = path + ".tmp"
+        write_parquet(tmp, n_convs=FIXTURE_CONVS, avg_turns=20, seed=42,
                       variant_level=variant_level)
+        os.replace(tmp, path)
     return path
 
 
@@ -50,7 +54,9 @@ def ensure_big_fixture(spark, repl: int, variant_level: int = 1) -> str:
 
     suffix = "rich_" if variant_level >= 2 else ""
     path = f"/tmp/sumi_bench_big_v2_{suffix}r{repl}.parquet"
-    if not os.path.exists(path):
+    # gate on the commit marker, not the directory: an interrupted write
+    # leaves a partial dir that bare exists() would reuse forever
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         base = spark.read.parquet(ensure_fixture(variant_level))
         if repl > 1:
             reps = spark.range(repl).select(F.col("id").alias("rep"))

@@ -10,7 +10,7 @@ Model: two severity tiers of word/phrase patterns (severe = violent /
 threatening language, mild = profanity / insults), counted per text with
 word boundaries for Latin terms and plain substring semantics for Japanese
 terms (Japanese has no word boundaries).  Score =
-``min(1, (2*severe + mild) / max(ws_tokens, 4))`` — normalizing by length
+``min(1, (2*severe + mild) / max(n_nonspace_runs, 4))`` — normalizing by length
 so one mild word in a long document stays low while a short abusive
 message saturates.
 
@@ -55,9 +55,7 @@ def toxicity_score_col(text: Column) -> Column:
     low = F.lower(text)
     severe = F.regexp_count(low, F.lit(SEVERE_RE)).cast("double")
     mild = F.regexp_count(low, F.lit(MILD_RE)).cast("double")
-    trimmed = F.trim(text)
-    tokens = F.when(F.length(trimmed) == 0, F.lit(0)) \
-        .otherwise(F.size(F.split(trimmed, r"\s+"))).cast("double")
+    tokens = F.regexp_count(text, F.lit(r"\S+")).cast("double")
     score = (2.0 * severe + mild) / F.greatest(tokens, F.lit(4.0))
     return F.least(score, F.lit(1.0))
 

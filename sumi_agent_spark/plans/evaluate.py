@@ -60,16 +60,9 @@ def evaluate_against_expected(scrubbed: DataFrame, expected: DataFrame) -> DataF
     )
 
 
-def oracle_expected_df(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
-    """Reference-label table computed by the oracle, as a Spark transform
-    (pandas UDFs over the same oracle code the pipeline uses is circular by
-    design for determinism checks; for true independence the per-row pure
-    path is applied turn-by-turn)."""
-    from ..functions.udfs import make_quality_udf, make_scrub_udf
-    from .pipeline import scrub_transcripts
-
-    return scrub_transcripts(transcripts).select(
-        "conv_id", "turn_idx", "keep", "masked_text")
+# NOTE: expected labels must come from the PURE per-row oracle (see main()
+# below, --n-convs path), never from scrub_transcripts itself -- comparing
+# the pipeline to its own output would be vacuously perfect.
 
 
 def main() -> None:

@@ -152,7 +152,7 @@ def ordered(df: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
               .sortWithinPartitions("conv_id", "turn_idx"))
 
 
-def with_turn_rank(df: DataFrame, salt_buckets: int = 0) -> DataFrame:
+def with_turn_rank(df: DataFrame) -> DataFrame:
     """Per-conversation dense rank over turn_idx (Window form of the north
     rule's ordering).  For genuinely skewed conversations prefer
     ``ordered()``; this exists for consumers that need the rank column."""

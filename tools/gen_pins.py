@@ -60,7 +60,7 @@ def main() -> None:
 
     spark = get_spark(app_name="gen-pins", cores=8, shuffle_partitions=8)
     qs = entrymod.queries()
-    pins: dict[str, dict] = {}
+    pins: dict[str, dict] = {"_meta": {"sf_dir": SF_DIR}}
     for name in PIN_QUERIES:
         pdf = qs[name](spark, SF_DIR).toPandas()
         types = {}

@@ -34,6 +34,8 @@ def main() -> None:
 
     from sumi_agent_spark.plans.pipeline import run_pipeline
 
+    if not args.input and not args.generate:
+        ap.error("--input or --generate required")
     input_path = args.input
     if args.generate:
         import tempfile
