@@ -274,11 +274,17 @@ def _subset_nll(model: _NgramModel, t: pd.Series, lens: np.ndarray,
     out = np.zeros(n)
     if not mask.any():
         return out
-    sub_joined = "".join(t[mask].tolist())
+    sub_texts = t[mask].tolist()
     if lowercase:
-        low = sub_joined.lower()
-        if len(low) == len(sub_joined):  # .lower() may change lengths (rare)
-            sub_joined = low
+        # Per ROW, never per batch: .lower() can change a string's length
+        # (e.g. U+0130 -> "i" + combining dot), and a batch-global fallback
+        # would make every sibling row's score depend on which rows share
+        # its Arrow batch (partition-dependent output).  A row whose own
+        # lower() changes length keeps its original text, so offsets from
+        # ``lens`` stay aligned for every row.
+        sub_texts = [low if len(low := s.lower()) == len(s) else s
+                     for s in sub_texts]
+    sub_joined = "".join(sub_texts)
     cps = np.frombuffer(sub_joined.encode("utf-32-le"), dtype=np.uint32)
     sub_lens = lens[mask]
     ends = np.cumsum(sub_lens)

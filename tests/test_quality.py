@@ -155,3 +155,21 @@ def test_distinct_trigram_ratio_batch_independent():
     for i in range(3):
         assert alone["distinct_trigram_ratio"].iloc[i] == 1.0
         assert mixed["distinct_trigram_ratio"].iloc[i] == 1.0
+
+
+def test_nll_batch_independent_under_lowercase_fallback():
+    """A sibling row whose .lower() changes length (e.g. U+0130) must not
+    change any OTHER row's nll: the lowercase fallback is per row, never
+    per batch (partition-invariant output)."""
+    import pandas as pd
+
+    from sumi_agent_spark.functions.quality import quality_frame
+
+    row = "The Quick Brown Fox Jumps Over The Lazy Dog And Runs Far Away"
+    weird = "İ" * 10 + " the and of to is in that for it was"
+    alone = quality_frame(pd.Series([row]))
+    w_alone = quality_frame(pd.Series([weird]))
+    batched = quality_frame(pd.Series([row, weird]))
+    assert alone["nll"].iloc[0] == batched["nll"].iloc[0]
+    assert w_alone["nll"].iloc[0] == batched["nll"].iloc[1]
+    assert alone["lang"].iloc[0] == batched["lang"].iloc[0] == "en"
