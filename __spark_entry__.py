@@ -241,10 +241,11 @@ def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine >= 0.5 via distributed block matmul (one BLAS
-    ``A @ B.T`` per Arrow batch against a broadcast normalized matrix) --
-    same output as the brute HOF crossJoin it replaced, ~100x less work per
-    pair.  The DuckDB twin stays the brute-force definition."""
+    """Exact all-pairs cosine >= 0.5 via a fully distributed block-both-
+    sides matmul (hash block ids, one BLAS ``A @ B.T`` task per block pair,
+    nothing collected to the driver) -- same output as the brute HOF
+    crossJoin it replaced, ~100x less work per pair.  The DuckDB twin stays
+    the brute-force definition."""
     from sumi_agent_spark.operators.similarity import cosine_pairs_blocked
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_pairs_blocked(emb, threshold=0.5, round_to=4)
@@ -400,7 +401,8 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Our real language-ID classifier over documents (UDF; rows-only)."""
+    """Our real language-ID classifier over documents (UDF; pinned golden
+    oracle -- the langid model is not SQL-expressible)."""
     from sumi_agent_spark.functions.udfs import make_quality_udf
     docs = _t(spark, sf_dir, "documents")
     quality = make_quality_udf()
@@ -562,6 +564,24 @@ def _post_clean_twin_sql() -> str:
     """
 
 
+def _csv_twin_sql() -> str:
+    """DuckDB twin of csv_to_pipe_lines, dropping all-blank rows with the
+    SAME JS trim character set the Spark side uses (shared constant)."""
+    from sumi_agent_spark.sources.ingest import JS_TRIM_CHARS
+    js = _sq(JS_TRIM_CHARS)
+    cells = ["coalesce(CAST(c_custkey AS VARCHAR), '')",
+             "coalesce(c_name, '')", "coalesce(c_mktsegment, '')"]
+    blank = " AND ".join(f"trim({c}, '{js}') = ''" for c in cells)
+    return f"""
+        SELECT count(*) AS n_lines,
+               md5(string_agg(line, chr(10) ORDER BY line)) AS lines_hash
+        FROM (SELECT {cells[0]} || ' | ' || {cells[1]} || ' | '
+                     || {cells[2]} AS line
+              FROM customer
+              WHERE NOT ({blank}))
+    """
+
+
 def _toxicity_twin_sql() -> str:
     """DuckDB twin of operators/toxicity.py, built from the SAME lexicon
     constants so the two sides cannot drift."""
@@ -719,7 +739,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT len(regexp_extract_all(text, '{_bpe_re_sql()}')) AS n
                   FROM documents)
         """,
-        "quality_score": """
+        "quality_score": r"""
             SELECT doc_id,
                    round(greatest(least(
                      0.4 * least(length(text) / 200.0, 1.0)
@@ -744,17 +764,7 @@ def oracle_sql() -> dict[str, str]:
                                                CAST(b.embedding AS DOUBLE[])), 4) >= 0.5
         """,
         "ingest_post_clean": _post_clean_twin_sql(),
-        "csv_pipe_lines": """
-            SELECT count(*) AS n_lines,
-                   md5(string_agg(line, chr(10) ORDER BY line)) AS lines_hash
-            FROM (SELECT coalesce(CAST(c_custkey AS VARCHAR), '') || ' | '
-                         || coalesce(c_name, '') || ' | '
-                         || coalesce(c_mktsegment, '') AS line
-                  FROM customer
-                  WHERE trim(coalesce(CAST(c_custkey AS VARCHAR), '')) != ''
-                     OR trim(coalesce(c_name, '')) != ''
-                     OR trim(coalesce(c_mktsegment, '')) != '')
-        """,
+        "csv_pipe_lines": _csv_twin_sql(),
         "ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id,
@@ -773,7 +783,7 @@ def oracle_sql() -> dict[str, str]:
                         4) >= 0.3
         """,
         "rtf_strip": _rtf_twin_sql(),
-        "content_fingerprint": """
+        "content_fingerprint": r"""
             SELECT doc_id,
                    md5(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
                                       '^ | $', '', 'g')) AS fingerprint

@@ -192,13 +192,32 @@ def _banded_pairs(sig_df: DataFrame, id_col: str, bands: int,
             .distinct())
 
 
+def bands_for_threshold(threshold: float, n_hashes: int = 128,
+                        margin: float = 0.08) -> int:
+    """Smallest band count whose S-curve midpoint ``(1/bands)^(bands/n)``
+    sits at least ``margin`` below ``threshold``.
+
+    Fewest bands = fewest candidate pairs, so among the safe geometries
+    this picks the cheapest.  Falls back to ``bands = n_hashes`` (rows=1,
+    maximal recall) when even that midpoint is above the target -- only
+    possible for thresholds near 1/n_hashes."""
+    for bands in range(1, n_hashes + 1):
+        if n_hashes % bands:
+            continue
+        rows = n_hashes // bands
+        midpoint = (1.0 / bands) ** (1.0 / rows)
+        if midpoint <= threshold - margin:
+            return bands
+    return n_hashes
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
     n_hashes: int = 128,
-    bands: int = 16,
+    bands: Optional[int] = None,
     shingle_k: int = 5,
     max_bucket_size: int = 1000,
 ) -> DataFrame:
@@ -207,11 +226,13 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.  Output has no
     false positives; recall follows the (n_hashes, bands) S-curve.
 
-    Band geometry: default 128 hashes / 16 bands = 8 rows per band, S-curve
-    midpoint (1/16)^(1/8) ~= 0.71 -- paired with the default threshold 0.8
-    (recall ~0.95 at the threshold edge, ->1 above).  Choose bands so the
-    midpoint sits ~0.1 BELOW your threshold: at threshold<=0.7 pass
-    bands=32 (midpoint ~0.42) or recall at the edge drops to a coin flip.
+    Band geometry: ``bands=None`` (default) derives the band count FROM the
+    threshold via :func:`bands_for_threshold`, so the S-curve midpoint
+    always sits safely (~0.1) below it -- threshold 0.8 yields 16 bands =
+    8 rows/band, midpoint (1/16)^(1/8) ~= 0.71 (recall ~0.95 at the
+    threshold edge, ->1 above); threshold 0.7 yields 32 bands (midpoint
+    ~0.42).  An explicit ``bands`` whose midpoint exceeds the threshold
+    drops edge recall to ~coin-flip, and warns.
     Wider bands matter at corpus scale: prose corpora carry background
     shingle similarity ~0.2 from shared boilerplate, and at 4 rows/band
     that floods the self-join with ~5% of all O(n^2) pairs as candidates;
@@ -221,6 +242,18 @@ def minhash_near_duplicates(
     shingle-hash array (the cheap half of the signature UDF) and exact
     Jaccard is ``array_intersect``/set-size arithmetic inside codegen -- no
     Python and no re-shingling of full texts per candidate pair."""
+    if bands is None:
+        bands = bands_for_threshold(threshold, n_hashes)
+    else:
+        rows_pb = n_hashes / bands
+        midpoint = (1.0 / bands) ** (1.0 / rows_pb)
+        if midpoint > threshold:
+            import warnings
+            warnings.warn(
+                f"minhash bands={bands} puts the LSH S-curve midpoint "
+                f"({midpoint:.3f}) above threshold={threshold}: recall at "
+                f"the threshold edge is below 50%. Pass bands=None to "
+                f"derive a safe geometry.", stacklevel=2)
     minhash = make_minhash_udf(n_hashes, shingle_k)
     shingles = make_shingle_udf(shingle_k)
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))

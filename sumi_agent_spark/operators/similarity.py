@@ -48,28 +48,41 @@ def cosine_topk(
             .limit(k))
 
 
+_PAIRS_SCHEMA_DDL = "id_a long, id_b long, cos_sim double"
+
+
+def _unit_rows(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
+    m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    if len(m) == 0:
+        return m.reshape(0, 0)
+    return m / np.maximum(np.linalg.norm(m, axis=1), 1e-300)[:, None]
+
+
 def cosine_pairs_blocked(
     df: DataFrame, threshold: float = 0.5, round_to: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    chunk_elems: int = 1 << 22,
+    n_blocks: int = 8, chunk_elems: int = 1 << 22,
 ) -> DataFrame:
-    """Exact all-pairs cosine similarity >= threshold, as a block matmul.
+    """Exact all-pairs cosine similarity >= threshold, fully distributed.
 
-    One side (the whole table, treated as the broadcastable 'dimension'
-    side) is collected once -- O(n*d) driver memory, same footprint as any
-    broadcast join build side -- L2-normalized, and shipped to executors.
-    The other side streams through ``mapInPandas``: each Arrow batch is
-    normalized and multiplied against the broadcast matrix in one BLAS call
-    (``A @ B.T``), chunked so no task ever materializes more than
-    ``chunk_elems`` similarity cells at once.  Exact (float64, no LSH), and
-    ~2 orders of magnitude faster than evaluating interpreted ``zip_with``/
-    ``aggregate`` HOF chains per pair.
+    Block-both-sides matmul: every row gets a hash block id in
+    ``[0, n_blocks)``; each of the ``n_blocks*(n_blocks+1)/2`` unordered
+    block pairs ``(i, j), i <= j`` becomes one ``applyInPandas`` task that
+    L2-normalizes its two blocks and runs one BLAS call (``A @ B.T``) per
+    chunk, so no task materializes more than ``chunk_elems`` similarity
+    cells at once.  Nothing is ever collected to the driver -- the only
+    driver-side object is the tiny static block-pair list.  Exact (float64,
+    no LSH), and ~2 orders of magnitude faster than evaluating interpreted
+    ``zip_with``/``aggregate`` HOF chains per pair.
 
-    Scale story: with the broadcast side capped (say <=10^6 x 128 floats =
-    1 GB), this handles 'pairs vs a reference set' at any streaming scale.
-    For genuinely unbounded self-joins, block BOTH sides on a block-id
-    cross join (same kernel per block pair), or drop to the lossy-recall
-    LSH path (``operators.dedup.embedding_near_duplicates``).
+    Scale story: shuffle volume is ``n_blocks`` copies of the table (each
+    row participates in ``n_blocks`` block pairs) and peak task memory is
+    ``~2*n/n_blocks`` vectors, so at 100 TB you raise ``n_blocks`` until a
+    block fits an executor (work stays the same O(n^2) BLAS flops, spread
+    over ``O(n_blocks^2)`` independent tasks).  When a small reference set
+    fits the driver, ``cosine_pairs_broadcast`` skips the shuffle; when
+    lossy recall is acceptable, ``operators.dedup.embedding_near_duplicates``
+    is the sub-quadratic path.
 
     Float caveat: pre-normalized BLAS summation can differ from a
     sequential dot/(|a||b|) fold in the last ~1e-15 relative ulps, so a
@@ -78,6 +91,69 @@ def cosine_pairs_blocked(
     a measure-zero event for real-valued embeddings (verified identical to
     the HOF fold on the full benchmark tables), but not a bit-for-bit
     contract."""
+    spark = df.sparkSession
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    pairs = spark.createDataFrame(pair_rows, "pi int, pj int")
+
+    base = (df.select(F.col(id_col).cast("long").alias("vid"), vec_col)
+            .withColumn("blk", F.pmod(F.xxhash64("vid"),
+                                      F.lit(n_blocks)).cast("int")))
+    rep = base.join(F.broadcast(pairs),
+                    (F.col("blk") == F.col("pi"))
+                    | (F.col("blk") == F.col("pj")))
+
+    def block_pair_sim(key, pdf):
+        pi, pj = key
+        in_a = pdf["blk"].to_numpy() == pi
+        a_ids = pdf["vid"].to_numpy(dtype=np.int64)[in_a]
+        a_unit = _unit_rows(pdf[in_a], vec_col)
+        if pi == pj:
+            b_ids, b_unit = a_ids, a_unit
+        else:
+            b_ids = pdf["vid"].to_numpy(dtype=np.int64)[~in_a]
+            b_unit = _unit_rows(pdf[~in_a], vec_col)
+        out = []
+        if len(a_ids) and len(b_ids):
+            chunk = max(1, chunk_elems // len(b_ids))
+            for s in range(0, len(a_ids), chunk):
+                sim = np.round(a_unit[s:s + chunk] @ b_unit.T, round_to)
+                # diagonal blocks: strict upper triangle dedups the pair;
+                # off-diagonal: every cross pair appears exactly once here,
+                # orient it as (min, max) on emit
+                keep = (sim >= threshold) & \
+                    (a_ids[s:s + chunk, None] != b_ids[None, :])
+                if pi == pj:
+                    keep &= a_ids[s:s + chunk, None] < b_ids[None, :]
+                ai, bj = np.nonzero(keep)
+                if len(ai) == 0:
+                    continue
+                ia, ib = a_ids[s + ai], b_ids[bj]
+                out.append(pd.DataFrame({
+                    "id_a": np.minimum(ia, ib),
+                    "id_b": np.maximum(ia, ib),
+                    "cos_sim": sim[ai, bj],
+                }))
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cos_sim": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    return rep.groupBy("pi", "pj").applyInPandas(block_pair_sim,
+                                                 _PAIRS_SCHEMA_DDL)
+
+
+def cosine_pairs_broadcast(
+    df: DataFrame, threshold: float = 0.5, round_to: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    chunk_elems: int = 1 << 22, max_build_rows: int = 1_000_000,
+) -> DataFrame:
+    """Shuffle-free variant of :func:`cosine_pairs_blocked` for when one
+    side is a bounded reference set: collect + L2-normalize it once
+    (broadcast-join build-side footprint), then stream the table through
+    ``mapInPandas`` with one BLAS call per chunk.  Refuses to collect more
+    than ``max_build_rows`` rows -- above the cap use the blocked plan,
+    which is byte-identical and never touches the driver."""
     import pyarrow  # noqa: F401  (mapInPandas requires Arrow)
     from pyspark.sql.types import (
         DoubleType, LongType, StructField, StructType,
@@ -89,7 +165,12 @@ def cosine_pairs_blocked(
         StructField("cos_sim", DoubleType()),
     ])
 
-    rows = df.select(F.col(id_col).cast("long"), vec_col).collect()
+    rows = (df.select(F.col(id_col).cast("long"), vec_col)
+            .limit(max_build_rows + 1).collect())
+    if len(rows) > max_build_rows:
+        raise ValueError(
+            f"cosine_pairs_broadcast: build side exceeds max_build_rows="
+            f"{max_build_rows}; use cosine_pairs_blocked (no driver collect)")
     if not rows:
         return df.sparkSession.createDataFrame([], out_schema)
     ids_b = np.array([r[0] for r in rows], dtype=np.int64)

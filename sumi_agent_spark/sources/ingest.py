@@ -74,10 +74,15 @@ def csv_to_pipe_lines(df: DataFrame, cols: Optional[list[str]] = None) -> DataFr
     NULL cells render as empty strings (concat_ws would silently SKIP
     them, shifting every later field one position left), and all-blank
     rows are dropped like the reference's ``r.some(c => c.trim())``
-    filter."""
+    filter -- using the JS trim character set (a cell holding only
+    U+3000/NBSP is blank to ``String.prototype.trim`` but not to ASCII
+    ``F.trim``, so the ASCII version would keep rows the reference
+    drops)."""
     cols = cols or df.columns
     cells = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
-    any_content = F.exists(F.array(*cells), lambda c: F.trim(c) != "")
+    trim_re = f"^[{JS_TRIM_CHARS}]+|[{JS_TRIM_CHARS}]+$"
+    any_content = F.exists(F.array(*cells),
+                           lambda c: F.regexp_replace(c, trim_re, "") != "")
     return (df.filter(any_content)
             .select(F.concat_ws(" | ", *cells).alias("line")))
 

@@ -220,3 +220,14 @@ def test_sessionize_conversations_stateful(spark, tmp_path):
     a_all = got2[got2["conv_id"] == "A"].sort_values("session_start")
     assert len(a_all) == 2          # burst 1 (gap split) + burst 2 (timeout)
     assert a_all.iloc[1]["n_turns"] == 1
+
+
+def test_csv_blank_rows_use_js_trim_set(spark):
+    """A row whose cells hold only JS-whitespace (U+3000, NBSP) is blank to
+    the reference's r.some(c => c.trim()) and must be dropped; ASCII trim
+    would keep it."""
+    df = spark.createDataFrame(
+        [("　", "\xa0"), ("", ""), ("a", ""), (None, None)],
+        ["x", "y"])
+    lines = [r["line"] for r in csv_to_pipe_lines(df).collect()]
+    assert lines == ["a | "]

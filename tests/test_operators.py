@@ -336,6 +336,54 @@ def test_cosine_pairs_blocked_matches_brute(spark):
     assert (0, 100) in blocked and (5, 101) in blocked
 
 
+def test_cosine_pairs_blocked_matches_broadcast_sf001(spark):
+    """The distributed block-both-sides plan is byte-identical to the
+    broadcast fast-path on the real sf0.01 embeddings table."""
+    from sumi_agent_spark.operators.similarity import (
+        cosine_pairs_blocked, cosine_pairs_broadcast)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    blocked = {(r.id_a, r.id_b): r.cos_sim
+               for r in cosine_pairs_blocked(emb, threshold=0.5).collect()}
+    bcast = {(r.id_a, r.id_b): r.cos_sim
+             for r in cosine_pairs_broadcast(emb, threshold=0.5).collect()}
+    assert blocked == bcast and len(blocked) > 0
+
+
+def test_cosine_pairs_blocked_never_collects(spark, monkeypatch):
+    """The default all-pairs plan must not materialize the table on the
+    driver: patch DataFrame.collect to raise and run the operator end to
+    end (internal Spark actions do not route through DataFrame.collect)."""
+    from pyspark.sql import DataFrame
+
+    from sumi_agent_spark.operators.similarity import cosine_pairs_blocked
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)],
+        ["vec_id", "embedding"])
+
+    def boom(self):
+        raise AssertionError("driver-side collect on the blocked path")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    out = cosine_pairs_blocked(df, threshold=0.9)
+    assert out.count() >= 0  # executes the full plan without collecting
+
+
+def test_cosine_pairs_broadcast_row_cap(spark):
+    """The broadcast fast-path refuses to collect above its hard cap
+    instead of silently OOMing the driver."""
+    import pytest
+
+    from sumi_agent_spark.operators.similarity import cosine_pairs_broadcast
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(20)], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="max_build_rows"):
+        cosine_pairs_broadcast(df, max_build_rows=10).count()
+
+
 def test_oracle_pins_fresh(spark):
     """Stored pins must match a live re-run of (cheap) pinned queries at
     the driver's correctness scale -- catches semantics changes that forgot
@@ -428,3 +476,33 @@ def test_empty_inputs_do_not_crash(spark):
     assert assign_ivf_lists(empty_emb, cents).count() == 0
     empty_docs = spark.createDataFrame([], "doc_id long, text string")
     assert minhash_near_duplicates(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_minhash_bands_derived_from_threshold():
+    from sumi_agent_spark.operators.dedup import bands_for_threshold
+
+    assert bands_for_threshold(0.8) == 16   # midpoint 0.707
+    assert bands_for_threshold(0.7) == 32   # midpoint 0.420
+    assert bands_for_threshold(0.3) == 64   # midpoint 0.125
+    for thr in (0.3, 0.5, 0.7, 0.8, 0.9):
+        bands = bands_for_threshold(thr)
+        rows = 128 // bands
+        assert (1.0 / bands) ** (1.0 / rows) <= thr - 0.08
+
+
+def test_minhash_unsafe_explicit_bands_warns(docs):
+    """An explicit band count whose S-curve midpoint exceeds the threshold
+    silently halves edge recall -- it must warn."""
+    import warnings
+
+    from sumi_agent_spark.operators.dedup import minhash_near_duplicates
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        minhash_near_duplicates(docs, "doc_id", "text",
+                                threshold=0.6, bands=16)
+        assert any("midpoint" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        minhash_near_duplicates(docs, "doc_id", "text", threshold=0.6)
+        assert not w  # derived geometry is always safe

@@ -53,12 +53,20 @@ def test_quality_filter_predicate_stays_after_udf(spark, tmp_path):
     assert "tool" not in read_schema  # unused input column pruned
 
 
-def test_blocked_cosine_plan_is_scan_to_mapinpandas(spark):
-    """cosine_pairs must stay shuffle-free: scan -> MapInPandas, 2-col read."""
+def test_blocked_cosine_plan_shape(spark):
+    """cosine_pairs is the block-both-sides matmul: the ONE shuffle is the
+    hash exchange on the block-pair key feeding FlatMapGroupsInPandas, the
+    tiny pair list joins broadcast (never a shuffled join), and nothing is
+    collected driver-side (see test_cosine_pairs_blocked_never_collects)."""
     import __spark_entry__ as e
     plan = _plan(e.queries()["cosine_pairs"](spark, "/root/testdata/sf0.001"))
-    assert "Exchange" not in plan
-    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # only the groupBy(pi, pj) exchange shuffles data; the pair list is a
+    # BroadcastExchange (which also contains the substring "Exchange")
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1
+    assert "hashpartitioning(pi" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "text" not in plan.split("ReadSchema:")[-1]
 
 
