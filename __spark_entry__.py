@@ -378,10 +378,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-5-gram Jaccard pairs (>=0.3), expressed with native
     array functions so DuckDB can run the identical computation."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    k = 5
-    base = docs.select("doc_id", F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
-        lambda i: F.col("text").substr(i, F.lit(k)))).alias("sh"))
+    base = docs.select("doc_id", _ngram_shingles_col(k=5).alias("sh"))
     a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"),
                     F.size("sh").cast("double").alias("na"))
     b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"),
@@ -443,6 +440,73 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cos_sim") * 1e6).cast("long").alias("cos_sim_ppm"))
 
 
+def _ngram_shingles_col(k: int = 5):
+    """Distinct char-k-gram array of ``text`` -- the exact expression the
+    ngram_jaccard query and its DuckDB twin both use."""
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
+        lambda i: F.col("text").substr(i, F.lit(k))))
+
+
+def _q_ann_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live cross-algorithm gate over the three pinned approximate
+    operators, each intersected with brute-force ground truth: IVF top-10
+    is fully contained in the brute cosine top-20 (count 10) and every
+    MinHash-LSH pair clears the exact character-5-gram Jaccard threshold
+    (0 extras).  Hyperplane-LSH scores 1/10 here BY THE DATA'S NATURE, not
+    by defect: the benchmark embeddings are isotropic random vectors, so
+    the global top-20 (cos ~0.3) spreads uniformly over all 256 buckets
+    and probing the query's 9 cannot contain it -- LSH targets planted
+    near-duplicate clusters, where its recall is gated >=8/10 by pytest
+    (test_lsh_topk_recovers_similar_cluster).  The Spark side computes
+    BOTH the approximate results and the brute ground truth live; the
+    DuckDB twin recomputes the brute sides live (list_cosine_similarity /
+    list_intersect) against the frozen pinned ANN outputs -- so a recall
+    regression in any approximate operator, or a stale pin, fails this
+    hash-exact row even though those operators' own oracles are pins."""
+    from sumi_agent_spark.operators.dedup import minhash_near_duplicates
+    from sumi_agent_spark.operators.similarity import (
+        _cosine_col, assign_ivf_lists, build_lsh_index, ivf_topk, lsh_topk,
+        train_ivf_centroids)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    qf = [float(x) for x in q]
+    cand = emb.filter(F.col("vec_id") > 0)
+
+    # rank by round-4 cosine with vec_id tiebreak -- the same rounding the
+    # DuckDB twin applies, so the top-20 cut is deterministic on both sides
+    # (knn_cosine proves the two engines agree at 4 decimals)
+    qlit = F.array(*[F.lit(float(x)) for x in qf])
+    brute20 = (cand
+               .select("vec_id",
+                       F.round(_cosine_col("embedding", qlit), 4).alias("c"))
+               .orderBy(F.col("c").desc(), "vec_id").limit(20)
+               .select("vec_id"))
+    indexed, planes = build_lsh_index(cand, dim=len(q), n_planes=8)
+    lsh_ids = lsh_topk(indexed, planes, qf, k=10).select("vec_id")
+    cents = train_ivf_centroids(cand, n_lists=16)
+    ivf_ids = ivf_topk(assign_ivf_lists(cand, cents), cents, qf,
+                       k=10, n_probe=4).select("vec_id")
+    n_lsh = (lsh_ids.join(brute20, "vec_id", "left_semi")
+             .agg(F.count("*").alias("n_lsh_in_brute20")))
+    n_ivf = (ivf_ids.join(brute20, "vec_id", "left_semi")
+             .agg(F.count("*").alias("n_ivf_in_brute20")))
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.8)
+    sh = docs.select("doc_id", _ngram_shingles_col().alias("sh"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    uni = F.size(F.array_union("sa", "sb")).cast("double")
+    n_extra = (pairs.join(sa, "id_a").join(sb, "id_b")
+               .withColumn("jac", inter / uni)
+               .filter(F.col("jac") < 0.8)
+               .agg(F.count("*").alias("n_minhash_extra")))
+    return n_lsh.crossJoin(n_ivf).crossJoin(n_extra)
+
+
 def _q_toxicity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon toxicity scorer (north-rule 'toxicity-scrub' component):
     pure regexp_count expressions, so the DuckDB twin runs the identical
@@ -498,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "toxicity_score": _q_toxicity_score,
         "content_fingerprint": _q_content_fingerprint,
+        "ann_containment": _q_ann_containment,
     }
 
 
@@ -618,6 +683,77 @@ def _rtf_twin_sql() -> str:
         WHERE NOT regexp_matches(text, '[{{}}]')
           AND NOT contains(text, chr(92))
     """
+
+
+def _ann_containment_twin_sql() -> "str | None":
+    """DuckDB twin of ann_containment: the brute sides (cosine top-20 and
+    exact char-5-gram Jaccard) are computed LIVE in DuckDB; the approximate
+    sides are the frozen pinned outputs of lsh_topk / ivf_topk /
+    minhash_near_dup.  The Spark side computes everything live, so the
+    hash-exact comparison proves the live engine and its pins agree AND
+    grounds the pinned results against independently-computed ground
+    truth inside the driver gate itself.  Returns None (rows-only check)
+    when the pins have not been generated yet."""
+    import json
+    try:
+        with open(_PINS_PATH) as f:
+            pins = json.load(f)
+    except FileNotFoundError:
+        return None
+    if not {"lsh_topk", "ivf_topk", "minhash_near_dup"} <= set(pins):
+        return None
+
+    def ids_of(name: str, col: str) -> list:
+        cols = pins[name]["columns"]
+        return [r[cols.index(col)] for r in pins[name]["rows"]]
+
+    lsh_vals = ", ".join(f"({int(v)})" for v in ids_of("lsh_topk", "vec_id"))
+    ivf_vals = ", ".join(f"({int(v)})" for v in ids_of("ivf_topk", "vec_id"))
+    mh_rows = list(zip(ids_of("minhash_near_dup", "id_a"),
+                       ids_of("minhash_near_dup", "id_b")))
+    mh_vals = ", ".join(f"({int(a)}, {int(b)})" for a, b in mh_rows) \
+        or "(NULL, NULL)"
+    mh_where = "" if mh_rows else " WHERE id_a IS NOT NULL"
+    return f"""
+        WITH brute20 AS (
+          SELECT c.vec_id
+          FROM embeddings c,
+               (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          WHERE c.vec_id > 0
+          ORDER BY round(list_cosine_similarity(
+                     CAST(c.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 4) DESC, c.vec_id
+          LIMIT 20),
+        lsh AS (SELECT * FROM (VALUES {lsh_vals}) AS t(vec_id)),
+        ivf AS (SELECT * FROM (VALUES {ivf_vals}) AS t(vec_id)),
+        mh AS (SELECT * FROM (VALUES {mh_vals}) AS t(id_a, id_b){mh_where}),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        range(1, greatest(length(text) - 4, 1) + 1),
+                        i -> substr(text, i, 5))) AS s
+               FROM documents
+               WHERE doc_id IN (SELECT id_a FROM mh
+                                UNION SELECT id_b FROM mh)),
+        jac AS (SELECT len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
+                FROM mh m
+                JOIN sh a ON a.doc_id = m.id_a
+                JOIN sh b ON b.doc_id = m.id_b)
+        SELECT (SELECT count(*) FROM lsh
+                WHERE vec_id IN (SELECT vec_id FROM brute20))::BIGINT
+                 AS n_lsh_in_brute20,
+               (SELECT count(*) FROM ivf
+                WHERE vec_id IN (SELECT vec_id FROM brute20))::BIGINT
+                 AS n_ivf_in_brute20,
+               (SELECT count(*) FROM jac WHERE j < 0.8)::BIGINT
+                 AS n_minhash_extra
+    """
+
+
+# contract queries whose LIVE DuckDB twin embeds pinned values -- the local
+# check_contract treats these like pins (skips them at non-pin SFs); the
+# driver gate always runs at the pin scale (sf0.01)
+PIN_DEPENDENT = {"ann_containment"}
 
 
 def _load_pins() -> dict[str, str]:
@@ -783,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
                         4) >= 0.3
         """,
         "rtf_strip": _rtf_twin_sql(),
+        "ann_containment": _ann_containment_twin_sql(),
         "content_fingerprint": r"""
             SELECT doc_id,
                    md5(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
@@ -791,6 +928,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "toxicity_score": _toxicity_twin_sql(),
     }
+    # a pin-embedding twin resolves to None before gen_pins has run --
+    # drop it so the driver records a rows-only check instead of crashing
+    out = {k: v for k, v in out.items() if v is not None}
     # pinned golden oracles for non-SQL-expressible operators; a live SQL
     # twin above always wins over a pin of the same name
     for name, sql in _load_pins().items():

@@ -289,31 +289,71 @@ def brute_force_jaccard_pairs(
 
 # ─── SimHash ───
 
+def _batch_fnv64(tokens: list[bytes]) -> np.ndarray:
+    """FNV-1a of every token in one vectorized pass per byte position.
+
+    Tokens are right-padded into an (n, maxlen) uint8 matrix; position ``p``
+    updates only the tokens still active at ``p``, so the per-token byte
+    order (and therefore the hash) is identical to a scalar FNV loop."""
+    lens = np.fromiter((len(b) for b in tokens), dtype=np.int64,
+                       count=len(tokens))
+    if len(tokens) == 0 or lens.max(initial=0) == 0:
+        return np.full(len(tokens), 0xCBF29CE484222325, dtype=np.uint64)
+    arr = np.frombuffer(b"".join(tokens), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    buf = np.zeros((len(tokens), int(lens.max())), dtype=np.uint8)
+    rows = np.repeat(np.arange(len(tokens)), lens)
+    cols = np.arange(len(arr)) - np.repeat(starts, lens)
+    buf[rows, cols] = arr
+    h = np.full(len(tokens), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for p in range(buf.shape[1]):
+        active = lens > p
+        h[active] = (h[active] ^ buf[active, p].astype(np.uint64)) * prime
+    return h
+
+
 def make_simhash_udf(bits: int = 64):
-    """Series[str] -> 64-bit SimHash over whitespace tokens."""
+    """Series[str] -> 64-bit SimHash over whitespace tokens.
+
+    Batch-vectorized like the MinHash signature UDF: all tokens of the
+    Arrow batch are FNV-hashed in one vectorized pass (``_batch_fnv64``),
+    then each of the ``bits`` sign sums is one ``np.add.reduceat`` over the
+    flattened token array -- no per-row Python, O(n_tokens) memory."""
     mask = np.uint64((1 << bits) - 1) if bits < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
 
     @pandas_udf(LongType())
     def simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts.fillna("")):
-            toks = t.lower().split()
-            if not toks:
-                continue
-            hs = np.array([_poly64(tok) for tok in toks], dtype=np.uint64) & mask
-            bits_mat = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1)
-            v = np.where(bits_mat == 1, 1, -1).sum(axis=0)
-            h = np.uint64(0)
-            for j in np.nonzero(v > 0)[0]:
-                h |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(h)
-        return pd.Series(out)
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        tok_lists = [t.lower().split() for t in texts.fillna("")]
+        n_toks = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64,
+                             count=n)
+        flat = [tok.encode("utf-8") for tl in tok_lists for tok in tl]
+        nz = n_toks > 0
+        if not nz.any():
+            return pd.Series(out.view(np.int64))
+        hs = _batch_fnv64(flat) & mask
+        tok_ends = np.cumsum(n_toks)
+        segs = (tok_ends - n_toks)[nz]  # strictly increasing: rows nonempty
+        nz_counts = n_toks[nz]
+        hrow = np.zeros(int(nz.sum()), dtype=np.uint64)
+        for j in range(bits):  # each pass one fused vector chain
+            ones = np.add.reduceat((hs >> np.uint64(j)) & np.uint64(1), segs)
+            # sign sum v = (+1)*ones + (-1)*(n-ones) > 0  <=>  2*ones > n
+            hrow |= (2 * ones > nz_counts).astype(np.uint64) << np.uint64(j)
+        out[nz] = hrow
+        return pd.Series(out.view(np.int64))
 
     return simhash
 
 
 def _poly64(tok: str) -> int:
-    h = 0xCBF29CE484222325  # FNV-1a
+    """Scalar FNV-1a (the per-token reference ``_batch_fnv64`` must match)."""
+    h = 0xCBF29CE484222325
     for ch in tok.encode("utf-8"):
         h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h

@@ -506,3 +506,60 @@ def test_minhash_unsafe_explicit_bands_warns(docs):
         warnings.simplefilter("always")
         minhash_near_duplicates(docs, "doc_id", "text", threshold=0.6)
         assert not w  # derived geometry is always safe
+
+
+def test_batch_fnv_matches_scalar():
+    from sumi_agent_spark.operators.dedup import _batch_fnv64, _poly64
+
+    toks = ["hello", "", "a", "世界", "x" * 300, "mixed123", "日本語テスト"]
+    got = _batch_fnv64([t.encode("utf-8") for t in toks])
+    for t, h in zip(toks, got):
+        assert int(h) == _poly64(t), t
+    assert len(_batch_fnv64([])) == 0
+
+
+def test_simhash_udf_batch_matches_per_row(spark):
+    """The vectorized simhash must equal the scalar definition: sign of
+    the per-bit +-1 token sums under per-token FNV-1a."""
+    from sumi_agent_spark.operators.dedup import _poly64, make_simhash_udf
+
+    texts = [BASE, "", "   ", "one", "ONE one OnE", "日本語 テスト 文章",
+             BASE.replace("quick", "swift"), None, "\t\n", "a b c d e " * 50]
+
+    def scalar_simhash(t):
+        toks = (t or "").lower().split()
+        if not toks:
+            return 0
+        v = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = _poly64(tok)
+            for j in range(64):
+                v[j] += 1 if (h >> j) & 1 else -1
+        out = 0
+        for j in range(64):
+            if v[j] > 0:
+                out |= 1 << j
+        return np.uint64(out).astype(np.int64)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    sim = make_simhash_udf()
+    got = {r.doc_id: r.sh for r in
+           df.select("doc_id", sim("text").alias("sh")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == int(scalar_simhash(t)), (i, t)
+
+
+def test_ann_containment_contract_values(spark):
+    """The live cross-algorithm gate's expected values at the pin scale:
+    IVF top-10 fully contained in brute top-20, zero MinHash false
+    extras; hyperplane-LSH overlaps 1/10 on these isotropic random
+    embeddings (global top-k of barely-similar vectors spreads across
+    all buckets -- its cluster recall is gated separately above)."""
+    import __spark_entry__ as e
+
+    row = (e.queries()["ann_containment"](spark, "/root/testdata/sf0.01")
+           .collect()[0])
+    assert row.n_ivf_in_brute20 == 10
+    assert row.n_minhash_extra == 0
+    assert row.n_lsh_in_brute20 == 1

@@ -54,6 +54,8 @@ def main() -> int:
         pinned = {k for k in pins_doc if not k.startswith("_")}
     except FileNotFoundError:
         pin_sf, pinned = sf_dir, set()
+    # queries whose live twin embeds pinned values are pin-scale-bound too
+    pinned |= getattr(entrymod, "PIN_DEPENDENT", set())
     skip_pins = sf_dir.rstrip("/") != pin_sf.rstrip("/")
 
     failures = 0
