@@ -162,12 +162,68 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .filter(F.col("n_docs") > 1))
 
 
-def _banded_pairs(sig_df: DataFrame, id_col: str, bands: int,
-                  max_bucket_size: int) -> DataFrame:
-    """Self-join signature bands -> distinct candidate (id_a < id_b) pairs."""
+def _observe_capping(sized: DataFrame, observation, cap: int,
+                     count_col: str = "bucket_n") -> DataFrame:
+    """Attach recall-risk metrics for silently-capped LSH buckets.
+
+    Buckets larger than ``max_bucket_size`` are dropped before the
+    quadratic self-join -- the right 100 TB behavior, but invisible without
+    a counter.  Observed on the SAME pass as the join (zero extra scans;
+    Spark collects a reused subtree's metrics once even under self-join):
+
+    * ``n_capped_rows``    -- rows excluded from candidate generation;
+    * ``n_capped_buckets`` -- distinct dropped buckets, computed as
+      ``sum(1/bucket_n)`` over capped rows (each bucket contributes
+      ``bucket_n * 1/bucket_n = 1``; round float dust at read time);
+    * ``max_bucket_n``     -- hot-key ceiling, the skew early-warning.
+
+    Read with :func:`capped_bucket_metrics` after an action.
+
+    Known corner (measured, Spark 4.1): when the operator's FINAL output is
+    completely empty (every bucket capped / no pairs at all), the observed
+    subtree is skipped -- an inner hash join with an empty build side never
+    consumes its streamed side, and AQE's empty-relation re-plan drops the
+    CollectMetrics node -- so the metrics come back null.
+    :func:`capped_bucket_metrics` returns ``None`` for that case; use
+    :func:`minhash_bucket_audit` (one dedicated aggregation job) when an
+    exact answer is required for an empty-output run."""
+    n = F.col(count_col)
+    capped = n > max(cap, 0)
+    return sized.observe(
+        observation,
+        F.sum(capped.cast("long")).alias("n_capped_rows"),
+        F.sum(F.when(capped, 1.0 / n).otherwise(0.0))
+         .alias("n_capped_buckets"),
+        F.max(n).alias("max_bucket_n"))
+
+
+def capped_bucket_metrics(observation) -> Optional[dict]:
+    """Observation -> lineage-ready ints: {n_capped_rows, n_capped_buckets,
+    max_bucket_n}.  Call only after an action has executed the plan.
+
+    Returns ``None`` when the metrics never materialized -- the observed
+    subtree was pruned because the whole query produced zero rows (see
+    ``_observe_capping``) or the input itself was empty.  Callers that hit
+    ``None`` and need exact counts should run the audit path
+    (:func:`minhash_bucket_audit`)."""
+    try:
+        m = observation.get
+    except Exception:  # pruned CollectMetrics -> malformed/absent row
+        return None
+    if m.get("max_bucket_n") is None:  # aggregates saw zero rows
+        return None
+    return {
+        "n_capped_rows": int(m.get("n_capped_rows") or 0),
+        "n_capped_buckets": int(round(m.get("n_capped_buckets") or 0.0)),
+        "max_bucket_n": int(m.get("max_bucket_n") or 0),
+    }
+
+
+def _banded(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """Explode signatures into (doc_id, band, band_key) LSH bucket rows."""
     n_hashes_col = F.size("sig")
     rows_per_band = (n_hashes_col / bands).cast("int")
-    banded = (
+    return (
         sig_df
         .select(F.col(id_col).alias("doc_id"), "sig")
         .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
@@ -177,11 +233,19 @@ def _banded_pairs(sig_df: DataFrame, id_col: str, bands: int,
                         F.slice("sig", F.col("band") * rows_per_band + 1,
                                 rows_per_band).cast("array<string>"))))
         .select("doc_id", "band", "band_key"))
+
+
+def _banded_pairs(sig_df: DataFrame, id_col: str, bands: int,
+                  max_bucket_size: int, observation=None) -> DataFrame:
+    """Self-join signature bands -> distinct candidate (id_a < id_b) pairs."""
+    banded = _banded(sig_df, id_col, bands)
     from pyspark.sql.window import Window
 
     # cap pathological buckets before the quadratic self-join
     sized = banded.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "band_key")))
+    if observation is not None:
+        sized = _observe_capping(sized, observation, max_bucket_size)
     capped = sized.filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
     a = capped.alias("a")
     b = capped.alias("b")
@@ -220,8 +284,15 @@ def minhash_near_duplicates(
     bands: Optional[int] = None,
     shingle_k: int = 5,
     max_bucket_size: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, exact-verified by shingle Jaccard.
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to surface how
+    much the ``max_bucket_size`` recall cap actually dropped (see
+    :func:`_observe_capping` / :func:`capped_bucket_metrics`) -- at corpus
+    scale a silently-capped boilerplate bucket is a recall risk the
+    operator must be able to report into lineage.
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.  Output has no
     false positives; recall follows the (n_hashes, bands) S-curve.
@@ -258,7 +329,7 @@ def minhash_near_duplicates(
     shingles = make_shingle_udf(shingle_k)
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     sig = base.select("doc_id", minhash("text").alias("sig"))
-    pairs = _banded_pairs(sig, "doc_id", bands, max_bucket_size)
+    pairs = _banded_pairs(sig, "doc_id", bands, max_bucket_size, observation)
     sh = base.select("doc_id", shingles("text").alias("sh"))
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -268,6 +339,37 @@ def minhash_near_duplicates(
             .withColumn("jaccard", inter / union)
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def minhash_bucket_audit(
+    df: DataFrame, id_col: str, text_col: str,
+    threshold: float = 0.8, n_hashes: int = 128, bands: Optional[int] = None,
+    shingle_k: int = 5, max_bucket_size: int = 1000,
+) -> dict:
+    """Exact capping report as a dedicated aggregation job.
+
+    The observe-based counter (``observation=`` on
+    :func:`minhash_near_duplicates`) is free but unavailable when the run's
+    output is completely empty; this recomputes signatures and returns the
+    exact {n_capped_rows, n_capped_buckets, max_bucket_n} for the SAME
+    geometry.  One extra scan -- an audit tool, not the hot path."""
+    if bands is None:
+        bands = bands_for_threshold(threshold, n_hashes)
+    minhash = make_minhash_udf(n_hashes, shingle_k)
+    sig = df.select(F.col(id_col).alias("doc_id"),
+                    minhash(F.col(text_col)).alias("sig"))
+    sizes = (_banded(sig, "doc_id", bands)
+             .groupBy("band", "band_key").agg(F.count("*").alias("n")))
+    capped = F.col("n") > max_bucket_size
+    row = sizes.agg(
+        F.coalesce(F.sum(F.when(capped, F.col("n"))), F.lit(0))
+         .alias("n_capped_rows"),
+        F.coalesce(F.sum(capped.cast("long")), F.lit(0))
+         .alias("n_capped_buckets"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_n")).first()
+    return {"n_capped_rows": int(row["n_capped_rows"]),
+            "n_capped_buckets": int(row["n_capped_buckets"]),
+            "max_bucket_n": int(row["max_bucket_n"])}
 
 
 def brute_force_jaccard_pairs(
@@ -362,6 +464,7 @@ def _poly64(tok: str) -> int:
 def simhash_near_duplicates(
     df: DataFrame, id_col: str, text_col: str,
     max_hamming: int = 3, chunks: int = 4, max_bucket_size: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """SimHash near-dups: band the 64-bit hash into ``chunks`` pieces --
     pigeonhole: hamming <= chunks-1 guarantees one identical chunk -- then
@@ -380,6 +483,8 @@ def simhash_near_duplicates(
                           f"& {(1 << width) - 1}").cast("string"))))
     sized = chunked.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("chunk_key")))
+    if observation is not None:
+        sized = _observe_capping(sized, observation, max_bucket_size)
     capped = sized.filter(F.col("bucket_n") <= max_bucket_size)
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (a.join(b, "chunk_key")
@@ -399,6 +504,7 @@ def simhash_near_duplicates(
 def embedding_near_duplicates(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, n_planes: int = 16, max_bucket_size: int = 2000,
+    observation=None,
 ) -> DataFrame:
     """Near-identical embeddings via random-hyperplane LSH + exact cosine.
 
@@ -426,6 +532,8 @@ def embedding_near_duplicates(
                      bucket(F.col(vec_col)).alias("bkt"))
     sized = base.withColumn("bucket_n",
                             F.count("*").over(Window.partitionBy("bkt")))
+    if observation is not None:
+        sized = _observe_capping(sized, observation, max_bucket_size)
     capped = sized.filter(F.col("bucket_n") <= max_bucket_size)
     a, b = capped.alias("a"), capped.alias("b")
     dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),

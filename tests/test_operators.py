@@ -563,3 +563,100 @@ def test_ann_containment_contract_values(spark):
     assert row.n_ivf_in_brute20 == 10
     assert row.n_minhash_extra == 0
     assert row.n_lsh_in_brute20 == 1
+
+
+def test_minhash_capped_bucket_observed(spark, tmp_path):
+    """A pathological boilerplate bucket is dropped by max_bucket_size (the
+    right 100 TB behavior) but must be VISIBLE: the observation reports the
+    dropped buckets/rows on the same pass, and the counts land in a
+    lineage row a 100 TB operator can read for recall risk."""
+    from pyspark.sql import Observation
+
+    from sumi_agent_spark.operators.dedup import (
+        capped_bucket_metrics, minhash_near_duplicates)
+
+    hot = [(i, "boilerplate legal disclaimer common to every doc " * 3)
+           for i in range(20)]
+    near = [(100, BASE), (101, BASE.replace("quick", "swift"))]
+    df = spark.createDataFrame(hot + near, ["doc_id", "text"])
+    obs = Observation("minhash_capping")
+    pairs = minhash_near_duplicates(df, "doc_id", "text", threshold=0.6,
+                                    max_bucket_size=10, observation=obs)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)  # hot bucket fully capped out
+
+    m = capped_bucket_metrics(obs)
+    # threshold 0.6 derives 32 bands; the 20 identical docs form ONE
+    # over-cap bucket per band
+    assert m["n_capped_buckets"] == 32
+    assert m["n_capped_rows"] == 32 * 20
+    assert m["max_bucket_n"] == 20
+
+    path = str(tmp_path / "_lineage_guards")
+    spark.createDataFrame([{"stage": "minhash_near_dup", **m}]) \
+        .write.mode("append").parquet(path)
+    back = spark.read.parquet(path).collect()[0]
+    assert back.n_capped_buckets == 32 and back.max_bucket_n == 20
+
+
+def test_simhash_and_embedding_capping_observed(spark):
+    from pyspark.sql import Observation
+
+    from sumi_agent_spark.operators.dedup import (
+        capped_bucket_metrics, embedding_near_duplicates,
+        simhash_near_duplicates)
+
+    hot = [(i, "identical text for everyone here") for i in range(12)]
+    near = [(100, BASE), (101, BASE.replace("quick", "swift"))]
+    df = spark.createDataFrame(hot + near, ["doc_id", "text"])
+    obs = Observation("simhash_capping")
+    out = simhash_near_duplicates(df, "doc_id", "text", max_hamming=6,
+                                  max_bucket_size=5, observation=obs)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (100, 101) in pairs and all(a >= 100 for a, _ in pairs)
+    m = capped_bucket_metrics(obs)
+    # the 12 identical docs over-cap their bucket in each of the 4 chunks
+    assert m["n_capped_buckets"] == 4
+    assert m["n_capped_rows"] == 4 * 12
+    assert m["max_bucket_n"] == 12
+
+    rng = np.random.RandomState(7)
+    hot_v = [(i, [1.0, 0.5, -0.25, 2.0]) for i in range(12)]
+    other = [float(x) for x in rng.standard_normal(4)]
+    near_v = [(100, other), (101, [v * 1.0001 for v in other])]
+    edf = spark.createDataFrame(hot_v + near_v, ["vec_id", "embedding"])
+    eobs = Observation("emb_capping")
+    eout = embedding_near_duplicates(edf, max_bucket_size=5,
+                                     observation=eobs)
+    epairs = {(r.id_a, r.id_b) for r in eout.collect()}
+    assert (100, 101) in epairs and all(a >= 100 for a, _ in epairs)
+    em = capped_bucket_metrics(eobs)
+    assert em["n_capped_buckets"] == 1
+    assert em["n_capped_rows"] == 12
+    assert em["max_bucket_n"] == 12
+
+
+def test_capping_metrics_empty_output_corner(spark):
+    """When EVERYTHING is capped the final output is empty and Spark never
+    executes the observed subtree (empty-build-side join + AQE empty
+    propagation): capped_bucket_metrics must report None -- never a silent
+    zero -- and the dedicated audit job must return the exact counts."""
+    from pyspark.sql import Observation
+
+    from sumi_agent_spark.operators.dedup import (
+        capped_bucket_metrics, minhash_bucket_audit, minhash_near_duplicates)
+
+    df = spark.createDataFrame(
+        [(i, "boilerplate disclaimer " * 4) for i in range(20)],
+        ["doc_id", "text"])
+    obs = Observation("minhash_capping_empty")
+    pairs = minhash_near_duplicates(df, "doc_id", "text", threshold=0.8,
+                                    max_bucket_size=10, observation=obs)
+    assert pairs.count() == 0
+    assert capped_bucket_metrics(obs) is None
+
+    audit = minhash_bucket_audit(df, "doc_id", "text", threshold=0.8,
+                                 max_bucket_size=10)
+    assert audit == {"n_capped_rows": 16 * 20, "n_capped_buckets": 16,
+                     "max_bucket_n": 20}
