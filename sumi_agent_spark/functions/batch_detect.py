@@ -69,21 +69,23 @@ def _row_of(starts: list[int], lens: list[int], pos: int) -> int:
     return i
 
 
-def _rows_with_literals(lower_rows: list[str], markers: tuple[str, ...],
-                        big_l: str, starts_l: list[int]) -> list[int]:
+def _rows_with_literals(markers: tuple[str, ...], big_l: str,
+                        starts_l: list[int], lens_l: list[int]) -> list[int]:
     """Sorted row ids whose text contains any marker.
 
     Searches ONE concat built from the per-row lowercased texts with its
     own offset table (lowercasing can change string lengths -- e.g. U+0130
     -> 2 chars -- so offsets into a lowercase of the original concat would
-    misalign)."""
+    misalign).  After a hit the search jumps to the end of that row: later
+    occurrences inside the same row add nothing, and marker-dense rows
+    would otherwise cost one bisect per occurrence."""
     rows: set[int] = set()
-    lens_l = [len(t) for t in lower_rows]
     for mk in markers:
         p = big_l.find(mk)
         while p != -1:
-            rows.add(_row_of(starts_l, lens_l, p))
-            p = big_l.find(mk, p + 1)
+            i = bisect_right(starts_l, p) - 1
+            rows.add(i)
+            p = big_l.find(mk, max(p + 1, starts_l[i] + lens_l[i]))
     return sorted(rows)
 
 
@@ -101,10 +103,24 @@ class _RowSubsetScanner:
             off += len(p) + len(SEP)
 
     def match_rows(self, regex) -> set[int]:
+        """Rows with at least one match.  After a hit the search resumes at
+        the NEXT row's start: later matches in the same row add nothing,
+        and match-dense rules would otherwise pay one bisect per match.
+        ``pattern.search(s, pos)`` cannot see matches starting before
+        ``pos`` and matches never bridge rows (unbridgeable SEP), so the
+        hit set is identical to a full finditer pass."""
         out: set[int] = set()
-        for m in regex.finditer(self.win):
-            i = bisect_right(self.w_starts, m.start()) - 1
-            out.add(self.row_ids[i])
+        win, w_starts, row_ids = self.win, self.w_starts, self.row_ids
+        n, end = len(w_starts), len(win)
+        pos = 0
+        while pos <= end:
+            m = regex.search(win, pos)
+            if m is None:
+                break
+            i = bisect_right(w_starts, m.start()) - 1
+            out.add(row_ids[i])
+            nxt = w_starts[i + 1] if i + 1 < n else end + 1
+            pos = max(nxt, m.start() + 1)
         return out
 
 
@@ -137,24 +153,31 @@ def detect_all_batch(
     # the full concat
     digit_scanner: Optional[_RowSubsetScanner] = None
     if any(RULE_SCREENS.get(r.id) == "digit" for r in REGEX_RULES):
-        digit_rows = sorted({_row_of(starts, lens, m.start())
-                             for m in _DIGIT_RUN_RE.finditer(big)})
+        # per-row early-exit search beats one finditer over every digit
+        # occurrence of the concat (digit-dense batches pay per occurrence)
+        digit_rows = [i for i, t in enumerate(normed)
+                      if _DIGIT_RUN_RE.search(t)]
         digit_scanner = _RowSubsetScanner(normed, digit_rows)
 
+    lens_l = [len(t) for t in lower_rows]
+    # full-batch scanner for unscreened rules (reuses the existing concat)
+    full_scanner = _RowSubsetScanner.__new__(_RowSubsetScanner)
+    full_scanner.row_ids = list(range(n))
+    full_scanner.win = big
+    full_scanner.w_starts = starts
     rule_rows: list[list[int]] = []  # parallel to REGEX_RULES: candidate rows
     for rule in REGEX_RULES:
         screen = RULE_SCREENS.get(rule.id)
         if screen == "digit":
             rows = digit_scanner.match_rows(rule.regex)
         elif isinstance(screen, tuple):
-            cand = _rows_with_literals(lower_rows, screen, big_l, starts_l)
+            cand = _rows_with_literals(screen, big_l, starts_l, lens_l)
             if not cand:
                 rule_rows.append([])
                 continue
             rows = _RowSubsetScanner(normed, cand).match_rows(rule.regex)
         else:
-            rows = {_row_of(starts, lens, m.start())
-                    for m in rule.regex.finditer(big)}
+            rows = full_scanner.match_rows(rule.regex)
         rule_rows.append(sorted(rows))
 
     rules_per_row: list[list] = [[] for _ in range(n)]
@@ -163,14 +186,22 @@ def detect_all_batch(
             rules_per_row[r].append(rule)
 
     # ── gazetteer surnames: one first-char-class pass over the batch, then
-    # startswith checks against the ~1.3 surnames sharing that first char ──
-    row_surname_idx: list[set[int]] = [set() for _ in range(n)]
+    # startswith checks against the ~1.3 surnames sharing that first char.
+    # Row-local occurrence POSITIONS are carried to the per-row detector so
+    # it never rescans with str.find (first-char enumeration is
+    # overlap-inclusive, exactly what find-with-p+1 restarts yield, and a
+    # surname can never extend into SEP: no kanji there) ──
+    row_surname_pos: list[dict[int, list[int]]] = [{} for _ in range(n)]
     for m in _FIRST_CHAR_RE.finditer(big):
         p = m.start()
         for idx, sn in _SURNAMES_BY_FIRST[m.group(0)]:
             if big.startswith(sn, p):
-                row_surname_idx[_row_of(starts, lens, p)].add(idx)
-    surnames_per_row = [[SURNAMES[i] for i in sorted(s)] for s in row_surname_idx]
+                r = _row_of(starts, lens, p)
+                row_surname_pos[r].setdefault(idx, []).append(p - starts[r])
+    surnames_per_row = [[SURNAMES[i] for i in sorted(d)]
+                        for d in row_surname_pos]
+    positions_per_row = [{SURNAMES[i]: v for i, v in d.items()}
+                         for d in row_surname_pos]
 
     # ── pass-2 label screen ──
     label_rows: set[int] = set()
@@ -182,11 +213,14 @@ def detect_all_batch(
     for i, nt in enumerate(normed):
         dets: list[Detection] = []
         if rules_per_row[i]:
-            dets.extend(detect_regex(nt, current_year, rules=rules_per_row[i]))
+            dets.extend(detect_regex(nt, current_year,
+                                     rules=rules_per_row[i],
+                                     prescreened=True))
         if surnames_per_row[i] or i in label_rows:
             dets.extend(detect_japanese_names(
                 nt, surnames=surnames_per_row[i],
-                scan_labels=(i in label_rows)))
+                scan_labels=(i in label_rows),
+                surname_positions=positions_per_row[i]))
         if custom_keywords:
             dets.extend(detect_custom_keywords(nt, custom_keywords))
         seen: set[str] = set()

@@ -74,9 +74,19 @@ class Detection(NamedTuple):
 
 # ─── Normalization (detection.ts:15-23) ───
 
+_NORMALIZE_HIT_RE = re.compile(
+    "[" + "".join(re.escape(chr(k)) for k in NORMALIZE_TABLE) + "]")
+
+
 def normalize_text(text: str) -> str:
-    """Fullwidth digits/letters -> ASCII, ；-> ;, collapse space/tab runs."""
-    return MULTI_SPACE_RE.sub(" ", text.translate(NORMALIZE_TABLE))
+    """Fullwidth digits/letters -> ASCII, ；-> ;, collapse space/tab runs.
+
+    The dict-table ``str.translate`` costs a dict probe per character; a
+    C-level class scan gates it so the (typical) row with no fullwidth
+    chars pays one early-exit search instead -- byte-identical output."""
+    if _NORMALIZE_HIT_RE.search(text):
+        text = text.translate(NORMALIZE_TABLE)
+    return MULTI_SPACE_RE.sub(" ", text)
 
 
 # ─── Prefecture / kana helpers (detection.ts:273-397) ───
@@ -140,15 +150,23 @@ def detect_regex(
     text: str,
     current_year: int = DEFAULT_CURRENT_YEAR,
     rules: Optional[list] = None,
+    prescreened: bool = False,
 ) -> list[Detection]:
     """``rules`` restricts the catalog (batch screening, batch_detect.py);
-    emission semantics are unchanged -- callers pass rules in catalog order."""
+    emission semantics are unchanged -- callers pass rules in catalog order.
+    ``prescreened=True`` (batch layer only) skips the per-rule marker
+    checks: sound because the batch screen ran each rule's ACTUAL regex
+    over this row, so re-checking that the row contains the rule's marker
+    can never veto -- every match of a screened rule contains its marker."""
     out: list[Detection] = []
     seen: set[str] = set()
-    tl = text.lower()
-    has_digit = bool(HAS_DIGIT_RE.search(text))
-    pairs = (_RULES_WITH_SCREENS if rules is None
-             else [(r, RULE_SCREENS.get(r.id)) for r in rules])
+    if prescreened and rules is not None:
+        pairs = [(r, None) for r in rules]
+    else:
+        tl = text.lower()
+        has_digit = bool(HAS_DIGIT_RE.search(text))
+        pairs = (_RULES_WITH_SCREENS if rules is None
+                 else [(r, RULE_SCREENS.get(r.id)) for r in rules])
 
     for rule, screen in pairs:
         if screen == "digit":
@@ -224,6 +242,12 @@ _HAS_KANJI = re.compile(r"[一-鿿]")
 _GIVEN_SET = frozenset(GIVEN_NAMES)
 _GIVEN_IDX = {gn: i for i, gn in enumerate(GIVEN_NAMES)}
 _GIVEN_MAXLEN = max(len(g) for g in GIVEN_NAMES)
+_GIVEN_FIRST = frozenset(g[0] for g in GIVEN_NAMES)
+# literal alternation heads of NAME_ROLE_LABEL_BEFORE: a match must contain
+# one of these, so a row without any can skip the per-occurrence search
+_ROLE_LABEL_LITS = ("氏名", "名前", "担当", "著者", "記入者", "申請者",
+                    "連絡先", "責任者", "作成者", "報告者", "代表者", "上司",
+                    "部長", "課長", "主任", "対応者")
 _SURNAMES_BY_FIRST: dict[str, list[tuple[int, str]]] = {}
 for _i, _sn in enumerate(SURNAMES):
     _SURNAMES_BY_FIRST.setdefault(_sn[0], []).append((_i, _sn))
@@ -248,13 +272,27 @@ def _is_likely_name(s: str) -> bool:
     return True
 
 
+def _surname_occurrences(text: str, sn: str):
+    """Left-to-right (overlap-inclusive) occurrence positions of ``sn``."""
+    p = text.find(sn)
+    while p != -1:
+        yield p
+        p = text.find(sn, p + 1)
+
+
 def detect_japanese_names(
     text: str,
     surnames: Optional[list[str]] = None,
     scan_labels: bool = True,
+    surname_positions: Optional[dict] = None,
 ) -> list[Detection]:
     """``surnames``/``scan_labels`` restrict the scan (batch screening);
-    callers pass surnames in catalog order, semantics unchanged."""
+    callers pass surnames in catalog order, semantics unchanged.
+    ``surname_positions`` (batch layer) supplies each surname's
+    left-to-right occurrence positions so the per-row ``str.find`` rescans
+    are skipped -- the batch scan already proved every occurrence via
+    first-char + startswith, which enumerates exactly what ``find`` with
+    ``p + 1`` restarts would (overlap-inclusive)."""
     out: list[Detection] = []
     seen: set[str] = set()
     if surnames is None:
@@ -266,20 +304,27 @@ def detect_japanese_names(
             surnames = []
 
     # Pass 1: surname scan + given-name prefix / role-label fallback
+    has_role_label: Optional[bool] = None  # lazily computed once per call
     for sn in surnames:
-        p = text.find(sn)
-        while p != -1:
+        occ = (surname_positions.get(sn, ()) if surname_positions is not None
+               else _surname_occurrences(text, sn))
+        for p in occ:
             a = p + len(sn)
             ws = _LEADING_WS.match(text[a:a + 10])
             ns = a + (ws.end() if ws else 0)
             nr = text[ns:ns + 6]
             matched = False
             # all gazetteer given-names that prefix nr, in catalog order
-            # (equivalent to scanning GIVEN_NAMES with startswith)
-            cand = [g for g in (nr[:j] for j in range(1, min(_GIVEN_MAXLEN,
-                                                             len(nr)) + 1))
-                    if g in _GIVEN_SET]
-            cand.sort(key=_GIVEN_IDX.__getitem__)
+            # (equivalent to scanning GIVEN_NAMES with startswith); skip
+            # outright when nr cannot start any gazetteer given name
+            if nr and nr[0] in _GIVEN_FIRST:
+                cand = [g for g in (nr[:j]
+                                    for j in range(1, min(_GIVEN_MAXLEN,
+                                                          len(nr)) + 1))
+                        if g in _GIVEN_SET]
+                cand.sort(key=_GIVEN_IDX.__getitem__)
+            else:
+                cand = []
             for gn in cand:
                 full = text[p:ns + len(gn)]
                 k = f"name:{full}"
@@ -293,8 +338,11 @@ def detect_japanese_names(
                             confidence=0.92, enabled=True))
                         matched = True
             if not matched:
+                if has_role_label is None:
+                    has_role_label = any(lit in text
+                                         for lit in _ROLE_LABEL_LITS)
                 before30 = text[max(0, p - 30):p]
-                if NAME_ROLE_LABEL_BEFORE.search(before30):
+                if has_role_label and NAME_ROLE_LABEL_BEFORE.search(before30):
                     gm = _GIVEN_AFTER_LABEL.match(text[a:a + 8])
                     full_name = (text[p:a + gm.end()].strip() if gm else sn)
                     if _is_likely_name(full_name):
@@ -306,7 +354,6 @@ def detect_japanese_names(
                                 label="氏名（文脈）", category="name",
                                 value=full_name, source="dict",
                                 confidence=0.88, enabled=True))
-            p = text.find(sn, p + 1)
 
     # Pass 2: label-scan detection
     label_iter = NAME_LABEL_SCAN.finditer(text) if scan_labels else ()
@@ -420,13 +467,18 @@ def apply_redaction(
     ``reading_map`` overrides the per-document reading map -- used by the
     conversation-scoped grouped variant; the default (None) matches the
     reference's per-document scope exactly."""
-    if name_initial and reading_map is None:
+    # only detections that will actually replace something participate;
+    # filtering before the sort is equivalent to the reference's in-loop
+    # skip, and a row with none returns untouched without paying the
+    # reading-map scan or the sort
+    live = [d for d in dets if d.enabled and d.value and len(d.value) >= 2]
+    if not live:
+        return text
+    if name_initial and reading_map is None and \
+            any(d.category == "name" for d in live):
         reading_map = build_reading_map(text)
     r = text
-    for d in sorted((d for d in dets if d.enabled),
-                    key=lambda d: -len(d.value or "")):
-        if not d.value or len(d.value) < 2:
-            continue
+    for d in sorted(live, key=lambda d: -len(d.value)):
         if d.category == "name" and name_initial:
             replacement = (name_to_initial(d.value, reading_map)
                            or PLACEHOLDERS.get(d.type) or DEFAULT_PLACEHOLDER)

@@ -300,3 +300,20 @@ def test_merge_detections():
     merged = merge_detections(base, ai)
     assert len(merged) == 2
     assert any(d.value == "田中太郎" for d in merged)
+
+
+def test_role_label_precheck_covers_regex_alternation():
+    """The per-row literal precheck that gates NAME_ROLE_LABEL_BEFORE must
+    cover every alternation branch of the regex -- a new label added to the
+    pattern without updating _ROLE_LABEL_LITS would silently disable the
+    context-name fallback for it."""
+    import re as _re
+
+    from sumi_agent_spark.functions.oracle import _ROLE_LABEL_LITS
+    from sumi_agent_spark.functions.rules import NAME_ROLE_LABEL_BEFORE
+
+    m = _re.match(r"\(\?:(.+?)\)", NAME_ROLE_LABEL_BEFORE.pattern)
+    assert m, "pattern no longer starts with a literal alternation"
+    branches = m.group(1).split("|")
+    for b in branches:
+        assert any(lit in b for lit in _ROLE_LABEL_LITS), b
