@@ -38,3 +38,21 @@ def test_reference_parity(case):
     masked_init = apply_redaction(
         case["text"], dets, keep_prefecture=True, name_initial=True)
     assert masked_init == case["masked_name_initial"]
+
+
+# ── RTF strip parity: executed reference parseRTF chain vs the Python port ──
+
+RTF_GOLDEN = json.loads(
+    (Path(__file__).parent / "golden" / "rtf_golden.json").read_text())
+
+
+@pytest.mark.parametrize(
+    "case", RTF_GOLDEN["cases"], ids=[c["name"] for c in RTF_GOLDEN["cases"]])
+def test_rtf_strip_reference_parity(case):
+    """strip_rtf_text must reproduce the reference's parseRTF replace-chain
+    (executed verbatim from RedactPro.tsx by gen_reference_golden.mjs)
+    byte-for-byte on hex escapes, \\uNNNN (incl. ToUint16 wrap), nested
+    header groups, control-word forms, and brace/newline handling."""
+    from sumi_agent_spark.sources.ingest import strip_rtf_text
+
+    assert strip_rtf_text(case["rtf"]) == case["stripped"], case["name"]

@@ -124,3 +124,53 @@ writeFileSync(
   JSON.stringify({ current_year: new Date().getFullYear(), cases: out }, null, 1),
 )
 console.log(`wrote ${out.length} cases`)
+
+// ── RTF golden: execute the REFERENCE's own parseRTF replace-chain ──
+// parseRTF (RedactPro.tsx:1543-1563) is file-I/O wrapped; extract the exact
+// transformation body between `let result=text;` and `return{text:result`
+// and run it verbatim, so the golden anchors to executed reference code,
+// not a transcription.
+const tsx = readFileSync('/root/reference/src/app/RedactPro.tsx', 'utf8')
+const rtfMatch = tsx.match(
+  /async function parseRTF[\s\S]*?let result=text;([\s\S]*?)return\{text:result/)
+if (!rtfMatch) throw new Error('parseRTF body not found in RedactPro.tsx')
+const stripRtf = new Function('text', 'let result=text;' + rtfMatch[1] + 'return result;')
+
+const rtfProbes = [
+  // plain envelope
+  String.raw`{\rtf1\ansi{\fonttbl{\f0 Arial;}}{\colortbl;\red0\green0\blue0;}\f0 Hello World\par Second line}`,
+  // \'XX hex escapes (cp1252-ish bytes)
+  String.raw`{\rtf1 caf\'e9 and na\'efve\par}`,
+  // \uNNNN with trailing fallback '?'
+  '{\\rtf1 \\u26085?\\u26412?\\u35486? text}',
+  // \uNNNN with space separator, no fallback
+  '{\\rtf1 \\u12354 \\u12356 kana}',
+  // nested groups inside fonttbl
+  String.raw`{\rtf1{\fonttbl{\f0\froman Times{\falt Arial};}{\f1\fswiss Helv;}}body text\par}`,
+  // stylesheet + info groups
+  String.raw`{\rtf1{\stylesheet{\s0 Normal;}{\s1 Head;}}{\info{\title Secret}{\author Bob}}visible\par}`,
+  // \line, \tab, \pard vs \par
+  String.raw`{\rtf1 a\line b\tab c\pard d\par e}`,
+  // backslash-newline escape
+  '{\\rtf1 one\\\ntwo}',
+  // control words with numeric args and hyphens
+  String.raw`{\rtf1\fi-360\li720\sb100 indented\par}`,
+  // braces in running text + stray closers
+  String.raw`{\rtf1 some {grouped} text {\b bold} done}`,
+  // \u with ToUint16 wrap (70000 & 0xFFFF = 4464)
+  '{\\rtf1 wrap:\\u70000? end}',
+  // 3+ newline collapse after \par runs
+  String.raw`{\rtf1 a\par\par\par\par b}`,
+  // hex escape adjacent to control word
+  String.raw`{\rtf1\f0\'82\'a0 mixed\par}`,
+  // uppercase control words are NOT stripped by /\\[a-z]+/ (dialect probe)
+  String.raw`{\rtf1 \PAR stays}`,
+]
+const rtfOut = rtfProbes.map((text, i) => ({
+  name: `rtf_${String(i).padStart(2, '0')}`,
+  rtf: text,
+  stripped: stripRtf(text),
+}))
+writeFileSync('tests/golden/rtf_golden.json',
+  JSON.stringify({ cases: rtfOut }, null, 1))
+console.log(`wrote ${rtfOut.length} rtf cases`)
