@@ -123,6 +123,16 @@ def _warm(spark) -> None:
      .select(_noop(F.col("id").cast("int")).alias("x"))
      .agg(F.sum("x")).collect())
 
+    # warm the grouped-map (FlatMapGroupsInPandas) machinery too -- the
+    # blocked all-pairs kernel uses applyInPandas, whose first execution
+    # pays a separate JVM/Arrow compile path than scalar pandas UDFs
+    def _gnoop(key, pdf):
+        return pdf[["v"]]
+
+    (spark.range(64).select(F.col("id"), (F.col("id") % 4).alias("g"),
+                            F.lit(1.0).alias("v"))
+     .groupBy("g").applyInPandas(_gnoop, "v double").count())
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
