@@ -188,6 +188,42 @@ def deduplicate_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
             .drop("_fp"))
 
 
+def near_deduplicate_turns(
+    df: DataFrame, threshold: float = 0.8, text_col: str = "text",
+    observation=None, max_bucket_size: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """MinHash near-dedup for turns: drop every turn that has ANY
+    near-duplicate earlier in ``(conv_id, turn_idx)`` order.
+
+    The turn key is the ``(conv_id, turn_idx)`` struct itself -- structs
+    compare lexicographically in Spark, so the LSH pair orientation
+    ``id_a < id_b`` IS first-occurrence order and no surrogate id (with
+    its retry-nondeterminism or collision risk) is needed.  Keep-first via
+    pair-drop is the standard cheap policy: within a chained cluster
+    a~b~c (a !~ c) it drops both b and c (b has the earlier near-dup a,
+    c has b), i.e. it can over-drop relative to connected components but
+    never keeps two near-duplicates where one pair was detected.  Like
+    ``deduplicate_turns``, NULL/empty texts form one group (their padded
+    shingle sets are identical), so only the first survives.
+
+    Returns ``(deduped, drops)``.  ``drops`` is the small distinct set of
+    dropped keys: the caller should ``persist()`` it and run one action
+    (e.g. ``count()``) BEFORE consuming ``deduped`` -- that both fires
+    ``observation`` (the capped-bucket recall metrics; an anti-join whose
+    right side turns out empty would otherwise prune the observed subtree,
+    see ``operators.dedup._observe_capping``) and pins the drop set so
+    the expensive LSH subtree is not recomputed by the write pass."""
+    from ..operators.dedup import minhash_near_duplicates
+
+    keyed = df.withColumn("_nk", F.struct("conv_id", "turn_idx"))
+    pairs = minhash_near_duplicates(
+        keyed, "_nk", text_col, threshold=threshold,
+        observation=observation, max_bucket_size=max_bucket_size)
+    drops = pairs.select(F.col("id_b").alias("_nk")).distinct()
+    deduped = keyed.join(drops, "_nk", "left_anti").drop("_nk")
+    return deduped, drops
+
+
 def conversation_stats(df: DataFrame, salt: int = 16) -> DataFrame:
     """Per-conversation keep/drop/mask counters with two-phase salted agg."""
     partial = (
@@ -259,6 +295,7 @@ def run_pipeline(
     output_path: str,
     resume: bool = False,
     dedup: bool = False,
+    near_dedup_threshold: Optional[float] = None,
     drop_toxic_above: Optional[float] = None,
     min_line_ratio: float = 0.5,
     scrub_transform=scrub_transcripts,
@@ -269,7 +306,12 @@ def run_pipeline(
     ``resume=True`` anti-joins against keys already present in the output
     (idempotent restart per the north rule).  ``dedup=True`` drops
     exact-duplicate turns before the scrub stage (deterministic
-    first-occurrence winner).  ``drop_toxic_above`` (e.g. 0.3) drops turns
+    first-occurrence winner).  ``near_dedup_threshold`` (e.g. 0.8)
+    additionally drops MinHash-LSH near-duplicate turns (keep-first by
+    ``(conv_id, turn_idx)``; see :func:`near_deduplicate_turns`) and
+    writes the LSH recall-cap counters (``n_capped_buckets`` etc.,
+    observed on the drop-set materialization -- no extra input scan) to
+    the ``_lineage_neardup`` sidecar.  ``drop_toxic_above`` (e.g. 0.3) drops turns
     whose lexicon toxicity score exceeds the threshold, also pre-scrub so
     toxic turns never pay detection cost (operators/toxicity.py; NULL text
     scores 0 and is never dropped by this gate).
@@ -294,6 +336,23 @@ def run_pipeline(
         df = resume_filter(df, output_path)
     if dedup:
         df = deduplicate_turns(df)
+    nd_row = None
+    nd_drops = None
+    if near_dedup_threshold is not None:
+        from ..operators.dedup import capped_bucket_metrics
+        nd_obs = Observation("near_dedup_capping")
+        df, nd_drops = near_deduplicate_turns(
+            df, threshold=float(near_dedup_threshold), observation=nd_obs)
+        nd_drops.persist()
+        n_nd = nd_drops.count()  # fires the observation; pins the drop set
+        m = capped_bucket_metrics(nd_obs)
+        # metrics are None only when the LSH subtree was pruned (empty
+        # candidate set end to end) -- then nothing was capped either
+        nd_row = {"stage": "near_dedup", "n_dropped": n_nd,
+                  "n_capped_rows": m["n_capped_rows"] if m else 0,
+                  "n_capped_buckets": m["n_capped_buckets"] if m else 0,
+                  "max_bucket_n": m["max_bucket_n"] if m else 0,
+                  "metrics_observed": m is not None}
     if drop_toxic_above is not None:
         from ..operators.toxicity import toxicity_score_col
         df = df.filter(toxicity_score_col(F.col("text"))
@@ -327,10 +386,19 @@ def run_pipeline(
         lines_in // passes, lines_out // passes, min_line_ratio)
     spark.createDataFrame([guard_row]).write.mode("append").parquet(
         f"{output_path}/_lineage_guards")
+    if nd_row is not None:
+        # own sidecar: mixed schemas in one parquet dir read back unreliably
+        spark.createDataFrame([nd_row]).write.mode("append").parquet(
+            f"{output_path}/_lineage_neardup")
+        nd_drops.unpersist()
     wall = time.time() - t0
-    return {"rows": n, "wall_sec": round(wall, 3),
-            "rows_per_sec": round(n / wall, 1) if wall > 0 else None,
-            **{k: v for k, v in guard_row.items() if k != "stage"}}
+    stats = {"rows": n, "wall_sec": round(wall, 3),
+             "rows_per_sec": round(n / wall, 1) if wall > 0 else None,
+             **{k: v for k, v in guard_row.items() if k != "stage"}}
+    if nd_row is not None:
+        stats["n_near_dup_dropped"] = nd_row["n_dropped"]
+        stats["n_capped_buckets"] = nd_row["n_capped_buckets"]
+    return stats
 
 
 # note: run_pipeline's "rows" counts rows written by THIS invocation; under
@@ -351,6 +419,11 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dedup", action="store_true",
                     help="drop exact-duplicate turns before scrubbing")
+    ap.add_argument("--near-dedup-threshold", type=float, default=None,
+                    metavar="J", help="drop turns with a MinHash near-"
+                    "duplicate (shingle Jaccard >= J) earlier in "
+                    "(conv_id, turn_idx) order; capping metrics land in "
+                    "the _lineage_neardup sidecar")
     ap.add_argument("--drop-toxic-above", type=float, default=None,
                     metavar="T", help="drop turns with toxicity score > T")
     ap.add_argument("--cores", type=int, default=None)
@@ -370,6 +443,7 @@ def main() -> None:
         input_path = args.input
     stats = run_pipeline(spark, input_path, args.output, resume=args.resume,
                          dedup=args.dedup,
+                         near_dedup_threshold=args.near_dedup_threshold,
                          drop_toxic_above=args.drop_toxic_above)
     print(json.dumps(stats))
 

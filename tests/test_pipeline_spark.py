@@ -331,3 +331,64 @@ def test_pipeline_toxicity_gate(spark, tmp_path):
     keys = set(zip(got["conv_id"], got["turn_idx"]))
     assert keys == {("c1", 0), ("c2", 0)}   # both toxic turns gated out
     assert stats["rows_in"] == stats["rows_out"] == 2
+
+
+def test_near_deduplicate_turns(spark):
+    import datetime
+
+    from sumi_agent_spark.plans.pipeline import near_deduplicate_turns
+
+    ts = datetime.datetime(2025, 1, 1)
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the distant mountains and rivers flow")
+    rows = [
+        ("c0", 0, "user", base, "", ts),
+        ("c1", 3, "user", base.replace("quick", "swift"), "", ts),  # near-dup
+        ("c1", 4, "user", base, "", ts),                            # exact dup
+        ("c2", 0, "user", "a completely different discussion about query "
+                          "engines, shuffle partitioning and skew at scale",
+         "", ts),
+    ]
+    df = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    out, drops = near_deduplicate_turns(df, threshold=0.6)
+    keys = set(zip(*(lambda p: (p["conv_id"], p["turn_idx"]))(out.toPandas())))
+    # (c0, 0) is the first occurrence; its near/exact dups drop; c2 stays
+    assert keys == {("c0", 0), ("c2", 0)}
+    assert drops.count() == 2
+    # deterministic under repartitioning
+    out2, _ = near_deduplicate_turns(df.repartition(5), threshold=0.6)
+    assert set(zip(*(lambda p: (p["conv_id"], p["turn_idx"]))(out2.toPandas()))) == keys
+
+
+def test_run_pipeline_near_dedup_lineage(spark, fixture_pdf, tmp_path):
+    """--near-dedup drops near-duplicate turns and lands the LSH capping
+    counters in the _lineage_neardup sidecar (the 100 TB recall-risk
+    visibility VERDICT r2 asked for, consumed by the real pipeline)."""
+    import pandas as pd
+
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    pdf = fixture_pdf.head(80).copy()
+    # plant a near-duplicate of turn 0 late in the table
+    donor = pdf.iloc[0]
+    clone = donor.copy()
+    clone["conv_id"] = "zz_clone"
+    clone["turn_idx"] = 0
+    txt = str(donor["text"]) or "fallback text for the near duplicate turn"
+    clone["text"] = txt + " extra"
+    pdf = pd.concat([pdf, clone.to_frame().T], ignore_index=True)
+    pdf.to_parquet(inp, index=False)
+
+    stats = run_pipeline(spark, inp, out, near_dedup_threshold=0.6)
+    assert stats["n_near_dup_dropped"] >= 1
+    assert stats["rows"] == len(pdf) - stats["n_near_dup_dropped"]
+    nd = spark.read.parquet(f"{out}/_lineage_neardup").toPandas()
+    assert len(nd) == 1
+    assert nd.iloc[0]["stage"] == "near_dedup"
+    assert nd.iloc[0]["n_dropped"] == stats["n_near_dup_dropped"]
+    assert {"n_capped_rows", "n_capped_buckets", "max_bucket_n",
+            "metrics_observed"} <= set(nd.columns)
+    assert bool(nd.iloc[0]["metrics_observed"])  # pairs existed -> observed
+    # retention guards still exact after the pre-scrub drop
+    assert stats["rows_in"] == stats["rows_out"] == stats["rows"]

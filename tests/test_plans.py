@@ -88,3 +88,62 @@ def test_rtf_strip_filter_stays_below_udf(spark):
     arrow_pos = plan.index("ArrowEvalPython")
     filter_pos = plan.index("Filter ")
     assert filter_pos > arrow_pos  # deeper in the tree = earlier execution
+
+
+def _partition_filter(plan: str) -> "set[int] | None":
+    """Extract the IN-list of the scan's PartitionFilters, if any."""
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*IN \(([0-9,\s]+)\)", plan)
+    if not m:
+        return None
+    return {int(x) for x in m.group(1).split(",")}
+
+
+def test_ivf_lists_partition_pruning(spark, tmp_path):
+    """The IVF deployment story: persist the table partitioned by list_id
+    and an n_probe query prunes to exactly the probed partitions -- the
+    scan must carry partition filters and touch only those files."""
+    import numpy as np
+
+    from sumi_agent_spark.operators.similarity import (
+        assign_ivf_lists, ivf_topk, train_ivf_centroids)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cand = emb.filter(F.col("vec_id") > 0)
+    cents = train_ivf_centroids(cand, n_lists=8)
+    path = str(tmp_path / "ivf")
+    assign_ivf_lists(cand, cents).write.partitionBy("list_id").parquet(path)
+
+    indexed = spark.read.parquet(path)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    topk = ivf_topk(indexed, cents, [float(x) for x in q], k=5, n_probe=2)
+    pf = _partition_filter(_plan(topk))
+    qn = np.asarray(q, dtype=float)
+    qn = qn / np.linalg.norm(qn)
+    probe = set(np.argsort(-(cents @ qn))[:2].tolist())
+    assert pf is not None and pf == probe  # scan prunes to the probed lists
+    assert topk.count() > 0
+
+
+def test_lsh_bucket_partition_pruning(spark, tmp_path):
+    """Same story for the hyperplane-LSH index: bucket is the partition
+    key; a top-k probe reads only the query bucket + 1-bit neighbors."""
+    from sumi_agent_spark.operators.similarity import build_lsh_index, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    indexed, planes = build_lsh_index(emb.filter("vec_id > 0"),
+                                      dim=len(q), n_planes=4)
+    path = str(tmp_path / "lsh")
+    indexed.write.partitionBy("bucket").parquet(path)
+
+    on_disk = spark.read.parquet(path)
+    topk = lsh_topk(on_disk, planes, [float(x) for x in q], k=5)
+    pf = _partition_filter(_plan(topk))
+    # probed set = base bucket + 4 one-bit flips => exactly 5 buckets,
+    # fewer than the 16 on disk (pruning actually pruned)
+    assert pf is not None and len(pf) == 5
+    all_buckets = {int(f.split("bucket=")[1].split("/")[0])
+                   for f in on_disk.inputFiles()}
+    assert len(all_buckets) > 5
+    assert topk.count() > 0
