@@ -49,6 +49,18 @@ def _sq(s: str) -> str:
     return s.replace("'", "''")
 
 
+# Shared ANN/MinHash geometry: the pinned queries (lsh_topk, ivf_topk,
+# minhash_near_dup) and the live ann_containment gate MUST use identical
+# hyperparameters -- the gate's DuckDB twin embeds the pins, so a retune
+# applied to one side only would surface as a confusing hash mismatch
+# instead of the parameter drift it is.
+ANN_LSH_N_PLANES = 8
+ANN_IVF_N_LISTS = 16
+ANN_IVF_N_PROBE = 4
+ANN_TOP_K = 10
+MINHASH_THRESHOLD = 0.8
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -258,7 +270,8 @@ def _q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.95 at the threshold edge and ->1 above it."""
     from sumi_agent_spark.operators.dedup import minhash_near_duplicates
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.8)
+    pairs = minhash_near_duplicates(docs, "doc_id", "text",
+                                threshold=MINHASH_THRESHOLD)
     return pairs.select(
         "id_a", "id_b",
         F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_ppm"))
@@ -416,8 +429,8 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     indexed, planes = build_lsh_index(emb.filter("vec_id > 0"), dim=len(q),
-                                      n_planes=8)
-    topk = lsh_topk(indexed, planes, [float(x) for x in q], k=10)
+                                      n_planes=ANN_LSH_N_PLANES)
+    topk = lsh_topk(indexed, planes, [float(x) for x in q], k=ANN_TOP_K)
     return topk.select(
         "vec_id",
         F.round(F.col("cos_sim") * 1e6).cast("long").alias("cos_sim_ppm"))
@@ -431,10 +444,11 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_ivf_lists, ivf_topk, train_ivf_centroids)
     emb = _t(spark, sf_dir, "embeddings")
     cand = emb.filter(F.col("vec_id") > 0)
-    cents = train_ivf_centroids(cand, n_lists=16)
+    cents = train_ivf_centroids(cand, n_lists=ANN_IVF_N_LISTS)
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     topk = ivf_topk(assign_ivf_lists(cand, cents), cents,
-                    [float(x) for x in q], k=10, n_probe=4)
+                    [float(x) for x in q], k=ANN_TOP_K,
+                    n_probe=ANN_IVF_N_PROBE)
     return topk.select(
         "vec_id",
         F.round(F.col("cos_sim") * 1e6).cast("long").alias("cos_sim_ppm"))
@@ -483,18 +497,22 @@ def _q_ann_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(_cosine_col("embedding", qlit), 4).alias("c"))
                .orderBy(F.col("c").desc(), "vec_id").limit(20)
                .select("vec_id"))
-    indexed, planes = build_lsh_index(cand, dim=len(q), n_planes=8)
-    lsh_ids = lsh_topk(indexed, planes, qf, k=10).select("vec_id")
-    cents = train_ivf_centroids(cand, n_lists=16)
+    indexed, planes = build_lsh_index(cand, dim=len(q),
+                                      n_planes=ANN_LSH_N_PLANES)
+    lsh_ids = lsh_topk(indexed, planes, qf,
+                       k=ANN_TOP_K).select("vec_id")
+    cents = train_ivf_centroids(cand, n_lists=ANN_IVF_N_LISTS)
     ivf_ids = ivf_topk(assign_ivf_lists(cand, cents), cents, qf,
-                       k=10, n_probe=4).select("vec_id")
+                       k=ANN_TOP_K,
+                       n_probe=ANN_IVF_N_PROBE).select("vec_id")
     n_lsh = (lsh_ids.join(brute20, "vec_id", "left_semi")
              .agg(F.count("*").alias("n_lsh_in_brute20")))
     n_ivf = (ivf_ids.join(brute20, "vec_id", "left_semi")
              .agg(F.count("*").alias("n_ivf_in_brute20")))
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.8)
+    pairs = minhash_near_duplicates(docs, "doc_id", "text",
+                                threshold=MINHASH_THRESHOLD)
     sh = docs.select("doc_id", _ngram_shingles_col().alias("sh"))
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
@@ -502,7 +520,7 @@ def _q_ann_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = F.size(F.array_union("sa", "sb")).cast("double")
     n_extra = (pairs.join(sa, "id_a").join(sb, "id_b")
                .withColumn("jac", inter / uni)
-               .filter(F.col("jac") < 0.8)
+               .filter(F.col("jac") < MINHASH_THRESHOLD)
                .agg(F.count("*").alias("n_minhash_extra")))
     return n_lsh.crossJoin(n_ivf).crossJoin(n_extra)
 
@@ -707,8 +725,16 @@ def _ann_containment_twin_sql() -> "str | None":
         cols = pins[name]["columns"]
         return [r[cols.index(col)] for r in pins[name]["rows"]]
 
-    lsh_vals = ", ".join(f"({int(v)})" for v in ids_of("lsh_topk", "vec_id"))
-    ivf_vals = ", ".join(f"({int(v)})" for v in ids_of("ivf_topk", "vec_id"))
+    def id_values(name: str) -> tuple[str, str]:
+        """(VALUES body, WHERE suffix) -- `VALUES ()` is a syntax error,
+        so an empty pin renders as one NULL row filtered back out."""
+        ids = ids_of(name, "vec_id")
+        if not ids:
+            return "(NULL)", " WHERE vec_id IS NOT NULL"
+        return ", ".join(f"({int(v)})" for v in ids), ""
+
+    lsh_vals, lsh_where = id_values("lsh_topk")
+    ivf_vals, ivf_where = id_values("ivf_topk")
     mh_rows = list(zip(ids_of("minhash_near_dup", "id_a"),
                        ids_of("minhash_near_dup", "id_b")))
     mh_vals = ", ".join(f"({int(a)}, {int(b)})" for a, b in mh_rows) \
@@ -724,8 +750,8 @@ def _ann_containment_twin_sql() -> "str | None":
                      CAST(c.embedding AS DOUBLE[]),
                      CAST(q.embedding AS DOUBLE[])), 4) DESC, c.vec_id
           LIMIT 20),
-        lsh AS (SELECT * FROM (VALUES {lsh_vals}) AS t(vec_id)),
-        ivf AS (SELECT * FROM (VALUES {ivf_vals}) AS t(vec_id)),
+        lsh AS (SELECT * FROM (VALUES {lsh_vals}) AS t(vec_id){lsh_where}),
+        ivf AS (SELECT * FROM (VALUES {ivf_vals}) AS t(vec_id){ivf_where}),
         mh AS (SELECT * FROM (VALUES {mh_vals}) AS t(id_a, id_b){mh_where}),
         sh AS (SELECT doc_id,
                       list_distinct(list_transform(

@@ -102,6 +102,17 @@ class _RowSubsetScanner:
             self.w_starts.append(off)
             off += len(p) + len(SEP)
 
+    @classmethod
+    def from_prebuilt(cls, win: str, w_starts: list[int],
+                      row_ids: list[int]) -> "_RowSubsetScanner":
+        """Zero-copy constructor for an already-joined concat (the
+        full-batch scanner reuses ``big`` + its offset table)."""
+        self = cls.__new__(cls)
+        self.win = win
+        self.w_starts = w_starts
+        self.row_ids = row_ids
+        return self
+
     def match_rows(self, regex) -> set[int]:
         """Rows with at least one match.  After a hit the search resumes at
         the NEXT row's start: later matches in the same row add nothing,
@@ -161,10 +172,7 @@ def detect_all_batch(
 
     lens_l = [len(t) for t in lower_rows]
     # full-batch scanner for unscreened rules (reuses the existing concat)
-    full_scanner = _RowSubsetScanner.__new__(_RowSubsetScanner)
-    full_scanner.row_ids = list(range(n))
-    full_scanner.win = big
-    full_scanner.w_starts = starts
+    full_scanner = _RowSubsetScanner.from_prebuilt(big, starts, list(range(n)))
     rule_rows: list[list[int]] = []  # parallel to REGEX_RULES: candidate rows
     for rule in REGEX_RULES:
         screen = RULE_SCREENS.get(rule.id)

@@ -316,10 +316,17 @@ def minhash_near_duplicates(
     if bands is None:
         bands = bands_for_threshold(threshold, n_hashes)
     else:
-        rows_pb = n_hashes / bands
+        import warnings
+        # the EXECUTED geometry truncates rows/band (see _banded's
+        # int-cast slice); warn from that, not the fractional value
+        rows_pb = max(n_hashes // bands, 1)
+        if n_hashes % bands:
+            warnings.warn(
+                f"minhash n_hashes={n_hashes} is not divisible by "
+                f"bands={bands}: only {rows_pb * bands} hashes are used "
+                f"({n_hashes % bands} discarded).", stacklevel=2)
         midpoint = (1.0 / bands) ** (1.0 / rows_pb)
         if midpoint > threshold:
-            import warnings
             warnings.warn(
                 f"minhash bands={bands} puts the LSH S-curve midpoint "
                 f"({midpoint:.3f}) above threshold={threshold}: recall at "
@@ -391,29 +398,53 @@ def brute_force_jaccard_pairs(
 
 # ─── SimHash ───
 
-def _batch_fnv64(tokens: list[bytes]) -> np.ndarray:
-    """FNV-1a of every token in one vectorized pass per byte position.
+_FNV_VEC_MAXLEN = 256  # pad-matrix cutoff: beyond this, scalar FNV wins
 
-    Tokens are right-padded into an (n, maxlen) uint8 matrix; position ``p``
-    updates only the tokens still active at ``p``, so the per-token byte
-    order (and therefore the hash) is identical to a scalar FNV loop."""
-    lens = np.fromiter((len(b) for b in tokens), dtype=np.int64,
-                       count=len(tokens))
-    if len(tokens) == 0 or lens.max(initial=0) == 0:
-        return np.full(len(tokens), 0xCBF29CE484222325, dtype=np.uint64)
-    arr = np.frombuffer(b"".join(tokens), dtype=np.uint8)
-    ends = np.cumsum(lens)
-    starts = ends - lens
-    buf = np.zeros((len(tokens), int(lens.max())), dtype=np.uint8)
-    rows = np.repeat(np.arange(len(tokens)), lens)
-    cols = np.arange(len(arr)) - np.repeat(starts, lens)
-    buf[rows, cols] = arr
-    h = np.full(len(tokens), 0xCBF29CE484222325, dtype=np.uint64)
-    prime = np.uint64(0x100000001B3)
-    for p in range(buf.shape[1]):
-        active = lens > p
-        h[active] = (h[active] ^ buf[active, p].astype(np.uint64)) * prime
-    return h
+
+def _batch_fnv64(tokens: list[bytes]) -> np.ndarray:
+    """FNV-1a of every token; vectorized pass per byte position.
+
+    Tokens up to ``_FNV_VEC_MAXLEN`` bytes are right-padded into an
+    (n, maxlen) uint8 matrix and hashed with one vector op per byte
+    position -- identical byte order to a scalar FNV loop.  LONG tokens
+    (e.g. Japanese prose, where whitespace ``split()`` yields one token
+    per document, or base64 blobs) fall back to the scalar loop: padding
+    the matrix to the longest token would cost
+    O(n_tokens * longest_token) memory/time -- a single 1 MB unbroken
+    token in a 10k-doc batch would allocate gigabytes -- while the hybrid
+    stays O(total_bytes)."""
+    n = len(tokens)
+    out = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(b) for b in tokens), dtype=np.int64, count=n)
+    short = lens <= _FNV_VEC_MAXLEN
+    if short.any():
+        idx = np.nonzero(short)[0]
+        toks = [tokens[i] for i in idx]
+        slens = lens[idx]
+        maxlen = int(slens.max())
+        if maxlen > 0:
+            arr = np.frombuffer(b"".join(toks), dtype=np.uint8)
+            ends = np.cumsum(slens)
+            starts = ends - slens
+            buf = np.zeros((len(toks), maxlen), dtype=np.uint8)
+            rows = np.repeat(np.arange(len(toks)), slens)
+            cols = np.arange(len(arr)) - np.repeat(starts, slens)
+            buf[rows, cols] = arr
+            h = np.full(len(toks), 0xCBF29CE484222325, dtype=np.uint64)
+            prime = np.uint64(0x100000001B3)
+            for p in range(maxlen):
+                active = slens > p
+                h[active] = (h[active] ^ buf[active, p].astype(np.uint64)) \
+                    * prime
+            out[idx] = h
+    for i in np.nonzero(~short)[0]:
+        h = 0xCBF29CE484222325
+        for ch in tokens[i]:
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h
+    return out
 
 
 def make_simhash_udf(bits: int = 64):

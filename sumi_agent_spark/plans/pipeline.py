@@ -332,8 +332,14 @@ def run_pipeline(
 
     t0 = time.time()
     df = spark.read.parquet(input_path)
-    if resume:
-        df = resume_filter(df, output_path)
+    # dedup stages run BEFORE resume_filter: both pick winners by
+    # (conv_id, turn_idx) order over the FULL input, so a resumed run
+    # reproduces the uninterrupted run's winner set exactly.  The reverse
+    # order is wrong: if run 1 wrote turn A and crashed before A's
+    # duplicate B, a resume-filtered input no longer contains A, the
+    # (A, B) pair is never formed, and B survives -- the restart would
+    # not be idempotent.  Cost: resumed runs redo dedup over the full
+    # input, the right trade for deterministic output.
     if dedup:
         df = deduplicate_turns(df)
     nd_row = None
@@ -353,6 +359,14 @@ def run_pipeline(
                   "n_capped_buckets": m["n_capped_buckets"] if m else 0,
                   "max_bucket_n": m["max_bucket_n"] if m else 0,
                   "metrics_observed": m is not None}
+        # persist the recall-risk counters BEFORE the main write: a run
+        # that later trips the retention guard is exactly the run whose
+        # capping metrics an operator needs to see
+        # (own sidecar: mixed schemas in one parquet dir read unreliably)
+        spark.createDataFrame([nd_row]).write.mode("append").parquet(
+            f"{output_path}/_lineage_neardup")
+    if resume:
+        df = resume_filter(df, output_path)
     if drop_toxic_above is not None:
         from ..operators.toxicity import toxicity_score_col
         df = df.filter(toxicity_score_col(F.col("text"))
@@ -369,8 +383,24 @@ def run_pipeline(
         F.sum(_nonempty_lines(F.col("masked_text")).cast("long"))
          .alias("lines_out"))
 
-    n = write_with_lineage(ordered(scrubbed), output_path, stage="scrub")
-    m_in, m_out = in_obs.get, out_obs.get
+    try:
+        n = write_with_lineage(ordered(scrubbed), output_path, stage="scrub")
+    finally:
+        # the cached drop set must not outlive the run even when the
+        # write or a downstream guard raises (long-lived sessions)
+        if nd_drops is not None:
+            nd_drops.unpersist()
+
+    def _obs(o) -> dict:
+        # a fully-empty write (e.g. resume found no new keys) lets AQE
+        # empty-propagation prune the observed subtree; the metrics row is
+        # then absent and .get raises -- all-zero is the correct reading
+        try:
+            return o.get
+        except Exception:
+            return {}
+
+    m_in, m_out = _obs(in_obs), _obs(out_obs)
     # Both observations sit BELOW the range exchange, whose boundary-sampling
     # job executes the child plan an extra time -- every metric is scaled by
     # the same pass count, so the ==/ratio guards stay exact; normalize the
@@ -386,11 +416,6 @@ def run_pipeline(
         lines_in // passes, lines_out // passes, min_line_ratio)
     spark.createDataFrame([guard_row]).write.mode("append").parquet(
         f"{output_path}/_lineage_guards")
-    if nd_row is not None:
-        # own sidecar: mixed schemas in one parquet dir read back unreliably
-        spark.createDataFrame([nd_row]).write.mode("append").parquet(
-            f"{output_path}/_lineage_neardup")
-        nd_drops.unpersist()
     wall = time.time() - t0
     stats = {"rows": n, "wall_sec": round(wall, 3),
              "rows_per_sec": round(n / wall, 1) if wall > 0 else None,

@@ -660,3 +660,21 @@ def test_capping_metrics_empty_output_corner(spark):
                                  max_bucket_size=10)
     assert audit == {"n_capped_rows": 16 * 20, "n_capped_buckets": 16,
                      "max_bucket_n": 20}
+
+
+def test_minhash_non_divisor_bands_warns_with_real_geometry(docs):
+    """The executed geometry truncates rows/band; the safety warning must
+    use that, not the fractional midpoint (which would fire spuriously),
+    and must flag the silently-discarded hashes."""
+    import warnings
+
+    from sumi_agent_spark.operators.dedup import minhash_near_duplicates
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        # 128/48 -> 2 rows/band (96 hashes used), midpoint 0.144 <= 0.2
+        minhash_near_duplicates(docs, "doc_id", "text",
+                                threshold=0.2, n_hashes=128, bands=48)
+        msgs = [str(x.message) for x in w]
+        assert any("discarded" in m for m in msgs)
+        assert not any("midpoint" in m for m in msgs)  # geometry is safe

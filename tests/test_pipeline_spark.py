@@ -392,3 +392,37 @@ def test_run_pipeline_near_dedup_lineage(spark, fixture_pdf, tmp_path):
     assert bool(nd.iloc[0]["metrics_observed"])  # pairs existed -> observed
     # retention guards still exact after the pre-scrub drop
     assert stats["rows_in"] == stats["rows_out"] == stats["rows"]
+
+
+def test_near_dedup_idempotent_under_resume(spark, tmp_path):
+    """Dedup stages run on the FULL input before resume filtering: if run 1
+    wrote turn A and crashed before its near-duplicate B, the resumed run
+    must still form the (A, B) pair and drop B -- the final output equals
+    an uninterrupted run's."""
+    import datetime
+
+    import pandas as pd
+
+    ts = datetime.datetime(2025, 1, 1)
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the distant mountains and rivers flow")
+    a = {"conv_id": "a", "turn_idx": 0, "role": "user", "text": base,
+         "tool": "", "ts": ts}
+    b = {"conv_id": "b", "turn_idx": 0, "role": "user",
+         "text": base.replace("quick", "swift"), "tool": "", "ts": ts}
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+
+    def write(rows):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark-readable
+        pdf.to_parquet(inp, index=False)
+
+    write([a])  # run 1: A only
+    run_pipeline(spark, inp, out, near_dedup_threshold=0.6)
+    write([a, b])  # "crash", B arrives
+    stats = run_pipeline(spark, inp, out, resume=True,
+                         near_dedup_threshold=0.6)
+    final = spark.read.parquet(out).toPandas()
+    assert set(final["conv_id"]) == {"a"}  # B dropped, not resumed in
+    assert stats["rows"] == 0
