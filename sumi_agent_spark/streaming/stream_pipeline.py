@@ -52,6 +52,32 @@ def scrub_stream(stream: DataFrame, **scrub_kwargs) -> DataFrame:
     return scrub_transcripts(stream, **scrub_kwargs)
 
 
+def dedup_stream(
+    stream: DataFrame, watermark: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each normalized
+    text within the watermark horizon.
+
+    The streaming analog of ``plans.pipeline.deduplicate_turns``:
+    fingerprint = md5 of whitespace-normalized text (NULL coalesced to the
+    same sentinel, so NULL-text turns dedup against each other instead of
+    vanishing), deduplicated with ``dropDuplicatesWithinWatermark`` so the
+    dedup state is BOUNDED by the event-time horizon -- an unbounded
+    ``dropDuplicates`` would grow state forever on a 100 TB backfill.
+    Semantics difference vs batch, stated plainly: batch picks the
+    (conv_id, turn_idx)-minimal winner; a stream cannot know future
+    arrivals, so the winner is the first ARRIVAL, and duplicates separated
+    by more than the watermark are NOT collapsed (horizon trade-off)."""
+    fp = F.md5(F.coalesce(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "),
+        F.lit("\x00<null-text>")))
+    return (stream.withColumn("_fp", fp)
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["_fp"])
+            .drop("_fp"))
+
+
 def windowed_conversation_counts(
     scrubbed: DataFrame,
     watermark: str = "10 minutes",

@@ -231,3 +231,36 @@ def test_csv_blank_rows_use_js_trim_set(spark):
         ["x", "y"])
     lines = [r["line"] for r in csv_to_pipe_lines(df).collect()]
     assert lines == ["a | "]
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup keeps one row per normalized text within the
+    watermark horizon; NULL-text rows dedup against each other (the same
+    sentinel rule as the batch deduplicate_turns)."""
+    import datetime
+
+    from sumi_agent_spark.streaming.stream_pipeline import (
+        TRANSCRIPT_SCHEMA, dedup_stream, read_transcript_stream)
+
+    ts = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "同じ  本文 です", "", ts),
+        ("c1", 1, "user", "同じ 本文  です", "", ts),   # ws-variant duplicate
+        ("c2", 0, "user", "別の本文です", "", ts),
+        ("c3", 0, "user", None, "", ts),
+        ("c3", 1, "user", None, "", ts),               # NULL-text duplicate
+    ]
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(in_dir)
+
+    stream = read_transcript_stream(spark, in_dir)
+    q = (dedup_stream(stream).writeStream
+         .format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == 3  # one per distinct normalized text (incl. NULL)
+    texts = set(got["text"].fillna("<null>"))
+    assert "<null>" in texts and "別の本文です" in texts
