@@ -317,9 +317,14 @@ def minhash_near_duplicates(
         bands = bands_for_threshold(threshold, n_hashes)
     else:
         import warnings
+        if bands > n_hashes:
+            # rows/band truncates to 0: every band key collapses to the
+            # hash of an empty slice and the self-join goes all-pairs
+            raise ValueError(
+                f"minhash bands={bands} exceeds n_hashes={n_hashes}")
         # the EXECUTED geometry truncates rows/band (see _banded's
         # int-cast slice); warn from that, not the fractional value
-        rows_pb = max(n_hashes // bands, 1)
+        rows_pb = n_hashes // bands
         if n_hashes % bands:
             warnings.warn(
                 f"minhash n_hashes={n_hashes} is not divisible by "

@@ -678,3 +678,13 @@ def test_minhash_non_divisor_bands_warns_with_real_geometry(docs):
         msgs = [str(x.message) for x in w]
         assert any("discarded" in m for m in msgs)
         assert not any("midpoint" in m for m in msgs)  # geometry is safe
+
+
+def test_minhash_bands_exceeding_hashes_rejected(docs):
+    """bands > n_hashes truncates rows/band to 0 -- every band key would
+    collapse to the empty-slice hash and the self-join goes all-pairs."""
+    from sumi_agent_spark.operators.dedup import minhash_near_duplicates
+
+    with pytest.raises(ValueError, match="exceeds"):
+        minhash_near_duplicates(docs, "doc_id", "text",
+                                threshold=0.5, n_hashes=128, bands=256)
