@@ -134,6 +134,21 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_docs"))
 
 
+def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact_duplicates REPORT operator (bounded hot groups).  The raw
+    sf texts are all unique, so the query groups on the 20-char prefix --
+    that induces real duplicate groups (incl. size-3 ones, so max_ids=2
+    exercises the id cap).  doc_ids fold to a hash for exact comparison."""
+    from sumi_agent_spark.operators.dedup import exact_duplicates
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 20).alias("text"))
+    out = exact_duplicates(docs, "doc_id", "text", max_ids=2)
+    return out.select(
+        "text_hash", "n_docs",
+        F.md5(F.concat_ws(",", F.col("doc_ids").cast("array<string>")))
+         .alias("ids_hash"))
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counts \\S+ runs, the same definition as operators/textstats
     token_counts AND the DuckDB twin (trim+split miscounts text bounded by
@@ -424,7 +439,9 @@ def _q_lang_id_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: hyperplane-LSH bucketed top-k (rows-only)."""
+    """ANN scale path: hyperplane-LSH bucketed top-k (pinned golden oracle;
+    LSH banding is not SQL-expressible, and the pinned output is grounded
+    live against brute-force ground truth by ``ann_containment``)."""
     from sumi_agent_spark.operators.similarity import build_lsh_index, lsh_topk
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -551,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_length": _q_quality_length,
         "lang_gate": _q_lang_gate,
         "exact_dedup": _q_exact_dedup,
+        "exact_dup_groups": _q_exact_dup_groups,
         "token_stats": _q_token_stats,
         "doc_source_stats": _q_doc_source_stats,
         "events_by_type": _q_events_by_type,
@@ -771,7 +789,7 @@ def _ann_containment_twin_sql() -> "str | None":
                (SELECT count(*) FROM ivf
                 WHERE vec_id IN (SELECT vec_id FROM brute20))::BIGINT
                  AS n_ivf_in_brute20,
-               (SELECT count(*) FROM jac WHERE j < 0.8)::BIGINT
+               (SELECT count(*) FROM jac WHERE j < {MINHASH_THRESHOLD})::BIGINT
                  AS n_minhash_extra
     """
 
@@ -839,6 +857,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_unique_texts,
                    sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_docs
             FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+        """,
+        "exact_dup_groups": """
+            SELECT md5(substr(text, 1, 20)) AS text_hash,
+                   count(*) AS n_docs,
+                   md5(array_to_string(list_transform(
+                         list_slice(list_sort(list(doc_id)), 1, 2),
+                         x -> CAST(x AS VARCHAR)), ',')) AS ids_hash
+            FROM documents
+            GROUP BY md5(substr(text, 1, 20))
+            HAVING count(*) > 1
         """,
         "token_stats": r"""
             SELECT sum(n)::BIGINT AS total_tokens,

@@ -152,13 +152,34 @@ def make_jaccard_udf(shingle_k: int = 5):
     return jaccard
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Groups of byte-identical texts: (text_hash, n_docs, doc_ids)."""
-    return (df.select(F.md5(F.col(text_col)).alias("text_hash"),
-                      F.col(id_col).alias("doc_id"))
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str,
+                     max_ids: int = 100) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, doc_ids).
+
+    ``n_docs`` is exact; ``doc_ids`` holds only the ``max_ids`` smallest
+    ids of the group.  LLM corpora are exactly where one boilerplate string
+    ("OK", an empty tool result, a license header) repeats 10^8-10^9 times;
+    an uncapped ``collect_list`` would materialize that group as a single
+    10^8-element array in one aggregation buffer -> executor OOM.  Note a
+    post-hoc ``slice(collect_list(...))`` would NOT fix that (the full
+    array is still built before the slice); instead rows are ranked with a
+    per-group ``row_number`` (an external spillable sort, never an in-memory
+    array) and only ranks <= ``max_ids`` enter the collect -- the
+    aggregation buffer is bounded by construction.  The rank window and the
+    group-by share the ``text_hash`` partitioning, so this costs the same
+    single exchange as the uncapped version."""
+    from pyspark.sql.window import Window
+
+    hashed = df.select(F.md5(F.col(text_col)).alias("text_hash"),
+                       F.col(id_col).alias("doc_id"))
+    rn = F.row_number().over(
+        Window.partitionBy("text_hash").orderBy("doc_id"))
+    return (hashed.withColumn("_rn", rn)
             .groupBy("text_hash")
             .agg(F.count("*").alias("n_docs"),
-                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+                 F.sort_array(F.collect_list(
+                     F.when(F.col("_rn") <= max_ids, F.col("doc_id"))))
+                  .alias("doc_ids"))
             .filter(F.col("n_docs") > 1))
 
 
@@ -404,47 +425,55 @@ def brute_force_jaccard_pairs(
 # ─── SimHash ───
 
 _FNV_VEC_MAXLEN = 256  # pad-matrix cutoff: beyond this, scalar FNV wins
+# power-of-two pad widths: every token pads to <2x its own length (8 B
+# floor), so the pad matrices stay O(total_bytes + 8*n_tokens) even when
+# one near-cutoff token shares a batch with millions of tiny ones --
+# padding all short tokens to the longest SHORT token would be
+# O(n_tokens * 256) there, gigabytes per task on real corpora
+_FNV_TIERS = (8, 16, 32, 64, 128, _FNV_VEC_MAXLEN)
 
 
 def _batch_fnv64(tokens: list[bytes]) -> np.ndarray:
     """FNV-1a of every token; vectorized pass per byte position.
 
-    Tokens up to ``_FNV_VEC_MAXLEN`` bytes are right-padded into an
-    (n, maxlen) uint8 matrix and hashed with one vector op per byte
-    position -- identical byte order to a scalar FNV loop.  LONG tokens
-    (e.g. Japanese prose, where whitespace ``split()`` yields one token
-    per document, or base64 blobs) fall back to the scalar loop: padding
-    the matrix to the longest token would cost
-    O(n_tokens * longest_token) memory/time -- a single 1 MB unbroken
-    token in a 10k-doc batch would allocate gigabytes -- while the hybrid
-    stays O(total_bytes)."""
+    Tokens up to ``_FNV_VEC_MAXLEN`` bytes are bucketed into power-of-two
+    length tiers, right-padded into one (n_tier, tier_width) uint8 matrix
+    per tier, and hashed with one vector op per byte position -- identical
+    byte order to a scalar FNV loop, with pad overhead bounded at <2x per
+    token (8-byte floor) instead of pad-to-longest.  LONG tokens (e.g.
+    Japanese prose, where whitespace ``split()`` yields one token per
+    document, or base64 blobs) fall back to the scalar loop: their O(len)
+    cost dominates any vectorization win and exempting them keeps total
+    memory O(total_bytes + n_tokens)."""
     n = len(tokens)
     out = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
     if n == 0:
         return out
     lens = np.fromiter((len(b) for b in tokens), dtype=np.int64, count=n)
-    short = lens <= _FNV_VEC_MAXLEN
-    if short.any():
-        idx = np.nonzero(short)[0]
+    prime = np.uint64(0x100000001B3)
+    lo = 0  # zero-length tokens hash to the FNV basis = out's prefill
+    for hi in _FNV_TIERS:
+        sel = (lens > lo) & (lens <= hi)
+        lo = hi
+        if not sel.any():
+            continue
+        idx = np.nonzero(sel)[0]
         toks = [tokens[i] for i in idx]
         slens = lens[idx]
-        maxlen = int(slens.max())
-        if maxlen > 0:
-            arr = np.frombuffer(b"".join(toks), dtype=np.uint8)
-            ends = np.cumsum(slens)
-            starts = ends - slens
-            buf = np.zeros((len(toks), maxlen), dtype=np.uint8)
-            rows = np.repeat(np.arange(len(toks)), slens)
-            cols = np.arange(len(arr)) - np.repeat(starts, slens)
-            buf[rows, cols] = arr
-            h = np.full(len(toks), 0xCBF29CE484222325, dtype=np.uint64)
-            prime = np.uint64(0x100000001B3)
-            for p in range(maxlen):
-                active = slens > p
-                h[active] = (h[active] ^ buf[active, p].astype(np.uint64)) \
-                    * prime
-            out[idx] = h
-    for i in np.nonzero(~short)[0]:
+        arr = np.frombuffer(b"".join(toks), dtype=np.uint8)
+        ends = np.cumsum(slens)
+        starts = ends - slens
+        buf = np.zeros((len(toks), int(slens.max())), dtype=np.uint8)
+        rows = np.repeat(np.arange(len(toks)), slens)
+        cols = np.arange(len(arr)) - np.repeat(starts, slens)
+        buf[rows, cols] = arr
+        h = np.full(len(toks), 0xCBF29CE484222325, dtype=np.uint64)
+        for p in range(buf.shape[1]):
+            active = slens > p
+            h[active] = (h[active] ^ buf[active, p].astype(np.uint64)) \
+                * prime
+        out[idx] = h
+    for i in np.nonzero(lens > _FNV_VEC_MAXLEN)[0]:
         h = 0xCBF29CE484222325
         for ch in tokens[i]:
             h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF

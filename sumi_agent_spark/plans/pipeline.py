@@ -345,20 +345,31 @@ def run_pipeline(
     nd_row = None
     nd_drops = None
     if near_dedup_threshold is not None:
-        from ..operators.dedup import capped_bucket_metrics
+        from ..operators.dedup import (
+            capped_bucket_metrics, minhash_bucket_audit)
         nd_obs = Observation("near_dedup_capping")
+        df_pre_nd = df
         df, nd_drops = near_deduplicate_turns(
             df, threshold=float(near_dedup_threshold), observation=nd_obs)
         nd_drops.persist()
         n_nd = nd_drops.count()  # fires the observation; pins the drop set
         m = capped_bucket_metrics(nd_obs)
-        # metrics are None only when the LSH subtree was pruned (empty
-        # candidate set end to end) -- then nothing was capped either
+        metrics_observed = m is not None
+        if m is None:
+            # the observed subtree was pruned: the run produced zero LSH
+            # pairs end to end -- which happens both when nothing was
+            # capped AND when EVERY bucket was capped, so writing zeros
+            # here would lie in exactly the pathological run this counter
+            # exists to surface.  Recount exactly with one dedicated audit
+            # job (rare path only; the hot path stays zero-extra-scan).
+            m = minhash_bucket_audit(
+                df_pre_nd.withColumn("_nk", F.struct("conv_id", "turn_idx")),
+                "_nk", "text", threshold=float(near_dedup_threshold))
         nd_row = {"stage": "near_dedup", "n_dropped": n_nd,
-                  "n_capped_rows": m["n_capped_rows"] if m else 0,
-                  "n_capped_buckets": m["n_capped_buckets"] if m else 0,
-                  "max_bucket_n": m["max_bucket_n"] if m else 0,
-                  "metrics_observed": m is not None}
+                  "n_capped_rows": m["n_capped_rows"],
+                  "n_capped_buckets": m["n_capped_buckets"],
+                  "max_bucket_n": m["max_bucket_n"],
+                  "metrics_observed": metrics_observed}
         # persist the recall-risk counters BEFORE the main write: a run
         # that later trips the retention guard is exactly the run whose
         # capping metrics an operator needs to see

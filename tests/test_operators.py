@@ -57,6 +57,17 @@ def test_exact_duplicates(docs):
     assert list(out.iloc[0]["doc_ids"]) == [0, 1, 2, 3]
 
 
+def test_exact_duplicates_caps_hot_group(spark):
+    # 1e5 byte-identical texts (the "OK"-boilerplate shape of LLM corpora):
+    # n_docs stays exact while doc_ids is bounded at max_ids smallest ids
+    big = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate OK").alias("text"))
+    out = exact_duplicates(big, "doc_id", "text", max_ids=5).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_docs"] == 100_000
+    assert list(out.iloc[0]["doc_ids"]) == [0, 1, 2, 3, 4]
+
+
 def test_minhash_lsh_matches_brute_force(docs):
     brute = brute_force_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
     lsh = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.6,
@@ -516,6 +527,23 @@ def test_batch_fnv_matches_scalar():
     for t, h in zip(toks, got):
         assert int(h) == _poly64(t), t
     assert len(_batch_fnv64([])) == 0
+
+
+def test_batch_fnv_tier_boundaries_and_mix():
+    """Every pad-tier boundary (8/16/.../256, +-1) and the ADVICE scenario
+    -- one near-cutoff token among many tiny ones -- must hash identically
+    to the scalar loop; the tiered padding is a pure memory optimization."""
+    from sumi_agent_spark.operators.dedup import (
+        _FNV_TIERS, _batch_fnv64, _poly64)
+
+    toks = []
+    for w in _FNV_TIERS:
+        for d in (-1, 0, 1):
+            toks.append("b" * (w + d))
+    toks += ["x"] * 1000 + ["y" * 250] + ["z"] * 1000  # mixed-tier batch
+    got = _batch_fnv64([t.encode("utf-8") for t in toks])
+    for t, h in zip(toks, got):
+        assert int(h) == _poly64(t), len(t)
 
 
 def test_simhash_udf_batch_matches_per_row(spark):

@@ -394,6 +394,38 @@ def test_run_pipeline_near_dedup_lineage(spark, fixture_pdf, tmp_path):
     assert stats["rows_in"] == stats["rows_out"] == stats["rows"]
 
 
+def test_run_pipeline_near_dedup_all_capped_audit(spark, tmp_path):
+    """ADVICE r3: when every LSH bucket is capped the observed subtree is
+    pruned (zero pairs end to end) and the sidecar used to record zeros --
+    in the one run where the recall counters matter most.  The audit
+    fallback must record the TRUE capping, flagged metrics_observed=False."""
+    import datetime
+
+    import pandas as pd
+
+    ts = datetime.datetime(2025, 1, 1)
+    text = ("an identical boilerplate turn repeated beyond the bucket cap "
+            "so every minhash band bucket exceeds max_bucket_size")
+    n = 1001  # max_bucket_size defaults to 1000 -> every bucket capped
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i:05d}" for i in range(n)],
+        "turn_idx": 0, "role": "user", "text": text, "tool": "",
+        "ts": pd.Series([ts] * n, dtype="datetime64[us]")})
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    pdf.to_parquet(inp, index=False)
+
+    stats = run_pipeline(spark, inp, out, near_dedup_threshold=0.8)
+    assert stats["n_near_dup_dropped"] == 0  # every candidate capped away
+    nd = spark.read.parquet(f"{out}/_lineage_neardup").toPandas()
+    assert len(nd) == 1
+    assert not bool(nd.iloc[0]["metrics_observed"])
+    # threshold 0.8 derives 16 bands; one hot bucket per band
+    assert nd.iloc[0]["n_capped_buckets"] == 16
+    assert nd.iloc[0]["n_capped_rows"] == 16 * n
+    assert nd.iloc[0]["max_bucket_n"] == n
+
+
 def test_near_dedup_idempotent_under_resume(spark, tmp_path):
     """Dedup stages run on the FULL input before resume filtering: if run 1
     wrote turn A and crashed before its near-duplicate B, the resumed run
