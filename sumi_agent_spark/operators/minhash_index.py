@@ -1,0 +1,250 @@
+"""Persisted MinHash signature index for incremental (cross-run) near-dedup.
+
+The 100 TB operation is NOT "re-dedup the whole corpus every day" -- it is
+"dedup today's 1-5 TB ingest slice against the existing corpus" (SCALE.md's
+layout section).  This module persists the reusable halves of
+``operators.dedup.minhash_near_duplicates`` so a new slice joins against
+them instead of recomputing the corpus:
+
+* ``bands/``    -- the LSH bucket rows ``(doc_id, band, band_key)``,
+  partitioned by ``band`` so the banded join co-locates by bucket files;
+* ``shingles/`` -- each doc's unique shingle-hash array, the verify-stage
+  input (exact Jaccard runs JVM-side via ``array_intersect`` exactly like
+  the batch operator, with no access to the original corpus text);
+* ``meta/``     -- one row pinning the geometry (n_hashes, bands,
+  shingle_k, threshold).  Geometry is part of the index identity: a slice
+  signed with different hashes can never match the persisted buckets, so a
+  mismatch raises instead of silently returning zero pairs.
+
+Incremental candidate generation joins NEW x (OLD union NEW) -- new-vs-new
+plus new-vs-corpus pairs, never old-vs-old (the corpus was already deduped
+when it entered the index).  Bucket capping counts the FULL bucket (old +
+new rows): a boilerplate bucket is hot regardless of which run its rows
+arrived in, and using the full size keeps the incremental run's candidate
+set exactly equal to what a full-corpus run would generate for the same
+pairs (proven in tests/test_minhash_index.py).
+
+Storage cost, stated honestly: ``shingles/`` stores one 8-byte hash per
+unique k-gram, i.e. roughly ``8 x n_chars`` per document -- a multiple of
+the compressed text size.  That is the price of EXACT verification without
+re-reading corpus text; deployments that keep the corpus queryable can
+instead drop ``shingles/`` and re-derive the verify arrays from the corpus
+table (same ``make_shingle_udf``), trading a text re-scan of candidate docs
+for the storage.  The signatures themselves (n_hashes x 8 B) are NOT
+stored: ``bands/`` is the only part the join needs, and it is smaller.
+
+Determinism: the hash family derives from the same fixed seed as the batch
+operator, so signatures computed in different runs are bit-identical.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    _banded,
+    _observe_capping,
+    bands_for_threshold,
+    make_minhash_udf,
+    make_shingle_udf,
+)
+
+
+def _read_meta(spark: SparkSession, index_path: str) -> dict:
+    row = spark.read.parquet(f"{index_path}/meta").first()
+    return {k: row[k] for k in
+            ("n_hashes", "bands", "shingle_k", "threshold")}
+
+
+def write_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    threshold: float = 0.8,
+    n_hashes: int = 128,
+    bands: Optional[int] = None,
+    shingle_k: int = 5,
+) -> dict:
+    """Create a MinHash index at ``index_path`` from a (deduped) corpus.
+
+    Computes signatures once and writes both the banded LSH rows
+    (partitioned by band) and the per-doc shingle arrays.  Returns the
+    pinned geometry.  Overwrites any existing index at the path."""
+    if bands is None:
+        bands = bands_for_threshold(threshold, n_hashes)
+    spark = df.sparkSession
+    minhash = make_minhash_udf(n_hashes, shingle_k)
+    shingles = make_shingle_udf(shingle_k)
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("text"))
+    sig = base.select("doc_id", minhash("text").alias("sig"))
+    (_banded(sig, "doc_id", bands)
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(f"{index_path}/bands"))
+    (base.select("doc_id", shingles("text").alias("sh"))
+     .write.mode("overwrite").parquet(f"{index_path}/shingles"))
+    meta = {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k,
+            "threshold": float(threshold)}
+    spark.createDataFrame([meta]).write.mode("overwrite").parquet(
+        f"{index_path}/meta")
+    return meta
+
+
+def append_to_minhash_index(
+    new_df: DataFrame, id_col: str, text_col: str, index_path: str,
+) -> None:
+    """Append a slice's band rows + shingle arrays to an existing index.
+
+    Call AFTER consuming the incremental pair result for the slice (the
+    pair computation must see the index in its pre-slice state; Spark's
+    lazy evaluation would otherwise race the append against the read).
+    Geometry comes from the index meta, so appends can never drift."""
+    spark = new_df.sparkSession
+    meta = _read_meta(spark, index_path)
+    minhash = make_minhash_udf(meta["n_hashes"], meta["shingle_k"])
+    shingles = make_shingle_udf(meta["shingle_k"])
+    base = new_df.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("text"))
+    sig = base.select("doc_id", minhash("text").alias("sig"))
+    (_banded(sig, "doc_id", meta["bands"])
+     .write.mode("append").partitionBy("band")
+     .parquet(f"{index_path}/bands"))
+    (base.select("doc_id", shingles("text").alias("sh"))
+     .write.mode("append").parquet(f"{index_path}/shingles"))
+
+
+def minhash_near_duplicates_incremental(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    max_bucket_size: int = 1000,
+    observation=None,
+) -> DataFrame:
+    """Near-duplicate pairs touching the new slice, against index + slice.
+
+    Returns ``(id_a, id_b, jaccard, new_a, new_b)`` with
+    ``jaccard >= threshold`` (the index's pinned threshold): every pair has
+    at least one side in ``new_df`` (old-vs-old is never recomputed), ids
+    are canonically ordered (``id_a < id_b``), and the ``new_*`` flags tell
+    a dedup policy which side is droppable -- a corpus doc can never be
+    dropped by a later slice, so "corpus wins" means dropping
+    ``id_a if new_a and not new_b else id_b``... precisely: the new side of
+    a mixed pair, the later key of a new-new pair.
+
+    Exactness: same hash family (fixed seed), same band geometry (from
+    meta), bucket sizes counted over the FULL bucket (index + slice rows),
+    and the same JVM-side exact-Jaccard verify as the batch operator --
+    so the output equals a full-corpus ``minhash_near_duplicates`` run
+    restricted to pairs with at least one slice doc (tested).
+
+    Scale shape: the slice's band rows shuffle-join against the index's
+    band partitions; candidate verify joins against the shingle store.
+    Nothing scans corpus text, nothing is collected to the driver, and the
+    per-run cost is O(slice + matched buckets), not O(corpus)."""
+    spark = new_df.sparkSession
+    meta = _read_meta(spark, index_path)
+    minhash = make_minhash_udf(meta["n_hashes"], meta["shingle_k"])
+    shingles = make_shingle_udf(meta["shingle_k"])
+    threshold = meta["threshold"]
+
+    base = new_df.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("text"))
+    sig = base.select("doc_id", minhash("text").alias("sig"))
+    new_banded = _banded(sig, "doc_id", meta["bands"]) \
+        .withColumn("is_new", F.lit(True))
+    old_banded = (spark.read.parquet(f"{index_path}/bands")
+                  .select("doc_id", "band", "band_key")
+                  .withColumn("is_new", F.lit(False)))
+    all_banded = old_banded.unionByName(new_banded)
+
+    from pyspark.sql.window import Window
+    # cap on the FULL bucket size (old + new): hotness is a property of the
+    # bucket, not of which run contributed the rows -- and full-bucket
+    # counting is what makes incremental == full-run-restricted exact
+    sized = all_banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_key")))
+    if observation is not None:
+        sized = _observe_capping(sized, observation, max_bucket_size)
+    capped = sized.filter(F.col("bucket_n") <= max_bucket_size) \
+        .drop("bucket_n")
+    a = capped.filter("is_new").alias("a")  # left side: slice rows only
+    b = capped.alias("b")
+    a_lt = F.col("a.doc_id") < F.col("b.doc_id")
+    pairs = (a.join(b, ["band", "band_key"])
+             .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+             .select(
+                 F.when(a_lt, F.col("a.doc_id")).otherwise(F.col("b.doc_id"))
+                  .alias("id_a"),
+                 F.when(a_lt, F.col("b.doc_id")).otherwise(F.col("a.doc_id"))
+                  .alias("id_b"),
+                 F.when(a_lt, F.col("a.is_new")).otherwise(F.col("b.is_new"))
+                  .alias("new_a"),
+                 F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
+                  .alias("new_b"))
+             .distinct())
+
+    new_sh = base.select("doc_id", shingles("text").alias("sh"))
+    old_sh = spark.read.parquet(f"{index_path}/shingles")
+    all_sh = old_sh.unionByName(new_sh)
+    sa = all_sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = all_sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
+                    "new_a", "new_b"))
+
+
+def minhash_index_bucket_audit(
+    new_df: DataFrame, id_col: str, text_col: str, index_path: str,
+    max_bucket_size: int = 1000,
+) -> dict:
+    """Exact capping recount for an incremental run (index + slice rows).
+
+    The observe-based counter on
+    :func:`minhash_near_duplicates_incremental` is free but unavailable
+    when the run's output is completely empty (Spark prunes the observed
+    subtree -- see ``operators.dedup._observe_capping``); this recomputes
+    the bucket sizes over the SAME old-union-new row set and returns exact
+    {n_capped_rows, n_capped_buckets, max_bucket_n}.  One extra banded
+    scan of slice + index -- an audit tool, not the hot path."""
+    spark = new_df.sparkSession
+    meta = _read_meta(spark, index_path)
+    minhash = make_minhash_udf(meta["n_hashes"], meta["shingle_k"])
+    sig = new_df.select(F.col(id_col).alias("doc_id"),
+                        minhash(F.col(text_col)).alias("sig"))
+    new_banded = _banded(sig, "doc_id", meta["bands"])
+    old_banded = (spark.read.parquet(f"{index_path}/bands")
+                  .select("doc_id", "band", "band_key"))
+    sizes = (old_banded.unionByName(new_banded)
+             .groupBy("band", "band_key").agg(F.count("*").alias("n")))
+    capped = F.col("n") > max_bucket_size
+    row = sizes.agg(
+        F.coalesce(F.sum(F.when(capped, F.col("n"))), F.lit(0))
+         .alias("n_capped_rows"),
+        F.coalesce(F.sum(capped.cast("long")), F.lit(0))
+         .alias("n_capped_buckets"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_n")).first()
+    return {"n_capped_rows": int(row["n_capped_rows"]),
+            "n_capped_buckets": int(row["n_capped_buckets"]),
+            "max_bucket_n": int(row["max_bucket_n"])}
+
+
+def incremental_drop_keys(pairs: DataFrame) -> DataFrame:
+    """The keys a corpus-wins + keep-first dedup policy drops, as a
+    one-column (``doc_id``) DataFrame.
+
+    * mixed pair (one corpus side): drop the NEW side -- the corpus doc is
+      already persisted and by definition arrived first;
+    * new-new pair: drop the later key (``id_b``; ids are canonically
+      ordered, matching the batch gate's keep-first-by-key policy)."""
+    drop = (F.when(F.col("new_a") & ~F.col("new_b"), F.col("id_a"))
+             .otherwise(F.col("id_b")))
+    return pairs.select(drop.alias("doc_id")).distinct()

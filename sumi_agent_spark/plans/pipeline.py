@@ -262,6 +262,181 @@ class RetentionError(RuntimeError):
     """A pipeline stage lost rows or destroyed content beyond tolerance."""
 
 
+def _nd_input_fingerprint(df: DataFrame) -> tuple[int, int]:
+    """(row count, order-insensitive key checksum) over (conv_id, turn_idx).
+
+    One column-pruned scan of the two key columns.  ``bit_xor`` of the
+    per-key hashes never overflows (unlike a sum under ANSI arithmetic)
+    and is order-insensitive; keys are unique, so xor self-cancellation
+    cannot occur."""
+    row = (df.select(F.xxhash64("conv_id", "turn_idx").alias("h"))
+           .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("hx"))
+           .first())
+    return int(row["n"]), int(row["hx"]) if row["hx"] is not None else 0
+
+
+def _try_read_first(spark: SparkSession, path: str):
+    """First row of a parquet path, or None if it was never (fully) written.
+
+    Unlike ``resume_filter`` this also treats an empty/schema-less dir as
+    absent: sidecars are written last, so a half-written one from a killed
+    run must read as "not there" and trigger recompute, never an error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path).first()
+    except AnalysisException as e:
+        msg = str(e)
+        if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg):
+            return None
+        raise
+
+
+def _near_dedup_full_stage(spark, df, threshold, output_path, resume):
+    """Full-input MinHash near-dedup with a persisted drop-set sidecar.
+
+    The winner set is a deterministic function of (input, threshold), so
+    the first run persists the computed drop KEYS to ``_neardup_drops``
+    plus an input fingerprint in ``_neardup_meta``, and an idempotent
+    RESTART reuses them with one anti-join instead of recomputing MinHash
+    over the full input -- killing the r3 recompute-on-resume cost while
+    keeping the restart byte-identical to an uninterrupted run.  A
+    fingerprint mismatch (the input changed between runs) falls back to
+    full recompute: correctness never depends on the reuse.  Returns
+    (deduped_df, lineage_row, drops_to_unpersist_or_None)."""
+    from pyspark.sql import Observation
+
+    from ..operators.dedup import capped_bucket_metrics, minhash_bucket_audit
+
+    drops_path = f"{output_path}/_neardup_drops"
+    meta_path = f"{output_path}/_neardup_meta"
+    if resume:
+        meta = _try_read_first(spark, meta_path)
+        if meta is not None and float(meta["threshold"]) == threshold:
+            n_in, checksum = _nd_input_fingerprint(df)
+            if (int(meta["n_input_rows"]) == n_in
+                    and int(meta["keys_checksum"]) == checksum):
+                n_nd = int(meta["n_dropped"])
+                if n_nd > 0:  # empty drop sets are meta-only (no parquet)
+                    done = spark.read.parquet(drops_path)
+                    df = df.join(done, ["conv_id", "turn_idx"], "left_anti")
+                nd_row = {"stage": "near_dedup", "n_dropped": n_nd,
+                          "n_capped_rows": int(meta["n_capped_rows"]),
+                          "n_capped_buckets": int(meta["n_capped_buckets"]),
+                          "max_bucket_n": int(meta["max_bucket_n"]),
+                          "metrics_observed": False,
+                          "drop_set_reused": True}
+                return df, nd_row, None
+
+    nd_obs = Observation("near_dedup_capping")
+    df_pre_nd = df
+    deduped, nd_drops = near_deduplicate_turns(
+        df, threshold=threshold, observation=nd_obs)
+    nd_drops.persist()
+    n_nd = nd_drops.count()  # fires the observation; pins the drop set
+    m = capped_bucket_metrics(nd_obs)
+    metrics_observed = m is not None
+    if m is None:
+        # the observed subtree was pruned: the run produced zero LSH
+        # pairs end to end -- which happens both when nothing was
+        # capped AND when EVERY bucket was capped, so writing zeros
+        # here would lie in exactly the pathological run this counter
+        # exists to surface.  Recount exactly with one dedicated audit
+        # job (rare path only; the hot path stays zero-extra-scan).
+        m = minhash_bucket_audit(
+            df_pre_nd.withColumn("_nk", F.struct("conv_id", "turn_idx")),
+            "_nk", "text", threshold=threshold)
+    nd_row = {"stage": "near_dedup", "n_dropped": n_nd,
+              "n_capped_rows": m["n_capped_rows"],
+              "n_capped_buckets": m["n_capped_buckets"],
+              "max_bucket_n": m["max_bucket_n"],
+              "metrics_observed": metrics_observed,
+              "drop_set_reused": False}
+    # persist the drop set + input fingerprint BEFORE the main write so a
+    # crashed run's restart can reuse it (drops first, meta last: meta's
+    # presence certifies the drop parquet is complete)
+    if n_nd > 0:
+        (nd_drops.select(F.col("_nk.conv_id").alias("conv_id"),
+                         F.col("_nk.turn_idx").alias("turn_idx"))
+         .write.mode("overwrite").parquet(drops_path))
+    n_in, checksum = _nd_input_fingerprint(df_pre_nd)
+    meta_row = {"threshold": threshold, "n_input_rows": n_in,
+                "keys_checksum": checksum, "n_dropped": n_nd, **m}
+    spark.createDataFrame([meta_row]).write.mode("overwrite").parquet(
+        meta_path)
+    return deduped, nd_row, nd_drops
+
+
+def _near_dedup_slice_stage(spark, df, threshold, index_path):
+    """Daily-ingest near-dedup: LSH-join the slice against a persisted
+    MinHash index (operators/minhash_index.py) instead of recomputing the
+    corpus -- O(slice + matched buckets), never O(corpus), never old-vs-old.
+
+    First run (no index at the path) bootstraps: full in-slice near-dedup;
+    run_pipeline then CREATES the index from the kept turns after the main
+    write.  Subsequent runs drop the new side of every corpus match plus
+    the later key of in-slice pairs, and run_pipeline APPENDS the kept
+    turns to the index after the write (append-last: a crash anywhere
+    leaves the index in its pre-slice state, so a resumed run recomputes
+    the same drops against the same index).  Returns
+    (deduped_df, lineage_row, drops_to_unpersist_or_None, index_action)
+    where index_action is ("create"|"append", kept_df)."""
+    from pyspark.sql import Observation
+
+    from ..operators.dedup import capped_bucket_metrics, minhash_bucket_audit
+    from ..operators.minhash_index import (
+        incremental_drop_keys, minhash_index_bucket_audit,
+        minhash_near_duplicates_incremental)
+
+    meta = _try_read_first(spark, f"{index_path}/meta")
+    if meta is None:  # bootstrap slice: plain in-slice near-dedup
+        nd_obs = Observation("near_dedup_capping")
+        deduped, nd_drops = near_deduplicate_turns(
+            df, threshold=threshold, observation=nd_obs)
+        nd_drops.persist()
+        n_nd = nd_drops.count()
+        m = capped_bucket_metrics(nd_obs)
+        metrics_observed = m is not None
+        if m is None:
+            m = minhash_bucket_audit(
+                df.withColumn("_nk", F.struct("conv_id", "turn_idx")),
+                "_nk", "text", threshold=threshold)
+        nd_row = {"stage": "near_dedup_bootstrap", "n_dropped": n_nd,
+                  "n_capped_rows": m["n_capped_rows"],
+                  "n_capped_buckets": m["n_capped_buckets"],
+                  "max_bucket_n": m["max_bucket_n"],
+                  "metrics_observed": metrics_observed,
+                  "drop_set_reused": False}
+        return deduped, nd_row, nd_drops, ("create", deduped)
+
+    if abs(float(meta["threshold"]) - threshold) > 1e-12:
+        raise ValueError(
+            f"minhash index at {index_path} was built with threshold "
+            f"{meta['threshold']}; this run requested {threshold} -- "
+            f"rebuild the index or match the threshold")
+    keyed = df.withColumn("_nk", F.struct("conv_id", "turn_idx"))
+    nd_obs = Observation("near_dedup_capping")
+    pairs = minhash_near_duplicates_incremental(
+        keyed, "_nk", "text", index_path, observation=nd_obs)
+    drops = (incremental_drop_keys(pairs)
+             .withColumnRenamed("doc_id", "_nk"))
+    drops.persist()
+    n_nd = drops.count()  # fires the observation; pins the drop set
+    m = capped_bucket_metrics(nd_obs)
+    metrics_observed = m is not None
+    if m is None:
+        m = minhash_index_bucket_audit(keyed, "_nk", "text", index_path)
+    deduped = keyed.join(drops, "_nk", "left_anti").drop("_nk")
+    nd_row = {"stage": "near_dedup_incremental", "n_dropped": n_nd,
+              "n_capped_rows": m["n_capped_rows"],
+              "n_capped_buckets": m["n_capped_buckets"],
+              "max_bucket_n": m["max_bucket_n"],
+              "metrics_observed": metrics_observed,
+              "drop_set_reused": False}
+    return deduped, nd_row, drops, ("append", deduped)
+
+
 def _nonempty_lines(col) -> F.Column:
     return F.size(F.filter(F.split(F.coalesce(col, F.lit("")), "\n"),
                            lambda x: F.length(F.trim(x)) > 0))
@@ -296,6 +471,7 @@ def run_pipeline(
     resume: bool = False,
     dedup: bool = False,
     near_dedup_threshold: Optional[float] = None,
+    near_dedup_index_path: Optional[str] = None,
     drop_toxic_above: Optional[float] = None,
     min_line_ratio: float = 0.5,
     scrub_transform=scrub_transcripts,
@@ -311,7 +487,15 @@ def run_pipeline(
     ``(conv_id, turn_idx)``; see :func:`near_deduplicate_turns`) and
     writes the LSH recall-cap counters (``n_capped_buckets`` etc.,
     observed on the drop-set materialization -- no extra input scan) to
-    the ``_lineage_neardup`` sidecar.  ``drop_toxic_above`` (e.g. 0.3) drops turns
+    the ``_lineage_neardup`` sidecar; the computed drop keys persist to a
+    ``_neardup_drops`` sidecar so a resumed run reuses them (one anti-join)
+    instead of recomputing full-input LSH.  ``near_dedup_index_path``
+    switches near-dedup to INCREMENTAL mode for daily ingest slices: the
+    slice LSH-joins against the persisted MinHash index at that path
+    (bootstrap-created on first run, appended after every successful
+    write), dropping turns that near-match the already-ingested corpus or
+    an earlier turn of the slice -- O(slice), never O(corpus); see
+    ``operators/minhash_index.py``.  ``drop_toxic_above`` (e.g. 0.3) drops turns
     whose lexicon toxicity score exceeds the threshold, also pre-scrub so
     toxic turns never pay detection cost (operators/toxicity.py; NULL text
     scores 0 and is never dropped by this gate).
@@ -344,32 +528,15 @@ def run_pipeline(
         df = deduplicate_turns(df)
     nd_row = None
     nd_drops = None
+    nd_index_action = None  # slice mode: ("create"|"append", kept_df)
     if near_dedup_threshold is not None:
-        from ..operators.dedup import (
-            capped_bucket_metrics, minhash_bucket_audit)
-        nd_obs = Observation("near_dedup_capping")
-        df_pre_nd = df
-        df, nd_drops = near_deduplicate_turns(
-            df, threshold=float(near_dedup_threshold), observation=nd_obs)
-        nd_drops.persist()
-        n_nd = nd_drops.count()  # fires the observation; pins the drop set
-        m = capped_bucket_metrics(nd_obs)
-        metrics_observed = m is not None
-        if m is None:
-            # the observed subtree was pruned: the run produced zero LSH
-            # pairs end to end -- which happens both when nothing was
-            # capped AND when EVERY bucket was capped, so writing zeros
-            # here would lie in exactly the pathological run this counter
-            # exists to surface.  Recount exactly with one dedicated audit
-            # job (rare path only; the hot path stays zero-extra-scan).
-            m = minhash_bucket_audit(
-                df_pre_nd.withColumn("_nk", F.struct("conv_id", "turn_idx")),
-                "_nk", "text", threshold=float(near_dedup_threshold))
-        nd_row = {"stage": "near_dedup", "n_dropped": n_nd,
-                  "n_capped_rows": m["n_capped_rows"],
-                  "n_capped_buckets": m["n_capped_buckets"],
-                  "max_bucket_n": m["max_bucket_n"],
-                  "metrics_observed": metrics_observed}
+        if near_dedup_index_path is not None:
+            df, nd_row, nd_drops, nd_index_action = _near_dedup_slice_stage(
+                spark, df, float(near_dedup_threshold),
+                near_dedup_index_path)
+        else:
+            df, nd_row, nd_drops = _near_dedup_full_stage(
+                spark, df, float(near_dedup_threshold), output_path, resume)
         # persist the recall-risk counters BEFORE the main write: a run
         # that later trips the retention guard is exactly the run whose
         # capping metrics an operator needs to see
@@ -427,6 +594,30 @@ def run_pipeline(
         lines_in // passes, lines_out // passes, min_line_ratio)
     spark.createDataFrame([guard_row]).write.mode("append").parquet(
         f"{output_path}/_lineage_guards")
+    if nd_index_action is not None:
+        # index maintenance runs LAST, only after the write + guards
+        # succeeded: a crash anywhere above leaves the index in its
+        # pre-slice state, so a resumed run recomputes the same drops
+        # against the same index (idempotent restart).  Cost: one extra
+        # signature pass over the kept slice rows.
+        from ..operators.minhash_index import (
+            append_to_minhash_index, write_minhash_index)
+        action, kept = nd_index_action
+        kept_keyed = kept.withColumn("_nk", F.struct("conv_id", "turn_idx"))
+        if action == "create":
+            if n > 0:  # an empty bootstrap writes no readable index
+                write_minhash_index(kept_keyed, "_nk", "text",
+                                    near_dedup_index_path,
+                                    threshold=float(near_dedup_threshold))
+        else:
+            # guard against double-append when a COMPLETED slice is re-run:
+            # keys already indexed are skipped (column-pruned key read)
+            existing = (spark.read
+                        .parquet(f"{near_dedup_index_path}/shingles")
+                        .select(F.col("doc_id").alias("_nk")))
+            append_to_minhash_index(
+                kept_keyed.join(existing, "_nk", "left_anti"),
+                "_nk", "text", near_dedup_index_path)
     wall = time.time() - t0
     stats = {"rows": n, "wall_sec": round(wall, 3),
              "rows_per_sec": round(n / wall, 1) if wall > 0 else None,
@@ -460,6 +651,11 @@ def main() -> None:
                     "duplicate (shingle Jaccard >= J) earlier in "
                     "(conv_id, turn_idx) order; capping metrics land in "
                     "the _lineage_neardup sidecar")
+    ap.add_argument("--near-dedup-index", default=None, metavar="PATH",
+                    help="incremental near-dedup: LSH-join this ingest "
+                    "slice against the persisted MinHash index at PATH "
+                    "(bootstrap-created on first run, appended after every "
+                    "successful write) instead of recomputing the corpus")
     ap.add_argument("--drop-toxic-above", type=float, default=None,
                     metavar="T", help="drop turns with toxicity score > T")
     ap.add_argument("--cores", type=int, default=None)
@@ -480,6 +676,7 @@ def main() -> None:
     stats = run_pipeline(spark, input_path, args.output, resume=args.resume,
                          dedup=args.dedup,
                          near_dedup_threshold=args.near_dedup_threshold,
+                         near_dedup_index_path=args.near_dedup_index,
                          drop_toxic_above=args.drop_toxic_above)
     print(json.dumps(stats))
 

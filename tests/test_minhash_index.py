@@ -1,0 +1,170 @@
+"""Incremental (cross-run) near-dedup against a persisted MinHash index.
+
+The contract under test: ``minhash_near_duplicates_incremental(slice)``
+returns EXACTLY the pairs a full-corpus ``minhash_near_duplicates`` run
+would return, restricted to pairs touching at least one slice doc -- same
+hash family, same band geometry, full-bucket capping -- without ever
+recomputing old-vs-old."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sumi_agent_spark.operators.dedup import minhash_near_duplicates
+from sumi_agent_spark.operators.minhash_index import (
+    append_to_minhash_index,
+    incremental_drop_keys,
+    minhash_near_duplicates_incremental,
+    write_minhash_index,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the distant mountains and the river keeps flowing")
+ALT = ("a completely different discussion about query engines, shuffle "
+       "partitioning, bucketed joins and skew mitigation at petabyte scale")
+THIRD = ("yet another unrelated document describing watermarks, stateful "
+         "streaming operators and exactly-once sinks in structured streaming")
+
+
+def _old_rows():
+    # corpus ids are LARGER than slice ids on purpose: the corpus-wins drop
+    # policy must not depend on key order
+    return [
+        (100, BASE),
+        (101, BASE.replace("quick", "swift")),   # near-dup inside corpus
+        (102, ALT),
+        (103, THIRD),
+        (104, "short unique corpus document about nothing in particular"),
+    ]
+
+
+def _new_rows():
+    return [
+        (1, ALT.replace("different", "distinct")),   # near-dup of corpus 102
+        (2, BASE),                                   # exact dup of corpus 100
+        (3, THIRD.replace("operators", "runners")),  # near-dup of corpus 103
+        (4, THIRD.replace("operators", "runners") + " indeed"),  # ~ of 3
+        (5, "a genuinely novel slice document mentioning nothing seen before"),
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(_old_rows(), ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def slice_df(spark):
+    return spark.createDataFrame(_new_rows(), ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def index_path(tmp_path_factory, corpus):
+    path = str(tmp_path_factory.mktemp("mh_index") / "idx")
+    meta = write_minhash_index(corpus, "doc_id", "text", path, threshold=0.6)
+    assert meta["bands"] == 32  # derived geometry for threshold 0.6
+    return path
+
+
+def _pairset(df):
+    return {(r.id_a, r.id_b): r.jaccard for r in df.collect()}
+
+
+def test_incremental_equals_full_run_restricted(spark, corpus, slice_df,
+                                                index_path):
+    inc = minhash_near_duplicates_incremental(
+        slice_df, "doc_id", "text", index_path)
+    got = _pairset(inc.select("id_a", "id_b", "jaccard"))
+
+    full = minhash_near_duplicates(
+        corpus.unionByName(slice_df), "doc_id", "text", threshold=0.6)
+    new_keys = {r[0] for r in _new_rows()}
+    want = {k: v for k, v in _pairset(full).items()
+            if k[0] in new_keys or k[1] in new_keys}
+    assert got == want
+    assert len(got) >= 4  # 1~102, 2~100, 3~103, 3~4 (plus LSH-recalled 4~103)
+    # old-vs-old pairs (100,101) must NOT be recomputed/returned
+    assert all(k[0] in new_keys or k[1] in new_keys for k in got)
+
+
+def test_incremental_flags_and_drop_policy(spark, slice_df, index_path):
+    inc = minhash_near_duplicates_incremental(
+        slice_df, "doc_id", "text", index_path)
+    rows = {(r.id_a, r.id_b): (r.new_a, r.new_b) for r in inc.collect()}
+    # mixed pairs: slice ids (small) sort first but are the NEW side
+    assert rows[(1, 102)] == (True, False)
+    assert rows[(2, 100)] == (True, False)
+    assert rows[(3, 4)] == (True, True)
+
+    drops = {r.doc_id for r in incremental_drop_keys(inc).collect()}
+    # corpus wins every mixed pair even though its key is larger;
+    # keep-first inside the slice drops the later key of (3, 4)
+    assert 1 in drops and 2 in drops and 3 in drops and 4 in drops
+    assert not drops & {100, 101, 102, 103, 104}
+    assert 5 not in drops  # the novel doc survives
+
+
+def test_append_then_next_slice_sees_previous_slice(spark, slice_df,
+                                                    tmp_path, corpus):
+    path = str(tmp_path / "idx")
+    write_minhash_index(corpus, "doc_id", "text", path, threshold=0.6)
+    append_to_minhash_index(slice_df, "doc_id", "text", path)
+
+    slice2 = spark.createDataFrame(
+        [(11, "a genuinely novel slice document mentioning nothing seen "
+              "before today")],  # near-dup of slice-1 doc 5
+        ["doc_id", "text"])
+    inc = minhash_near_duplicates_incremental(slice2, "doc_id", "text", path)
+    rows = {(r.id_a, r.id_b): (r.new_a, r.new_b) for r in inc.collect()}
+    assert (5, 11) in rows
+    assert rows[(5, 11)] == (False, True)  # 5 is corpus now; 11 drops
+    drops = {r.doc_id for r in incremental_drop_keys(inc).collect()}
+    assert drops == {11}
+
+
+def test_incremental_capping_counts_full_bucket(spark, tmp_path):
+    """Bucket caps count old + new rows together: 600 corpus copies + 600
+    slice copies of one text exceed a 1000 cap even though neither side
+    alone does -- and the capped run yields zero pairs."""
+    from pyspark.sql import Observation
+
+    from sumi_agent_spark.operators.dedup import capped_bucket_metrics
+
+    text = "identical boilerplate beyond the cap " * 3
+    corpus = spark.range(600).select(
+        (F.col("id") + 1000).alias("doc_id"), F.lit(text).alias("text"))
+    # one UNCAPPED near-dup pair keeps the output nonempty, so the observed
+    # subtree is not pruned (dedup.py documents the empty-output corner)
+    extra = spark.createDataFrame(
+        [(0, BASE), (1, BASE.replace("quick", "swift"))], ["doc_id", "text"])
+    slice_df = spark.range(600).select(
+        (F.col("id") + 10).alias("doc_id"),
+        F.lit(text).alias("text")).unionByName(extra)
+    path = str(tmp_path / "idx")
+    write_minhash_index(corpus, "doc_id", "text", path, threshold=0.8)
+
+    obs = Observation("inc_capping")
+    inc = minhash_near_duplicates_incremental(
+        slice_df, "doc_id", "text", path, max_bucket_size=1000,
+        observation=obs)
+    assert _pairset(inc.select("id_a", "id_b", "jaccard")) \
+        .keys() == {(0, 1)}  # the hot bucket contributed nothing
+    m = capped_bucket_metrics(obs)
+    # threshold 0.8 -> 16 bands; each band's hot bucket holds 600 corpus
+    # + 600 slice rows -- over the cap only because both sides count
+    assert m is not None
+    assert m["max_bucket_n"] == 1200
+    assert m["n_capped_buckets"] == 16
+    assert m["n_capped_rows"] == 16 * 1200
+
+
+def test_geometry_is_pinned_in_meta(spark, corpus, slice_df, tmp_path):
+    """Appends and incremental runs take geometry from the index meta, so
+    a caller cannot desync hash family / bands between runs."""
+    path = str(tmp_path / "idx")
+    write_minhash_index(corpus, "doc_id", "text", path,
+                        threshold=0.6, n_hashes=64)
+    inc = minhash_near_duplicates_incremental(
+        slice_df, "doc_id", "text", path)
+    # signatures on both sides used 64 hashes: the exact-dup pair (2, 100)
+    # must collide in every band and verify at jaccard 1.0
+    assert _pairset(inc.select("id_a", "id_b", "jaccard"))[(2, 100)] == 1.0

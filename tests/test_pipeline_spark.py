@@ -426,6 +426,129 @@ def test_run_pipeline_near_dedup_all_capped_audit(spark, tmp_path):
     assert nd.iloc[0]["max_bucket_n"] == n
 
 
+def _turn(conv_id, turn_idx, text):
+    import datetime
+    return {"conv_id": conv_id, "turn_idx": turn_idx, "role": "user",
+            "text": text, "tool": "", "ts": datetime.datetime(2025, 1, 1)}
+
+
+def _write_turns(rows, path):
+    import pandas as pd
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(path, index=False)
+
+
+def test_near_dedup_resume_reuses_drop_set(spark, tmp_path, monkeypatch):
+    """A resumed run must reuse the persisted drop-set sidecar (one
+    anti-join) instead of recomputing MinHash over the full input -- the
+    r3 recompute-on-resume cost.  Proven by monkeypatching the LSH entry
+    point to explode if called."""
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the distant mountains and rivers flow")
+    rows = [_turn("a", 0, base),
+            _turn("b", 0, base.replace("quick", "swift")),
+            _turn("c", 0, "a totally different discussion about shuffle "
+                          "partitioning, bucketed joins and skew at scale")]
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    _write_turns(rows, inp)
+
+    stats1 = run_pipeline(spark, inp, out, near_dedup_threshold=0.6)
+    assert stats1["n_near_dup_dropped"] == 1  # b near-dups a
+
+    import sumi_agent_spark.plans.pipeline as pl
+
+    def boom(*a, **k):
+        raise AssertionError("full-input LSH recomputed on resume")
+
+    monkeypatch.setattr(pl, "near_deduplicate_turns", boom)
+    stats2 = run_pipeline(spark, inp, out, resume=True,
+                          near_dedup_threshold=0.6)
+    assert stats2["rows"] == 0  # nothing new to write
+    assert stats2["n_near_dup_dropped"] == 1  # replayed from the sidecar
+    nd = spark.read.parquet(f"{out}/_lineage_neardup").toPandas()
+    assert sorted(nd["drop_set_reused"]) == [False, True]
+    reused = nd[nd["drop_set_reused"]].iloc[0]
+    assert reused["n_dropped"] == 1
+    assert not bool(reused["metrics_observed"])  # replayed, not observed
+    # final output identical to the uninterrupted run
+    got = spark.read.parquet(out).toPandas()
+    assert set(got["conv_id"]) == {"a", "c"}
+
+    # zero-drop inputs produce a meta-only sidecar that must also reuse
+    rows2 = [_turn("x", 0, "first unique document about nothing at all"),
+             _turn("y", 0, "second document on an unrelated topic entirely")]
+    inp2, out2 = str(tmp_path / "in2.parquet"), str(tmp_path / "out2")
+    monkeypatch.undo()
+    _write_turns(rows2, inp2)
+    s1 = run_pipeline(spark, inp2, out2, near_dedup_threshold=0.6)
+    assert s1["n_near_dup_dropped"] == 0
+    monkeypatch.setattr(pl, "near_deduplicate_turns", boom)
+    s2 = run_pipeline(spark, inp2, out2, resume=True,
+                      near_dedup_threshold=0.6)
+    assert s2["rows"] == 0 and s2["n_near_dup_dropped"] == 0
+
+
+def test_run_pipeline_incremental_index_slices(spark, tmp_path):
+    """The daily-ingest story: slice 1 bootstraps the MinHash index,
+    slice 2 dedups against corpus + itself, slice 3 sees slice 2's kept
+    turns via the post-write append -- never recomputing the corpus."""
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the distant mountains and rivers flow")
+    alt = ("an entirely separate conversation about watermarks, stateful "
+           "streaming operators and exactly-once sinks in production")
+    idx = str(tmp_path / "mh_index")
+
+    # slice 1: internal near-dup pair (a0 keeps, b0 drops) + unique c0
+    _write_turns([_turn("a", 0, base),
+                  _turn("b", 0, base.replace("quick", "swift")),
+                  _turn("c", 0, alt)], str(tmp_path / "s1.parquet"))
+    s1 = run_pipeline(spark, str(tmp_path / "s1.parquet"),
+                      str(tmp_path / "out1"), near_dedup_threshold=0.6,
+                      near_dedup_index_path=idx)
+    assert s1["n_near_dup_dropped"] == 1
+    nd1 = spark.read.parquet(f"{tmp_path}/out1/_lineage_neardup").toPandas()
+    assert nd1.iloc[0]["stage"] == "near_dedup_bootstrap"
+    assert spark.read.parquet(f"{idx}/meta").first()["threshold"] == 0.6
+
+    # slice 2: near-dup of corpus a0, an internal pair (d keeps, e drops),
+    # and a novel turn f
+    novel = ("a genuinely new document introducing topics never seen in "
+             "any earlier slice of this corpus whatsoever")
+    _write_turns([_turn("d", 0, alt + " with a small suffix"),
+                  _turn("e", 0, alt + " with a smaller suffix"),
+                  _turn("f", 0, novel),
+                  _turn("g", 0, base + " again")],  # ~ corpus a0
+                 str(tmp_path / "s2.parquet"))
+    s2 = run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                      str(tmp_path / "out2"), near_dedup_threshold=0.6,
+                      near_dedup_index_path=idx)
+    nd2 = spark.read.parquet(f"{tmp_path}/out2/_lineage_neardup").toPandas()
+    assert nd2.iloc[0]["stage"] == "near_dedup_incremental"
+    got2 = set(spark.read.parquet(f"{tmp_path}/out2").toPandas()["conv_id"])
+    # d near-dups corpus c0 -> dropped (corpus wins); e drops (in-slice or
+    # corpus); g drops vs corpus a0; f survives
+    assert "f" in got2 and "g" not in got2
+    assert s2["n_near_dup_dropped"] >= 2
+
+    # slice 3: near-dup of slice 2's KEPT novel turn -> proves the append
+    _write_turns([_turn("h", 0, novel + " indeed")],
+                 str(tmp_path / "s3.parquet"))
+    s3 = run_pipeline(spark, str(tmp_path / "s3.parquet"),
+                      str(tmp_path / "out3"), near_dedup_threshold=0.6,
+                      near_dedup_index_path=idx)
+    assert s3["n_near_dup_dropped"] == 1
+    assert s3["rows"] == 0  # the whole slice near-matched the corpus
+
+    # threshold mismatch must fail loudly, not silently mismatch buckets
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold"):
+        run_pipeline(spark, str(tmp_path / "s3.parquet"),
+                     str(tmp_path / "out4"), near_dedup_threshold=0.7,
+                     near_dedup_index_path=idx)
+
+
 def test_near_dedup_idempotent_under_resume(spark, tmp_path):
     """Dedup stages run on the FULL input before resume filtering: if run 1
     wrote turn A and crashed before its near-duplicate B, the resumed run
