@@ -560,6 +560,37 @@ def _q_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def _q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-granularity near-dedup over pseudo-conversations: each
+    document splits into 12-word turns, then whole "conversations" (the
+    original docs) pair up when the union of their turns' shingle sets has
+    Jaccard >= threshold.  Exercises the distributive grouped operator --
+    the conversation signature is an elementwise-min aggregate over turn
+    signatures, never an assembled text (operators/dedup.py,
+    minhash_near_duplicates_grouped).  Jaccard carried as integer ppm so
+    the pinned golden oracle hash-compares exactly.  Uses the same shared
+    threshold constant as minhash_near_dup; the pair sets differ only at
+    turn boundaries (the union-of-turn-shingles document definition drops
+    the k-1 shingles straddling a chunk edge)."""
+    from sumi_agent_spark.operators.dedup import (
+        minhash_near_duplicates_grouped)
+    docs = _t(spark, sf_dir, "documents")
+    # greatest(...,1): an empty text still yields one (empty) turn, and
+    # sequence() with a negative span would otherwise count DOWN
+    turns = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, greatest(int(ceil(size(split(text, ' ')) "
+            "/ 12.0)), 1) - 1), "
+            "i -> array_join(slice(split(text, ' '), i * 12 + 1, 12), ' '))"
+        )).alias("turn_idx", "turn_text"))
+    pairs = minhash_near_duplicates_grouped(
+        turns, "doc_id", "turn_text", threshold=MINHASH_THRESHOLD)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_ppm"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_hash": _q_normalize_hash,
@@ -582,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "cosine_pairs": _q_cosine_pairs,
         "minhash_near_dup": _q_minhash_near_dup,
+        "conv_near_dup": _q_conv_near_dup,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_stats": _q_winnow_stats,
         "scrub_docs": _q_scrub_docs,

@@ -374,6 +374,83 @@ def minhash_near_duplicates(
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def minhash_near_duplicates_grouped(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 128,
+    bands: Optional[int] = None,
+    shingle_k: int = 5,
+    max_bucket_size: int = 1000,
+    observation=None,
+) -> DataFrame:
+    """MinHash near-dup pairs between GROUPS of rows (e.g. whole
+    conversations), without ever assembling a group's text in one place.
+
+    A group's document is defined as the UNION of its member rows' shingle
+    sets (turn boundaries are semantic boundaries; the only difference from
+    shingling a concatenation is the k-1 shingles that would straddle two
+    turns).  That definition makes the whole operator distributive:
+
+    * signature: ``minhash(A | B) = elementwise_min(minhash(A),
+      minhash(B))``, so the group signature is a plain ``groupBy().min()``
+      over per-row signatures -- a hash aggregate with map-side partial
+      combine, no sorted text assembly, no skew from giant conversations,
+      no per-group arrays;
+    * exact verify: group shingle sets live as exploded ``(group, shingle)``
+      rows (restricted to candidate groups by a semi-join), so Jaccard is
+      two joins + a count -- every step is a shuffle of scalar rows, never
+      a per-group in-memory set.
+
+    Same banding, capping and observation machinery as
+    :func:`minhash_near_duplicates`; returns ``(id_a, id_b, jaccard)`` with
+    ``id_a < id_b`` (group keys) and ``jaccard >= threshold`` computed
+    exactly over the union shingle sets."""
+    if bands is None:
+        bands = bands_for_threshold(threshold, n_hashes)
+    minhash = make_minhash_udf(n_hashes, shingle_k)
+    shingles = make_shingle_udf(shingle_k)
+    base = df.select(F.col(group_col).alias("gid"),
+                     F.col(text_col).alias("text"))
+    row_sig = base.select("gid", minhash("text").alias("sig"))
+    # elementwise min across the group's row signatures == the signature of
+    # the union shingle set (min-of-mins); n_hashes scalar min aggregates
+    # keep this a partial-aggregating hash agg (map-side combine), which a
+    # collect_list-then-reduce formulation would not be
+    group_sig = (row_sig
+                 .groupBy("gid")
+                 .agg(F.array(*[
+                     F.min(F.element_at("sig", i + 1))
+                     for i in range(n_hashes)]).alias("sig")))
+    pairs = _banded_pairs(group_sig, "gid", bands, max_bucket_size,
+                          observation)
+    cand = (pairs.select(F.col("id_a").alias("gid"))
+            .union(pairs.select(F.col("id_b").alias("gid")))
+            .distinct())
+    # union shingle set per candidate group, as rows: explode each member
+    # row's unique-shingle array, dedup on (gid, shingle)
+    sh_rows = (base.join(cand, "gid", "left_semi")
+               .select("gid", F.explode(shingles("text")).alias("sh"))
+               .distinct())
+    sizes = sh_rows.groupBy("gid").agg(F.count("*").alias("n_sh"))
+    ea = sh_rows.select(F.col("gid").alias("id_a"), "sh")
+    eb = sh_rows.select(F.col("gid").alias("id_b"), "sh")
+    inter = (pairs.join(ea, "id_a").join(eb, ["id_b", "sh"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+    # inner join drops zero-intersection candidate pairs -- correct for any
+    # threshold > 0 (their jaccard is 0; group sets are never empty because
+    # short/NULL texts shingle to the padded sentinel)
+    na = sizes.select(F.col("gid").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("gid").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
 def minhash_bucket_audit(
     df: DataFrame, id_col: str, text_col: str,
     threshold: float = 0.8, n_hashes: int = 128, bands: Optional[int] = None,
@@ -392,6 +469,37 @@ def minhash_bucket_audit(
     sig = df.select(F.col(id_col).alias("doc_id"),
                     minhash(F.col(text_col)).alias("sig"))
     sizes = (_banded(sig, "doc_id", bands)
+             .groupBy("band", "band_key").agg(F.count("*").alias("n")))
+    capped = F.col("n") > max_bucket_size
+    row = sizes.agg(
+        F.coalesce(F.sum(F.when(capped, F.col("n"))), F.lit(0))
+         .alias("n_capped_rows"),
+        F.coalesce(F.sum(capped.cast("long")), F.lit(0))
+         .alias("n_capped_buckets"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_n")).first()
+    return {"n_capped_rows": int(row["n_capped_rows"]),
+            "n_capped_buckets": int(row["n_capped_buckets"]),
+            "max_bucket_n": int(row["max_bucket_n"])}
+
+
+def minhash_grouped_bucket_audit(
+    df: DataFrame, group_col: str, text_col: str,
+    threshold: float = 0.8, n_hashes: int = 128, bands: Optional[int] = None,
+    shingle_k: int = 5, max_bucket_size: int = 1000,
+) -> dict:
+    """:func:`minhash_bucket_audit` for the grouped operator: recounts LSH
+    bucket sizes over GROUP signatures (elementwise-min aggregation, same
+    geometry as :func:`minhash_near_duplicates_grouped`) when the
+    observe-based counter was pruned by an empty-output run."""
+    if bands is None:
+        bands = bands_for_threshold(threshold, n_hashes)
+    minhash = make_minhash_udf(n_hashes, shingle_k)
+    row_sig = df.select(F.col(group_col).alias("gid"),
+                        minhash(F.col(text_col)).alias("sig"))
+    group_sig = (row_sig.groupBy("gid")
+                 .agg(F.array(*[F.min(F.element_at("sig", i + 1))
+                                for i in range(n_hashes)]).alias("sig")))
+    sizes = (_banded(group_sig, "gid", bands)
              .groupBy("band", "band_key").agg(F.count("*").alias("n")))
     capped = F.col("n") > max_bucket_size
     row = sizes.agg(

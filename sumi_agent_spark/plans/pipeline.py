@@ -224,6 +224,38 @@ def near_deduplicate_turns(
     return deduped, drops
 
 
+def near_deduplicate_conversations(
+    df: DataFrame, threshold: float = 0.8, text_col: str = "text",
+    observation=None, max_bucket_size: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """MinHash near-dedup at CONVERSATION granularity: drop every
+    conversation whose union-of-turn-shingles Jaccard-matches an earlier
+    conversation (keep-first by ``conv_id``).
+
+    LLM training pipelines dedup *documents* (whole conversations), not
+    just turns -- two scrapes of the same dialog differ per-turn only by
+    timestamps/typos but are near-identical as documents.  Built on
+    :func:`operators.dedup.minhash_near_duplicates_grouped`: the
+    conversation signature is a ``groupBy(conv_id).min()`` over per-turn
+    signatures (MinHash is distributive over set union), so no
+    conversation's text is ever assembled in one place and giant
+    conversations cannot skew a task.  Same keep-first-by-pair-drop policy
+    as :func:`near_deduplicate_turns` (canonical ``id_a < id_b`` means the
+    dropped ``id_b`` always has an earlier near-duplicate).
+
+    Returns ``(deduped, drops)`` where ``drops`` is the distinct dropped
+    ``conv_id`` set; persist + count it before consuming ``deduped``
+    (fires ``observation``, pins the drop set)."""
+    from ..operators.dedup import minhash_near_duplicates_grouped
+
+    pairs = minhash_near_duplicates_grouped(
+        df, "conv_id", text_col, threshold=threshold,
+        observation=observation, max_bucket_size=max_bucket_size)
+    drops = pairs.select(F.col("id_b").alias("conv_id")).distinct()
+    deduped = df.join(drops, "conv_id", "left_anti")
+    return deduped, drops
+
+
 def conversation_stats(df: DataFrame, salt: int = 16) -> DataFrame:
     """Per-conversation keep/drop/mask counters with two-phase salted agg."""
     partial = (
@@ -293,35 +325,48 @@ def _try_read_first(spark: SparkSession, path: str):
         raise
 
 
-def _near_dedup_full_stage(spark, df, threshold, output_path, resume):
+def _near_dedup_full_stage(spark, df, threshold, output_path, resume,
+                           scope="turn"):
     """Full-input MinHash near-dedup with a persisted drop-set sidecar.
 
-    The winner set is a deterministic function of (input, threshold), so
-    the first run persists the computed drop KEYS to ``_neardup_drops``
-    plus an input fingerprint in ``_neardup_meta``, and an idempotent
-    RESTART reuses them with one anti-join instead of recomputing MinHash
-    over the full input -- killing the r3 recompute-on-resume cost while
-    keeping the restart byte-identical to an uninterrupted run.  A
-    fingerprint mismatch (the input changed between runs) falls back to
-    full recompute: correctness never depends on the reuse.  Returns
-    (deduped_df, lineage_row, drops_to_unpersist_or_None)."""
+    ``scope`` picks the dedup granularity: ``"turn"`` drops individual
+    near-duplicate turns (:func:`near_deduplicate_turns`),
+    ``"conversation"`` drops whole near-duplicate conversations
+    (:func:`near_deduplicate_conversations`).
+
+    The winner set is a deterministic function of (input, threshold,
+    scope), so the first run persists the computed drop KEYS to
+    ``_neardup_drops`` plus an input fingerprint in ``_neardup_meta``, and
+    an idempotent RESTART reuses them with one anti-join instead of
+    recomputing MinHash over the full input -- killing the r3
+    recompute-on-resume cost while keeping the restart byte-identical to
+    an uninterrupted run.  A fingerprint mismatch (the input changed
+    between runs) falls back to full recompute: correctness never depends
+    on the reuse.  Returns (deduped_df, lineage_row,
+    drops_to_unpersist_or_None)."""
     from pyspark.sql import Observation
 
-    from ..operators.dedup import capped_bucket_metrics, minhash_bucket_audit
+    from ..operators.dedup import (
+        capped_bucket_metrics, minhash_bucket_audit,
+        minhash_grouped_bucket_audit)
 
+    conv_scope = scope == "conversation"
+    key_cols = ["conv_id"] if conv_scope else ["conv_id", "turn_idx"]
+    stage_name = "near_dedup_conversations" if conv_scope else "near_dedup"
     drops_path = f"{output_path}/_neardup_drops"
     meta_path = f"{output_path}/_neardup_meta"
     if resume:
         meta = _try_read_first(spark, meta_path)
-        if meta is not None and float(meta["threshold"]) == threshold:
+        if (meta is not None and float(meta["threshold"]) == threshold
+                and meta.asDict().get("scope", "turn") == scope):
             n_in, checksum = _nd_input_fingerprint(df)
             if (int(meta["n_input_rows"]) == n_in
                     and int(meta["keys_checksum"]) == checksum):
                 n_nd = int(meta["n_dropped"])
                 if n_nd > 0:  # empty drop sets are meta-only (no parquet)
                     done = spark.read.parquet(drops_path)
-                    df = df.join(done, ["conv_id", "turn_idx"], "left_anti")
-                nd_row = {"stage": "near_dedup", "n_dropped": n_nd,
+                    df = df.join(done, key_cols, "left_anti")
+                nd_row = {"stage": stage_name, "n_dropped": n_nd,
                           "n_capped_rows": int(meta["n_capped_rows"]),
                           "n_capped_buckets": int(meta["n_capped_buckets"]),
                           "max_bucket_n": int(meta["max_bucket_n"]),
@@ -331,8 +376,12 @@ def _near_dedup_full_stage(spark, df, threshold, output_path, resume):
 
     nd_obs = Observation("near_dedup_capping")
     df_pre_nd = df
-    deduped, nd_drops = near_deduplicate_turns(
-        df, threshold=threshold, observation=nd_obs)
+    if conv_scope:
+        deduped, nd_drops = near_deduplicate_conversations(
+            df, threshold=threshold, observation=nd_obs)
+    else:
+        deduped, nd_drops = near_deduplicate_turns(
+            df, threshold=threshold, observation=nd_obs)
     nd_drops.persist()
     n_nd = nd_drops.count()  # fires the observation; pins the drop set
     m = capped_bucket_metrics(nd_obs)
@@ -344,10 +393,14 @@ def _near_dedup_full_stage(spark, df, threshold, output_path, resume):
         # here would lie in exactly the pathological run this counter
         # exists to surface.  Recount exactly with one dedicated audit
         # job (rare path only; the hot path stays zero-extra-scan).
-        m = minhash_bucket_audit(
-            df_pre_nd.withColumn("_nk", F.struct("conv_id", "turn_idx")),
-            "_nk", "text", threshold=threshold)
-    nd_row = {"stage": "near_dedup", "n_dropped": n_nd,
+        if conv_scope:
+            m = minhash_grouped_bucket_audit(
+                df_pre_nd, "conv_id", "text", threshold=threshold)
+        else:
+            m = minhash_bucket_audit(
+                df_pre_nd.withColumn("_nk", F.struct("conv_id", "turn_idx")),
+                "_nk", "text", threshold=threshold)
+    nd_row = {"stage": stage_name, "n_dropped": n_nd,
               "n_capped_rows": m["n_capped_rows"],
               "n_capped_buckets": m["n_capped_buckets"],
               "max_bucket_n": m["max_bucket_n"],
@@ -357,11 +410,14 @@ def _near_dedup_full_stage(spark, df, threshold, output_path, resume):
     # crashed run's restart can reuse it (drops first, meta last: meta's
     # presence certifies the drop parquet is complete)
     if n_nd > 0:
-        (nd_drops.select(F.col("_nk.conv_id").alias("conv_id"),
-                         F.col("_nk.turn_idx").alias("turn_idx"))
-         .write.mode("overwrite").parquet(drops_path))
+        if conv_scope:
+            nd_drops.write.mode("overwrite").parquet(drops_path)
+        else:
+            (nd_drops.select(F.col("_nk.conv_id").alias("conv_id"),
+                             F.col("_nk.turn_idx").alias("turn_idx"))
+             .write.mode("overwrite").parquet(drops_path))
     n_in, checksum = _nd_input_fingerprint(df_pre_nd)
-    meta_row = {"threshold": threshold, "n_input_rows": n_in,
+    meta_row = {"threshold": threshold, "scope": scope, "n_input_rows": n_in,
                 "keys_checksum": checksum, "n_dropped": n_nd, **m}
     spark.createDataFrame([meta_row]).write.mode("overwrite").parquet(
         meta_path)
@@ -472,6 +528,7 @@ def run_pipeline(
     dedup: bool = False,
     near_dedup_threshold: Optional[float] = None,
     near_dedup_index_path: Optional[str] = None,
+    near_dedup_scope: str = "turn",
     drop_toxic_above: Optional[float] = None,
     min_line_ratio: float = 0.5,
     scrub_transform=scrub_transcripts,
@@ -495,7 +552,11 @@ def run_pipeline(
     (bootstrap-created on first run, appended after every successful
     write), dropping turns that near-match the already-ingested corpus or
     an earlier turn of the slice -- O(slice), never O(corpus); see
-    ``operators/minhash_index.py``.  ``drop_toxic_above`` (e.g. 0.3) drops turns
+    ``operators/minhash_index.py``.  ``near_dedup_scope="conversation"``
+    switches near-dedup to document granularity: whole conversations whose
+    union-of-turn-shingle Jaccard matches an earlier conversation are
+    dropped (:func:`near_deduplicate_conversations`); ``"turn"`` (default)
+    keeps the per-turn behavior.  ``drop_toxic_above`` (e.g. 0.3) drops turns
     whose lexicon toxicity score exceeds the threshold, also pre-scrub so
     toxic turns never pay detection cost (operators/toxicity.py; NULL text
     scores 0 and is never dropped by this gate).
@@ -530,13 +591,23 @@ def run_pipeline(
     nd_drops = None
     nd_index_action = None  # slice mode: ("create"|"append", kept_df)
     if near_dedup_threshold is not None:
+        if near_dedup_scope not in ("turn", "conversation"):
+            raise ValueError(
+                f"near_dedup_scope must be 'turn' or 'conversation', "
+                f"got {near_dedup_scope!r}")
         if near_dedup_index_path is not None:
+            if near_dedup_scope != "turn":
+                raise ValueError(
+                    "incremental near-dedup (near_dedup_index_path) "
+                    "currently supports scope='turn' only; run "
+                    "conversation-scope dedup as a full-corpus pass")
             df, nd_row, nd_drops, nd_index_action = _near_dedup_slice_stage(
                 spark, df, float(near_dedup_threshold),
                 near_dedup_index_path)
         else:
             df, nd_row, nd_drops = _near_dedup_full_stage(
-                spark, df, float(near_dedup_threshold), output_path, resume)
+                spark, df, float(near_dedup_threshold), output_path, resume,
+                scope=near_dedup_scope)
         # persist the recall-risk counters BEFORE the main write: a run
         # that later trips the retention guard is exactly the run whose
         # capping metrics an operator needs to see
@@ -656,6 +727,11 @@ def main() -> None:
                     "slice against the persisted MinHash index at PATH "
                     "(bootstrap-created on first run, appended after every "
                     "successful write) instead of recomputing the corpus")
+    ap.add_argument("--near-dedup-scope", default="turn",
+                    choices=("turn", "conversation"),
+                    help="near-dedup granularity: drop individual turns "
+                    "(default) or whole near-duplicate conversations "
+                    "(union-of-turn-shingle Jaccard, keep-first by conv_id)")
     ap.add_argument("--drop-toxic-above", type=float, default=None,
                     metavar="T", help="drop turns with toxicity score > T")
     ap.add_argument("--cores", type=int, default=None)
@@ -677,6 +753,7 @@ def main() -> None:
                          dedup=args.dedup,
                          near_dedup_threshold=args.near_dedup_threshold,
                          near_dedup_index_path=args.near_dedup_index,
+                         near_dedup_scope=args.near_dedup_scope,
                          drop_toxic_above=args.drop_toxic_above)
     print(json.dumps(stats))
 

@@ -82,6 +82,80 @@ def test_minhash_lsh_matches_brute_force(docs):
         assert abs(bp[k] - v) < 1e-9
 
 
+def test_minhash_grouped_matches_union_jaccard(spark):
+    """Grouped near-dup pairs must carry the EXACT Jaccard of the groups'
+    union-of-turn shingle sets (the operator's document definition),
+    computed here independently in Python from _shingle_hashes."""
+    from sumi_agent_spark.operators.dedup import (
+        _shingle_hashes, minhash_near_duplicates_grouped)
+
+    t1 = BASE
+    t2 = "a second turn about watermarks, state stores and output modes"
+    t3 = "closing remarks touching on checkpointing and exactly-once sinks"
+    b1, b3 = t1.replace("quick", "swift"), t3.replace("sinks", "sources")
+    rows = [("a", 0, t1), ("a", 1, t2), ("a", 2, t3),
+            ("b", 0, b1), ("b", 1, t2), ("b", 2, b3),
+            ("c", 0, "entirely unrelated content on broadcast joins"),
+            ("c", 1, "and another turn mentioning nothing shared at all")]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = minhash_near_duplicates_grouped(
+        df, "conv_id", "text", threshold=0.5, bands=32)
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+
+    def union_set(texts):
+        s: set = set()
+        for t in texts:
+            s |= set(_shingle_hashes(t, 5).tolist())
+        return s
+
+    sa, sb = union_set([t1, t2, t3]), union_set([b1, t2, b3])
+    expected = len(sa & sb) / len(sa | sb)
+    assert expected >= 0.5  # fixture sanity: a~b really is a near-dup pair
+    assert set(got) == {("a", "b")}
+    assert abs(got[("a", "b")] - round(expected, 6)) < 1e-9
+
+
+def test_minhash_grouped_degenerates_to_per_doc(docs):
+    """With one row per group, grouped == per-doc: same pairs, same exact
+    jaccard (the group signature min-agg over a single row is the row's
+    signature, and the union shingle set is the row's set)."""
+    from sumi_agent_spark.operators.dedup import (
+        minhash_near_duplicates_grouped)
+
+    flat = minhash_near_duplicates(docs, "doc_id", "text",
+                                   threshold=0.6, bands=32)
+    grouped = minhash_near_duplicates_grouped(docs, "doc_id", "text",
+                                              threshold=0.6, bands=32)
+    fp = {(r.id_a, r.id_b): r.jaccard for r in flat.collect()}
+    gp = {(r.id_a, r.id_b): r.jaccard for r in grouped.collect()}
+    assert fp == gp and len(fp) > 0
+
+
+def test_minhash_grouped_capping_observed(spark):
+    """The bucket cap + observation machinery works at group granularity,
+    and an all-capped empty-output run is recountable with the grouped
+    audit job."""
+    from pyspark.sql import Observation
+
+    from sumi_agent_spark.operators.dedup import (
+        capped_bucket_metrics, minhash_grouped_bucket_audit,
+        minhash_near_duplicates_grouped)
+
+    rows = [(f"g{i}", j, BASE) for i in range(8) for j in range(2)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    obs = Observation("grouped_capping")
+    out = minhash_near_duplicates_grouped(
+        df, "conv_id", "text", threshold=0.6, max_bucket_size=2,
+        observation=obs)
+    assert out.count() == 0  # every bucket holds all 8 identical groups
+    m = capped_bucket_metrics(obs)
+    if m is None:  # empty output pruned the observed subtree (see dedup.py)
+        m = minhash_grouped_bucket_audit(
+            df, "conv_id", "text", threshold=0.6, max_bucket_size=2)
+    assert m["max_bucket_n"] == 8
+    assert m["n_capped_rows"] > 0
+
+
 def test_simhash_near_duplicates(docs):
     out = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=6)
     pairs = {(r.id_a, r.id_b) for r in out.collect()}

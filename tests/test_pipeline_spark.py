@@ -490,6 +490,88 @@ def test_near_dedup_resume_reuses_drop_set(spark, tmp_path, monkeypatch):
     assert s2["rows"] == 0 and s2["n_near_dup_dropped"] == 0
 
 
+def test_run_pipeline_conversation_near_dedup(spark, tmp_path):
+    """Conversation scope drops WHOLE near-duplicate conversations --
+    including their unique turns, which per-turn scope would keep."""
+    t1 = ("the quick brown fox jumps over the lazy dog while the sun "
+          "sets slowly behind the distant mountains and rivers flow")
+    t2 = ("a second lengthy turn discussing watermarks, state stores, "
+          "output modes and exactly-once semantics in streaming systems")
+    t3 = "thanks, bye!"  # unique to conv b; per-turn dedup would keep it
+    rows = [_turn("a", 0, t1), _turn("a", 1, t2),
+            _turn("b", 0, t1.replace("quick", "swift")),
+            _turn("b", 1, t2), _turn("b", 2, t3),
+            _turn("c", 0, "entirely unrelated material about broadcast "
+                          "joins, skew salting and partition pruning")]
+    inp, out = str(tmp_path / "in.parquet"), str(tmp_path / "out")
+    _write_turns(rows, inp)
+    stats = run_pipeline(spark, inp, out, near_dedup_threshold=0.6,
+                         near_dedup_scope="conversation")
+    assert stats["n_near_dup_dropped"] == 1  # one conversation: b
+    got = spark.read.parquet(out).toPandas()
+    assert set(got["conv_id"]) == {"a", "c"}
+    assert len(got[got["conv_id"] == "a"]) == 2  # a keeps all its turns
+    nd = spark.read.parquet(f"{out}/_lineage_neardup").toPandas()
+    assert nd.iloc[0]["stage"] == "near_dedup_conversations"
+
+    # the same input at turn scope keeps conv b's unique closing turn
+    out2 = str(tmp_path / "out_turns")
+    run_pipeline(spark, inp, out2, near_dedup_threshold=0.6,
+                 near_dedup_scope="turn")
+    got2 = spark.read.parquet(out2).toPandas()
+    b_turns = got2[got2["conv_id"] == "b"]
+    assert list(b_turns["turn_idx"]) == [2]  # t3 survives per-turn scope
+
+
+def test_conversation_near_dedup_resume_reuses_drop_set(
+        spark, tmp_path, monkeypatch):
+    """Conversation-scope drop sets replay from the sidecar on resume, and
+    a scope mismatch in the sidecar meta forces a recompute instead of
+    silently reusing turn-scope drops."""
+    t1 = ("the quick brown fox jumps over the lazy dog while the sun "
+          "sets slowly behind the distant mountains and rivers flow")
+    rows = [_turn("a", 0, t1),
+            _turn("b", 0, t1.replace("quick", "swift")),
+            _turn("c", 0, "entirely different content on shuffle "
+                          "partitioning and adaptive execution")]
+    inp, out = str(tmp_path / "in.parquet"), str(tmp_path / "out")
+    _write_turns(rows, inp)
+    s1 = run_pipeline(spark, inp, out, near_dedup_threshold=0.6,
+                      near_dedup_scope="conversation")
+    assert s1["n_near_dup_dropped"] == 1
+
+    import sumi_agent_spark.plans.pipeline as pl
+
+    def boom(*a, **k):
+        raise AssertionError("conversation LSH recomputed on resume")
+
+    monkeypatch.setattr(pl, "near_deduplicate_conversations", boom)
+    s2 = run_pipeline(spark, inp, out, resume=True, near_dedup_threshold=0.6,
+                      near_dedup_scope="conversation")
+    assert s2["rows"] == 0 and s2["n_near_dup_dropped"] == 1
+    got = spark.read.parquet(out).toPandas()
+    assert set(got["conv_id"]) == {"a", "c"}
+
+    # scope mismatch: resuming the same output at TURN scope must NOT
+    # reuse the conversation drop set (it would be the wrong key schema)
+    monkeypatch.undo()
+    s3 = run_pipeline(spark, inp, out, resume=True, near_dedup_threshold=0.6,
+                      near_dedup_scope="turn")
+    assert s3["n_near_dup_dropped"] == 1  # recomputed at turn scope
+    nd = spark.read.parquet(f"{out}/_lineage_neardup").toPandas()
+    recomputed = nd[nd["stage"] == "near_dedup"]
+    assert len(recomputed) == 1 and not recomputed.iloc[0]["drop_set_reused"]
+
+
+def test_conversation_scope_with_index_rejected(spark, tmp_path):
+    _write_turns([_turn("a", 0, "anything")], str(tmp_path / "in.parquet"))
+    with pytest.raises(ValueError, match="scope='turn'"):
+        run_pipeline(spark, str(tmp_path / "in.parquet"),
+                     str(tmp_path / "out"), near_dedup_threshold=0.6,
+                     near_dedup_scope="conversation",
+                     near_dedup_index_path=str(tmp_path / "idx"))
+
+
 def test_run_pipeline_incremental_index_slices(spark, tmp_path):
     """The daily-ingest story: slice 1 bootstraps the MinHash index,
     slice 2 dedups against corpus + itself, slice 3 sees slice 2's kept
