@@ -54,24 +54,50 @@ def scrub_stream(stream: DataFrame, **scrub_kwargs) -> DataFrame:
 
 def dedup_stream(
     stream: DataFrame, watermark: str = "10 minutes",
-    text_col: str = "text",
+    text_col: str = "text", fingerprint: str = "exact",
 ) -> DataFrame:
-    """Streaming exact dedup: keep the FIRST arrival of each normalized
-    text within the watermark horizon.
+    """Streaming dedup: keep the FIRST arrival of each fingerprint within
+    the watermark horizon.
 
-    The streaming analog of ``plans.pipeline.deduplicate_turns``:
-    fingerprint = md5 of whitespace-normalized text (NULL coalesced to the
-    same sentinel, so NULL-text turns dedup against each other instead of
-    vanishing), deduplicated with ``dropDuplicatesWithinWatermark`` so the
-    dedup state is BOUNDED by the event-time horizon -- an unbounded
-    ``dropDuplicates`` would grow state forever on a 100 TB backfill.
-    Semantics difference vs batch, stated plainly: batch picks the
-    (conv_id, turn_idx)-minimal winner; a stream cannot know future
-    arrivals, so the winner is the first ARRIVAL, and duplicates separated
-    by more than the watermark are NOT collapsed (horizon trade-off)."""
-    fp = F.md5(F.coalesce(
-        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "),
-        F.lit("\x00<null-text>")))
+    ``fingerprint="exact"`` is the streaming analog of
+    ``plans.pipeline.deduplicate_turns``: md5 of whitespace-normalized text
+    (NULL coalesced to the same sentinel, so NULL-text turns dedup against
+    each other instead of vanishing).
+
+    ``fingerprint="simhash"`` gives the stream NEAR-dup semantics with the
+    same exact-equality state machinery: the key is the 64-bit SimHash of
+    the text (operators/dedup.py), so two turns collapse whenever their
+    SimHashes are bit-identical (hamming 0).  Because SimHash tokenizes on
+    whitespace, lowercases, and sign-sums per bit, that collapses
+    case variants, whitespace variants, token REORDERINGS (sign sums are
+    order-invariant), and most small-typo variants of long texts -- while
+    the state store still holds one 8-byte key per horizon text, exactly
+    as cheap as exact mode.  Stated limitation: variants at hamming >= 1
+    survive; full banded near-dedup (hamming <= k) needs the batch
+    operators -- backfills run batch, the stream mode is the cheap online
+    guard.
+
+    Both modes use ``dropDuplicatesWithinWatermark`` so the dedup state is
+    BOUNDED by the event-time horizon -- an unbounded ``dropDuplicates``
+    would grow state forever on a 100 TB backfill.  Semantics difference
+    vs batch, stated plainly: batch picks the (conv_id, turn_idx)-minimal
+    winner; a stream cannot know future arrivals, so the winner is the
+    first ARRIVAL, and duplicates separated by more than the watermark are
+    NOT collapsed (horizon trade-off)."""
+    if fingerprint == "exact":
+        fp = F.md5(F.coalesce(
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "),
+            F.lit("\x00<null-text>")))
+    elif fingerprint == "simhash":
+        from ..operators.dedup import make_simhash_udf
+
+        # NULL -> "" tokenizes to zero tokens -> the all-zero SimHash, so
+        # NULL/empty/whitespace-only texts share one fingerprint (the same
+        # collapse rule exact mode's sentinel gives NULL)
+        fp = make_simhash_udf()(F.coalesce(F.col(text_col), F.lit("")))
+    else:
+        raise ValueError(
+            f"fingerprint must be 'exact' or 'simhash', got {fingerprint!r}")
     return (stream.withColumn("_fp", fp)
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["_fp"])

@@ -264,3 +264,58 @@ def test_stream_dedup_exact(spark, tmp_path):
     assert len(got) == 3  # one per distinct normalized text (incl. NULL)
     texts = set(got["text"].fillna("<null>"))
     assert "<null>" in texts and "別の本文です" in texts
+
+
+def test_stream_dedup_simhash(spark, tmp_path):
+    """SimHash fingerprint mode drops near-duplicate variants within the
+    watermark: case, whitespace, and token-order variants SimHash to the
+    same 64 bits (sign sums are case-folded, token-based and
+    order-invariant), which exact-md5 mode would all keep."""
+    import datetime
+
+    from sumi_agent_spark.operators.dedup import make_simhash_udf
+    from sumi_agent_spark.streaming.stream_pipeline import (
+        TRANSCRIPT_SCHEMA, dedup_stream, read_transcript_stream)
+
+    base = ("the quick brown fox jumps over the lazy dog while rivers "
+            "flow to the sea")
+    variant = ("  The  QUICK brown fox jumps over the lazy dog while "
+               "rivers flow to the sea ")  # case + whitespace "typo"
+    reordered = ("rivers flow to the sea while the quick brown fox jumps "
+                 "over the lazy dog")  # same token multiset
+    other = "a completely different sentence about watermark semantics"
+    ts = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [("c1", 0, "user", base, "", ts),
+            ("c1", 1, "user", variant, "", ts),
+            ("c1", 2, "user", reordered, "", ts),
+            ("c2", 0, "user", other, "", ts),
+            ("c3", 0, "user", None, "", ts),
+            ("c3", 1, "user", "   ", "", ts)]  # NULL ~ whitespace-only
+
+    # fixture sanity: the variants really are hamming-0 (they'd pass
+    # trivially otherwise); batch UDF is the same code the stream runs
+    sh = make_simhash_udf()
+    hashes = (spark.createDataFrame(
+        [(t,) for t in (base, variant, reordered)], ["text"])
+        .select(sh("text").alias("h")).toPandas()["h"])
+    assert len(set(hashes)) == 1
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(in_dir)
+    stream = read_transcript_stream(spark, in_dir)
+    q = (dedup_stream(stream, fingerprint="simhash").writeStream
+         .format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    # one survivor for the base-variant-reordered cluster, one for other,
+    # one for the NULL/whitespace-only cluster
+    assert len(got) == 3
+    assert len(got[got["conv_id"] == "c1"]) == 1
+    assert len(got[got["conv_id"] == "c2"]) == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fingerprint"):
+        dedup_stream(stream, fingerprint="minhash")
