@@ -374,6 +374,33 @@ def minhash_near_duplicates(
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+_SIGN_BIT = -(1 << 63)  # int64 sign bit; XOR maps unsigned order <-> signed
+
+
+def _group_signatures(df: DataFrame, group_col: str, text_col: str,
+                      n_hashes: int, shingle_k: int) -> DataFrame:
+    """(gid, sig): the MinHash signature of each group's UNION shingle set,
+    as an elementwise-min aggregate over per-row signatures.
+
+    ``minhash(A | B) = elementwise_min(minhash(A), minhash(B))`` -- but the
+    min must run in UNSIGNED hash order: signature values are uint64 stored
+    as int64 (``make_minhash_udf``), so a plain ``F.min`` would compare
+    signed and pick a large hash over a small one whenever the high bit is
+    set (~half of all values), making the "signature" partition-dependent
+    and silently costing recall.  XORing the sign bit converts unsigned
+    order to signed order for the aggregate, then converts back."""
+    minhash = make_minhash_udf(n_hashes, shingle_k)
+    row_sig = df.select(F.col(group_col).alias("gid"),
+                        minhash(F.col(text_col)).alias("sig"))
+    return (row_sig
+            .groupBy("gid")
+            .agg(F.array(*[
+                F.min(F.element_at("sig", i + 1)
+                      .bitwiseXOR(F.lit(_SIGN_BIT)))
+                 .bitwiseXOR(F.lit(_SIGN_BIT))
+                for i in range(n_hashes)]).alias("sig")))
+
+
 def minhash_near_duplicates_grouped(
     df: DataFrame,
     group_col: str,
@@ -409,20 +436,14 @@ def minhash_near_duplicates_grouped(
     exactly over the union shingle sets."""
     if bands is None:
         bands = bands_for_threshold(threshold, n_hashes)
-    minhash = make_minhash_udf(n_hashes, shingle_k)
     shingles = make_shingle_udf(shingle_k)
     base = df.select(F.col(group_col).alias("gid"),
                      F.col(text_col).alias("text"))
-    row_sig = base.select("gid", minhash("text").alias("sig"))
-    # elementwise min across the group's row signatures == the signature of
-    # the union shingle set (min-of-mins); n_hashes scalar min aggregates
-    # keep this a partial-aggregating hash agg (map-side combine), which a
-    # collect_list-then-reduce formulation would not be
-    group_sig = (row_sig
-                 .groupBy("gid")
-                 .agg(F.array(*[
-                     F.min(F.element_at("sig", i + 1))
-                     for i in range(n_hashes)]).alias("sig")))
+    # elementwise UNSIGNED min across the group's row signatures == the
+    # signature of the union shingle set (min-of-mins); n_hashes scalar min
+    # aggregates keep this a partial-aggregating hash agg (map-side
+    # combine), which a collect_list-then-reduce formulation would not be
+    group_sig = _group_signatures(base, "gid", "text", n_hashes, shingle_k)
     pairs = _banded_pairs(group_sig, "gid", bands, max_bucket_size,
                           observation)
     cand = (pairs.select(F.col("id_a").alias("gid"))
@@ -493,12 +514,8 @@ def minhash_grouped_bucket_audit(
     observe-based counter was pruned by an empty-output run."""
     if bands is None:
         bands = bands_for_threshold(threshold, n_hashes)
-    minhash = make_minhash_udf(n_hashes, shingle_k)
-    row_sig = df.select(F.col(group_col).alias("gid"),
-                        minhash(F.col(text_col)).alias("sig"))
-    group_sig = (row_sig.groupBy("gid")
-                 .agg(F.array(*[F.min(F.element_at("sig", i + 1))
-                                for i in range(n_hashes)]).alias("sig")))
+    group_sig = _group_signatures(df, group_col, text_col, n_hashes,
+                                  shingle_k)
     sizes = (_banded(group_sig, "gid", bands)
              .groupBy("band", "band_key").agg(F.count("*").alias("n")))
     capped = F.col("n") > max_bucket_size

@@ -115,6 +115,45 @@ def test_minhash_grouped_matches_union_jaccard(spark):
     assert abs(got[("a", "b")] - round(expected, 6)) < 1e-9
 
 
+def test_group_signatures_equal_union_minhash(spark):
+    """The group signature must equal the MinHash of the union shingle set
+    computed independently in numpy -- INCLUDING signature values with the
+    int64 sign bit set (single-shingle short texts draw uniformly over
+    uint64, so ~half are negative as int64; a signed min aggregate picks
+    the wrong element there and becomes partition-dependent)."""
+    from sumi_agent_spark.operators.dedup import (
+        _group_signatures, _hash_family, _shingle_hashes)
+
+    texts = {"g1": ["the quick brown fox jumps over the lazy dog",
+                    "ok",   # 1 shingle -> uniform sig values, ~half negative
+                    "a third turn with yet more distinct content"],
+             "g2": ["yes", "no"],
+             "g3": ["one ordinary sentence mentioning several things"]}
+    rows = [(g, t) for g, ts in texts.items() for t in ts]
+    df = spark.createDataFrame(rows, ["conv_id", "text"])
+    got = {r["gid"]: list(r["sig"]) for r in
+           _group_signatures(df, "conv_id", "text", 32, 5).collect()}
+    a, b = _hash_family(32)
+
+    def sig_of(shingle_sets):
+        union = np.unique(np.concatenate(shingle_sets))
+        return np.array([np.min(a[i] * union + b[i]) for i in range(32)],
+                        dtype=np.uint64)
+
+    mismatch_signed = False
+    for g, ts in texts.items():
+        sets = [_shingle_hashes(t, 5) for t in ts]
+        expected = sig_of(sets)
+        assert got[g] == list(expected.view(np.int64)), g
+        # would a SIGNED min over the per-row minima have gotten this
+        # wrong?  (guards the fixture: the adversarial case must occur)
+        row_sigs = np.stack([sig_of([s]) for s in sets])
+        signed_min = row_sigs.view(np.int64).min(axis=0)
+        if not np.array_equal(signed_min, expected.view(np.int64)):
+            mismatch_signed = True
+    assert mismatch_signed  # the fixture really exercises the sign bit
+
+
 def test_minhash_grouped_degenerates_to_per_doc(docs):
     """With one row per group, grouped == per-doc: same pairs, same exact
     jaccard (the group signature min-agg over a single row is the row's
