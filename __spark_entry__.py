@@ -591,6 +591,34 @@ def _q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_ppm"))
 
 
+def _q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest protocol in one query: build a MinHash index from
+    the even-doc_id half of ``documents`` (the "corpus"), then find the
+    odd half's ("today's slice") near-duplicates against index + slice
+    with ``minhash_near_duplicates_incremental`` -- new-vs-new and
+    new-vs-corpus pairs only, never corpus-vs-corpus, capping counted over
+    full (old+new) buckets.  ``new_a``/``new_b`` tell the corpus-wins drop
+    policy which side is droppable.  Deterministic (fixed hash seeds, an
+    overwrite-mode index at a per-sf path), so pinnable; equivalence with
+    the full-corpus operator restricted to slice pairs is proven in
+    tests/test_minhash_index.py."""
+    from sumi_agent_spark.operators.minhash_index import (
+        minhash_near_duplicates_incremental, write_minhash_index)
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    index_path = f"/tmp/sumi_contract_mh_index_{sf}"
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    slice_df = docs.filter(F.col("doc_id") % 2 == 1)
+    write_minhash_index(corpus, "doc_id", "text", index_path,
+                        threshold=MINHASH_THRESHOLD)
+    pairs = minhash_near_duplicates_incremental(
+        slice_df, "doc_id", "text", index_path)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_ppm"),
+        "new_a", "new_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_hash": _q_normalize_hash,
@@ -614,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": _q_cosine_pairs,
         "minhash_near_dup": _q_minhash_near_dup,
         "conv_near_dup": _q_conv_near_dup,
+        "incremental_near_dup": _q_incremental_near_dup,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_stats": _q_winnow_stats,
         "scrub_docs": _q_scrub_docs,

@@ -666,6 +666,11 @@ def run_pipeline(
     spark.createDataFrame([guard_row]).write.mode("append").parquet(
         f"{output_path}/_lineage_guards")
     if nd_index_action is not None:
+        # Index content = dedup-kept turns, BEFORE the toxicity/resume
+        # gates: the index answers "what has this corpus already seen",
+        # so a toxic turn dropped from the OUTPUT still anchors dedup of
+        # its future near-copies (which the toxicity gate would drop
+        # anyway -- near-copies of toxic text score toxic).
         # index maintenance runs LAST, only after the write + guards
         # succeeded: a crash anywhere above leaves the index in its
         # pre-slice state, so a resumed run recomputes the same drops

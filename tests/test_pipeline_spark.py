@@ -631,6 +631,67 @@ def test_run_pipeline_incremental_index_slices(spark, tmp_path):
                      near_dedup_index_path=idx)
 
 
+def test_incremental_index_crash_before_append_resumes_clean(
+        spark, tmp_path, monkeypatch):
+    """Index maintenance appends LAST: a run that crashes after the main
+    write but before the append leaves the index in its pre-slice state,
+    so the resumed run recomputes the SAME drops against the SAME index,
+    appends exactly once, and the final output + index equal an
+    uninterrupted run's."""
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the distant mountains and rivers flow")
+    idx = str(tmp_path / "mh_index")
+    _write_turns([_turn("a", 0, base)], str(tmp_path / "s1.parquet"))
+    run_pipeline(spark, str(tmp_path / "s1.parquet"),
+                 str(tmp_path / "out1"), near_dedup_threshold=0.6,
+                 near_dedup_index_path=idx)
+
+    import sumi_agent_spark.operators.minhash_index as mhi
+    import sumi_agent_spark.plans.pipeline as pl
+
+    real_append = mhi.append_to_minhash_index
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before index append")
+
+    # slice 2 writes its output, then "crashes" in index maintenance
+    _write_turns([_turn("b", 0, base.replace("quick", "swift")),
+                  _turn("c", 0, "an unrelated novel sentence about "
+                                "broadcast joins and salting at scale")],
+                 str(tmp_path / "s2.parquet"))
+    monkeypatch.setattr(pl, "append_to_minhash_index", crash, raising=False)
+    monkeypatch.setattr(mhi, "append_to_minhash_index", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                     str(tmp_path / "out2"), near_dedup_threshold=0.6,
+                     near_dedup_index_path=idx)
+    # the main output was written but the index still has only slice 1
+    assert spark.read.parquet(f"{idx}/shingles").count() == 1
+
+    monkeypatch.setattr(mhi, "append_to_minhash_index", real_append)
+    monkeypatch.setattr(pl, "append_to_minhash_index", real_append,
+                        raising=False)
+    s2 = run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                      str(tmp_path / "out2"), resume=True,
+                      near_dedup_threshold=0.6, near_dedup_index_path=idx)
+    assert s2["rows"] == 0  # output was already complete
+    assert s2["n_near_dup_dropped"] == 1  # same drops recomputed (b ~ a)
+    got = spark.read.parquet(f"{tmp_path}/out2").toPandas()
+    assert set(got["conv_id"]) == {"c"}
+    # index now holds slice 1's turn + slice 2's kept turn, exactly once
+    sh = spark.read.parquet(f"{idx}/shingles").toPandas()
+    assert len(sh) == 2
+
+    # a further slice near-matching c proves the appended entry works
+    _write_turns([_turn("d", 0, "an unrelated novel sentence about "
+                                "broadcast joins and salting at scale!")],
+                 str(tmp_path / "s3.parquet"))
+    s3 = run_pipeline(spark, str(tmp_path / "s3.parquet"),
+                      str(tmp_path / "out3"), near_dedup_threshold=0.6,
+                      near_dedup_index_path=idx)
+    assert s3["n_near_dup_dropped"] == 1 and s3["rows"] == 0
+
+
 def test_near_dedup_idempotent_under_resume(spark, tmp_path):
     """Dedup stages run on the FULL input before resume filtering: if run 1
     wrote turn A and crashed before its near-duplicate B, the resumed run

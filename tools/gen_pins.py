@@ -32,6 +32,7 @@ sys.path.insert(0, "/root/repo")
 PIN_QUERIES = [
     "minhash_near_dup",
     "conv_near_dup",
+    "incremental_near_dup",
     "simhash_near_dup",
     "winnow_stats",
     "scrub_docs",
