@@ -277,6 +277,40 @@ def _banded_pairs(sig_df: DataFrame, id_col: str, bands: int,
             .distinct())
 
 
+def resolve_bands(threshold: float, n_hashes: int,
+                  bands: Optional[int]) -> int:
+    """Derive-or-validate the LSH band count (shared by every MinHash
+    operator: per-doc, grouped, both audits, and the persisted index).
+
+    ``bands=None`` derives a safe geometry from the threshold
+    (:func:`bands_for_threshold`).  An explicit ``bands`` is validated the
+    way ``minhash_near_duplicates`` always did: ``bands > n_hashes`` is
+    rejected (rows/band truncates to 0, every band key collapses and the
+    self-join goes all-pairs), non-dividing counts warn with the EXECUTED
+    truncated geometry, and a midpoint above the threshold warns that edge
+    recall is below a coin flip."""
+    if bands is None:
+        return bands_for_threshold(threshold, n_hashes)
+    import warnings
+    if bands > n_hashes:
+        raise ValueError(
+            f"minhash bands={bands} exceeds n_hashes={n_hashes}")
+    rows_pb = n_hashes // bands
+    if n_hashes % bands:
+        warnings.warn(
+            f"minhash n_hashes={n_hashes} is not divisible by "
+            f"bands={bands}: only {rows_pb * bands} hashes are used "
+            f"({n_hashes % bands} discarded).", stacklevel=3)
+    midpoint = (1.0 / bands) ** (1.0 / rows_pb)
+    if midpoint > threshold:
+        warnings.warn(
+            f"minhash bands={bands} puts the LSH S-curve midpoint "
+            f"({midpoint:.3f}) above threshold={threshold}: recall at "
+            f"the threshold edge is below 50%. Pass bands=None to "
+            f"derive a safe geometry.", stacklevel=3)
+    return bands
+
+
 def bands_for_threshold(threshold: float, n_hashes: int = 128,
                         margin: float = 0.08) -> int:
     """Smallest band count whose S-curve midpoint ``(1/bands)^(bands/n)``
@@ -334,30 +368,7 @@ def minhash_near_duplicates(
     shingle-hash array (the cheap half of the signature UDF) and exact
     Jaccard is ``array_intersect``/set-size arithmetic inside codegen -- no
     Python and no re-shingling of full texts per candidate pair."""
-    if bands is None:
-        bands = bands_for_threshold(threshold, n_hashes)
-    else:
-        import warnings
-        if bands > n_hashes:
-            # rows/band truncates to 0: every band key collapses to the
-            # hash of an empty slice and the self-join goes all-pairs
-            raise ValueError(
-                f"minhash bands={bands} exceeds n_hashes={n_hashes}")
-        # the EXECUTED geometry truncates rows/band (see _banded's
-        # int-cast slice); warn from that, not the fractional value
-        rows_pb = n_hashes // bands
-        if n_hashes % bands:
-            warnings.warn(
-                f"minhash n_hashes={n_hashes} is not divisible by "
-                f"bands={bands}: only {rows_pb * bands} hashes are used "
-                f"({n_hashes % bands} discarded).", stacklevel=2)
-        midpoint = (1.0 / bands) ** (1.0 / rows_pb)
-        if midpoint > threshold:
-            warnings.warn(
-                f"minhash bands={bands} puts the LSH S-curve midpoint "
-                f"({midpoint:.3f}) above threshold={threshold}: recall at "
-                f"the threshold edge is below 50%. Pass bands=None to "
-                f"derive a safe geometry.", stacklevel=2)
+    bands = resolve_bands(threshold, n_hashes, bands)
     minhash = make_minhash_udf(n_hashes, shingle_k)
     shingles = make_shingle_udf(shingle_k)
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
@@ -442,8 +453,7 @@ def minhash_near_duplicates_grouped(
     the executed plan; wall time ~1.2x the per-doc operator on identical
     5000-doc input, not the ~5x a true recompute would cost), so no
     internal persist() -- and its cache-lifecycle burden -- is needed."""
-    if bands is None:
-        bands = bands_for_threshold(threshold, n_hashes)
+    bands = resolve_bands(threshold, n_hashes, bands)
     shingles = make_shingle_udf(shingle_k)
     base = df.select(F.col(group_col).alias("gid"),
                      F.col(text_col).alias("text"))
@@ -492,8 +502,7 @@ def minhash_bucket_audit(
     output is completely empty; this recomputes signatures and returns the
     exact {n_capped_rows, n_capped_buckets, max_bucket_n} for the SAME
     geometry.  One extra scan -- an audit tool, not the hot path."""
-    if bands is None:
-        bands = bands_for_threshold(threshold, n_hashes)
+    bands = resolve_bands(threshold, n_hashes, bands)
     minhash = make_minhash_udf(n_hashes, shingle_k)
     sig = df.select(F.col(id_col).alias("doc_id"),
                     minhash(F.col(text_col)).alias("sig"))
@@ -520,8 +529,7 @@ def minhash_grouped_bucket_audit(
     bucket sizes over GROUP signatures (elementwise-min aggregation, same
     geometry as :func:`minhash_near_duplicates_grouped`) when the
     observe-based counter was pruned by an empty-output run."""
-    if bands is None:
-        bands = bands_for_threshold(threshold, n_hashes)
+    bands = resolve_bands(threshold, n_hashes, bands)
     group_sig = _group_signatures(df, group_col, text_col, n_hashes,
                                   shingle_k)
     sizes = (_banded(group_sig, "gid", bands)

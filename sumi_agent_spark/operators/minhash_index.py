@@ -47,9 +47,9 @@ from pyspark.sql import functions as F
 from .dedup import (
     _banded,
     _observe_capping,
-    bands_for_threshold,
     make_minhash_udf,
     make_shingle_udf,
+    resolve_bands,
 )
 
 
@@ -57,6 +57,17 @@ def _read_meta(spark: SparkSession, index_path: str) -> dict:
     row = spark.read.parquet(f"{index_path}/meta").first()
     return {k: row[k] for k in
             ("n_hashes", "bands", "shingle_k", "threshold")}
+
+
+def _committed_doc_ids(spark: SparkSession, index_path: str) -> DataFrame:
+    """One-column (``doc_id``) DataFrame of docs COMMITTED to the index.
+
+    Reads the ``bands/`` store, which every write path writes LAST -- so a
+    doc listed here is guaranteed to have its shingle rows present too,
+    and a doc whose append crashed half-way (shingles written, bands not)
+    correctly reads as absent.  Column-pruned scan of one key column."""
+    return (spark.read.parquet(f"{index_path}/bands")
+            .select("doc_id").distinct())
 
 
 def write_minhash_index(
@@ -71,22 +82,24 @@ def write_minhash_index(
 ) -> dict:
     """Create a MinHash index at ``index_path`` from a (deduped) corpus.
 
-    Computes signatures once and writes both the banded LSH rows
-    (partitioned by band) and the per-doc shingle arrays.  Returns the
-    pinned geometry.  Overwrites any existing index at the path."""
-    if bands is None:
-        bands = bands_for_threshold(threshold, n_hashes)
+    Computes signatures once and writes the per-doc shingle arrays, then
+    the banded LSH rows (partitioned by band), then the geometry meta --
+    in that order, so readers can treat ``meta`` as the create-commit
+    marker and ``bands`` as the per-doc commit marker (see
+    :func:`_committed_doc_ids`).  Returns the pinned geometry.  Overwrites
+    any existing index at the path."""
+    bands = resolve_bands(threshold, n_hashes, bands)
     spark = df.sparkSession
     minhash = make_minhash_udf(n_hashes, shingle_k)
     shingles = make_shingle_udf(shingle_k)
     base = df.select(F.col(id_col).alias("doc_id"),
                      F.col(text_col).alias("text"))
+    (base.select("doc_id", shingles("text").alias("sh"))
+     .write.mode("overwrite").parquet(f"{index_path}/shingles"))
     sig = base.select("doc_id", minhash("text").alias("sig"))
     (_banded(sig, "doc_id", bands)
      .write.mode("overwrite").partitionBy("band")
      .parquet(f"{index_path}/bands"))
-    (base.select("doc_id", shingles("text").alias("sh"))
-     .write.mode("overwrite").parquet(f"{index_path}/shingles"))
     meta = {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k,
             "threshold": float(threshold)}
     spark.createDataFrame([meta]).write.mode("overwrite").parquet(
@@ -97,7 +110,13 @@ def write_minhash_index(
 def append_to_minhash_index(
     new_df: DataFrame, id_col: str, text_col: str, index_path: str,
 ) -> None:
-    """Append a slice's band rows + shingle arrays to an existing index.
+    """Append a slice's shingle arrays + band rows to an existing index,
+    idempotently: each store independently anti-joins the keys it already
+    holds, so re-running a completed append adds nothing, and re-running
+    an append that crashed BETWEEN the two writes (shingles present, bands
+    absent) completes it to an exactly-once state instead of duplicating
+    -- shingles are written first, bands last, so ``bands`` membership
+    certifies a doc's append fully committed.
 
     Call AFTER consuming the incremental pair result for the slice (the
     pair computation must see the index in its pre-slice state; Spark's
@@ -109,12 +128,17 @@ def append_to_minhash_index(
     shingles = make_shingle_udf(meta["shingle_k"])
     base = new_df.select(F.col(id_col).alias("doc_id"),
                          F.col(text_col).alias("text"))
-    sig = base.select("doc_id", minhash("text").alias("sig"))
+    sh_existing = (spark.read.parquet(f"{index_path}/shingles")
+                   .select("doc_id").distinct())
+    (base.join(sh_existing, "doc_id", "left_anti")
+     .select("doc_id", shingles("text").alias("sh"))
+     .write.mode("append").parquet(f"{index_path}/shingles"))
+    bd_existing = _committed_doc_ids(spark, index_path)
+    sig = (base.join(bd_existing, "doc_id", "left_anti")
+           .select("doc_id", minhash("text").alias("sig")))
     (_banded(sig, "doc_id", meta["bands"])
      .write.mode("append").partitionBy("band")
      .parquet(f"{index_path}/bands"))
-    (base.select("doc_id", shingles("text").alias("sh"))
-     .write.mode("append").parquet(f"{index_path}/shingles"))
 
 
 def minhash_near_duplicates_incremental(
@@ -140,7 +164,14 @@ def minhash_near_duplicates_incremental(
     meta), bucket sizes counted over the FULL bucket (index + slice rows),
     and the same JVM-side exact-Jaccard verify as the batch operator --
     so the output equals a full-corpus ``minhash_near_duplicates`` run
-    restricted to pairs with at least one slice doc (tested).
+    restricted to pairs with at least one NEW slice doc (tested).
+
+    A slice doc whose key is ALREADY committed to the index is corpus, not
+    new: it is filtered from the slice side up front (one anti-join
+    against the column-pruned committed-key set).  Without the filter, a
+    re-run of a completed slice would count each such doc twice in every
+    bucket -- shifting the capping threshold relative to the original run
+    -- and emit the same pair twice with conflicting ``new_*`` flags.
 
     Scale shape: the slice's band rows shuffle-join against the index's
     band partitions; candidate verify joins against the shingle store.
@@ -152,8 +183,10 @@ def minhash_near_duplicates_incremental(
     shingles = make_shingle_udf(meta["shingle_k"])
     threshold = meta["threshold"]
 
-    base = new_df.select(F.col(id_col).alias("doc_id"),
-                         F.col(text_col).alias("text"))
+    base = (new_df.select(F.col(id_col).alias("doc_id"),
+                          F.col(text_col).alias("text"))
+            .join(_committed_doc_ids(spark, index_path), "doc_id",
+                  "left_anti"))
     sig = base.select("doc_id", minhash("text").alias("sig"))
     new_banded = _banded(sig, "doc_id", meta["bands"]) \
         .withColumn("is_new", F.lit(True))
@@ -218,8 +251,13 @@ def minhash_index_bucket_audit(
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
     minhash = make_minhash_udf(meta["n_hashes"], meta["shingle_k"])
-    sig = new_df.select(F.col(id_col).alias("doc_id"),
-                        minhash(F.col(text_col)).alias("sig"))
+    # same already-committed filter as the pair computation, so the audit
+    # recounts exactly the buckets that run saw
+    sig = (new_df.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("text"))
+           .join(_committed_doc_ids(spark, index_path), "doc_id",
+                 "left_anti")
+           .select("doc_id", minhash("text").alias("sig")))
     new_banded = _banded(sig, "doc_id", meta["bands"])
     old_banded = (spark.read.parquet(f"{index_path}/bands")
                   .select("doc_id", "band", "band_key"))

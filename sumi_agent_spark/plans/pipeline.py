@@ -295,13 +295,21 @@ class RetentionError(RuntimeError):
 
 
 def _nd_input_fingerprint(df: DataFrame) -> tuple[int, int]:
-    """(row count, order-insensitive key checksum) over (conv_id, turn_idx).
+    """(row count, order-insensitive row checksum) over
+    (conv_id, turn_idx, text).
 
-    One column-pruned scan of the two key columns.  ``bit_xor`` of the
-    per-key hashes never overflows (unlike a sum under ANSI arithmetic)
-    and is order-insensitive; keys are unique, so xor self-cancellation
-    cannot occur."""
-    row = (df.select(F.xxhash64("conv_id", "turn_idx").alias("h"))
+    One column-pruned scan.  ``text`` is part of the hash because the
+    near-dup winner set depends on CONTENT, not just keys: an upstream
+    re-generation that edits texts under unchanged keys must invalidate
+    the persisted drop set, or a resumed run would replay drops computed
+    for different text.  ``bit_xor`` of the per-row hashes never overflows
+    (unlike a sum under ANSI arithmetic) and is order-insensitive.  An
+    even number of fully identical rows xor-cancels (keys are NOT
+    guaranteed unique when ``dedup=False``), which is why the row COUNT is
+    checked alongside the checksum -- dropping or adding such rows changes
+    ``n``; a same-count same-xor collision requires an adversarial edit,
+    not an operational accident."""
+    row = (df.select(F.xxhash64("conv_id", "turn_idx", "text").alias("h"))
            .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("hx"))
            .first())
     return int(row["n"]), int(row["hx"]) if row["hx"] is not None else 0
@@ -355,11 +363,13 @@ def _near_dedup_full_stage(spark, df, threshold, output_path, resume,
     stage_name = "near_dedup_conversations" if conv_scope else "near_dedup"
     drops_path = f"{output_path}/_neardup_drops"
     meta_path = f"{output_path}/_neardup_meta"
+    fingerprint = None  # computed at most once per run (full input scan)
     if resume:
         meta = _try_read_first(spark, meta_path)
         if (meta is not None and float(meta["threshold"]) == threshold
                 and meta.asDict().get("scope", "turn") == scope):
-            n_in, checksum = _nd_input_fingerprint(df)
+            fingerprint = _nd_input_fingerprint(df)
+            n_in, checksum = fingerprint
             if (int(meta["n_input_rows"]) == n_in
                     and int(meta["keys_checksum"]) == checksum):
                 n_nd = int(meta["n_dropped"])
@@ -416,7 +426,9 @@ def _near_dedup_full_stage(spark, df, threshold, output_path, resume,
             (nd_drops.select(F.col("_nk.conv_id").alias("conv_id"),
                              F.col("_nk.turn_idx").alias("turn_idx"))
              .write.mode("overwrite").parquet(drops_path))
-    n_in, checksum = _nd_input_fingerprint(df_pre_nd)
+    if fingerprint is None:
+        fingerprint = _nd_input_fingerprint(df_pre_nd)
+    n_in, checksum = fingerprint
     meta_row = {"threshold": threshold, "scope": scope, "n_input_rows": n_in,
                 "keys_checksum": checksum, "n_dropped": n_nd, **m}
     spark.createDataFrame([meta_row]).write.mode("overwrite").parquet(
@@ -681,19 +693,22 @@ def run_pipeline(
         action, kept = nd_index_action
         kept_keyed = kept.withColumn("_nk", F.struct("conv_id", "turn_idx"))
         if action == "create":
-            if n > 0:  # an empty bootstrap writes no readable index
+            # gate on the KEPT set, not rows written this call: a
+            # bootstrap that crashed mid-create and RESUMED writes zero
+            # new output rows (resume_filter removed them) but must still
+            # create the index, or the whole bootstrap corpus silently
+            # never enters it and later slices dedup against nothing
+            if not kept_keyed.isEmpty():  # empty input: no readable index
                 write_minhash_index(kept_keyed, "_nk", "text",
                                     near_dedup_index_path,
                                     threshold=float(near_dedup_threshold))
         else:
-            # guard against double-append when a COMPLETED slice is re-run:
-            # keys already indexed are skipped (column-pruned key read)
-            existing = (spark.read
-                        .parquet(f"{near_dedup_index_path}/shingles")
-                        .select(F.col("doc_id").alias("_nk")))
-            append_to_minhash_index(
-                kept_keyed.join(existing, "_nk", "left_anti"),
-                "_nk", "text", near_dedup_index_path)
+            # idempotent by construction: append_to_minhash_index
+            # anti-joins each store's already-committed keys, so a
+            # completed-slice re-run appends nothing and a half-crashed
+            # append completes exactly-once
+            append_to_minhash_index(kept_keyed, "_nk", "text",
+                                    near_dedup_index_path)
     wall = time.time() - t0
     stats = {"rows": n, "wall_sec": round(wall, 3),
              "rows_per_sec": round(n / wall, 1) if wall > 0 else None,

@@ -157,6 +157,75 @@ def test_incremental_capping_counts_full_bucket(spark, tmp_path):
     assert m["n_capped_rows"] == 16 * 1200
 
 
+def test_rerun_of_completed_slice_is_inert(spark, corpus, slice_df,
+                                           tmp_path):
+    """A slice whose keys are already committed to the index is corpus:
+    re-running it yields no pairs (nothing is 'new'), no double-counted
+    buckets, and a second append adds nothing to either store."""
+    path = str(tmp_path / "idx")
+    write_minhash_index(corpus, "doc_id", "text", path, threshold=0.6)
+    append_to_minhash_index(slice_df, "doc_id", "text", path)
+    n_sh = spark.read.parquet(f"{path}/shingles").count()
+    n_bd = spark.read.parquet(f"{path}/bands").count()
+
+    inc = minhash_near_duplicates_incremental(slice_df, "doc_id", "text",
+                                              path)
+    assert inc.count() == 0  # every slice doc reads as already-corpus
+    append_to_minhash_index(slice_df, "doc_id", "text", path)  # idempotent
+    assert spark.read.parquet(f"{path}/shingles").count() == n_sh
+    assert spark.read.parquet(f"{path}/bands").count() == n_bd
+
+
+def test_append_crash_between_stores_converges(spark, corpus, slice_df,
+                                               tmp_path, monkeypatch):
+    """Shingles are written first, bands last; a crash between the two
+    leaves phantom shingle rows that (a) do not corrupt pair computation
+    -- bands membership defines 'committed' -- and (b) are completed to an
+    exactly-once state by re-running the append."""
+    import sumi_agent_spark.operators.minhash_index as mhi
+
+    path = str(tmp_path / "idx")
+    write_minhash_index(corpus, "doc_id", "text", path, threshold=0.6)
+    clean_pairs = _pairset(minhash_near_duplicates_incremental(
+        slice_df, "doc_id", "text", path).select("id_a", "id_b", "jaccard"))
+    n_sh0 = spark.read.parquet(f"{path}/shingles").count()
+    n_bd0 = spark.read.parquet(f"{path}/bands").count()
+
+    real_banded = mhi._banded
+
+    def crash_banded(*a, **k):
+        raise RuntimeError("simulated crash before bands append")
+
+    monkeypatch.setattr(mhi, "_banded", crash_banded)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        append_to_minhash_index(slice_df, "doc_id", "text", path)
+    monkeypatch.setattr(mhi, "_banded", real_banded)
+    # shingles got the slice, bands did not
+    assert spark.read.parquet(f"{path}/shingles").count() \
+        == n_sh0 + slice_df.count()
+    assert spark.read.parquet(f"{path}/bands").count() == n_bd0
+
+    # a resumed run recomputes the SAME pairs against the half-appended
+    # index (phantom shingles are invisible: commitment == bands)
+    mid_pairs = _pairset(minhash_near_duplicates_incremental(
+        slice_df, "doc_id", "text", path).select("id_a", "id_b", "jaccard"))
+    assert mid_pairs == clean_pairs
+
+    # completing the append reaches the exactly-once state
+    append_to_minhash_index(slice_df, "doc_id", "text", path)
+    sh = spark.read.parquet(f"{path}/shingles").groupBy("doc_id").count()
+    assert sh.filter("count > 1").count() == 0
+    bd = (spark.read.parquet(f"{path}/bands")
+          .groupBy("doc_id", "band").count())
+    assert bd.filter("count > 1").count() == 0
+
+
+def test_index_write_rejects_bad_bands(spark, corpus, tmp_path):
+    with pytest.raises(ValueError, match="exceeds n_hashes"):
+        write_minhash_index(corpus, "doc_id", "text",
+                            str(tmp_path / "idx"), bands=256)
+
+
 def test_geometry_is_pinned_in_meta(spark, corpus, slice_df, tmp_path):
     """Appends and incremental runs take geometry from the index meta, so
     a caller cannot desync hash family / bands between runs."""

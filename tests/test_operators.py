@@ -154,6 +154,16 @@ def test_group_signatures_equal_union_minhash(spark):
     assert mismatch_signed  # the fixture really exercises the sign bit
 
 
+def test_minhash_grouped_validates_bands(docs):
+    """The grouped operator shares the per-doc geometry validation: an
+    all-pairs-degenerate band count is rejected, not silently executed."""
+    from sumi_agent_spark.operators.dedup import (
+        minhash_near_duplicates_grouped)
+
+    with pytest.raises(ValueError, match="exceeds n_hashes"):
+        minhash_near_duplicates_grouped(docs, "doc_id", "text", bands=256)
+
+
 def test_minhash_grouped_degenerates_to_per_doc(docs):
     """With one row per group, grouped == per-doc: same pairs, same exact
     jaccard (the group signature min-agg over a single row is the row's

@@ -631,6 +631,71 @@ def test_run_pipeline_incremental_index_slices(spark, tmp_path):
                      near_dedup_index_path=idx)
 
 
+def test_near_dedup_resume_detects_text_change(spark, tmp_path,
+                                               monkeypatch):
+    """Editing texts under UNCHANGED keys must invalidate the persisted
+    drop set: the winner set depends on content, so the fingerprint hashes
+    text too and the resumed run recomputes instead of replaying."""
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the distant mountains and rivers flow")
+    rows = [_turn("a", 0, base),
+            _turn("b", 0, base.replace("quick", "swift"))]
+    inp, out = str(tmp_path / "in.parquet"), str(tmp_path / "out")
+    _write_turns(rows, inp)
+    s1 = run_pipeline(spark, inp, out, near_dedup_threshold=0.6)
+    assert s1["n_near_dup_dropped"] == 1  # b ~ a
+
+    # same keys, b's text replaced by something unrelated: b is no longer
+    # a near-dup and must NOT be dropped by a replayed stale drop set
+    rows2 = [_turn("a", 0, base),
+             _turn("b", 0, "an entirely different sentence about bucketed "
+                           "joins, watermark semantics and skew salting")]
+    _write_turns(rows2, inp)
+    s2 = run_pipeline(spark, inp, out, resume=True, near_dedup_threshold=0.6)
+    assert s2["n_near_dup_dropped"] == 0  # recomputed, not replayed
+    got = spark.read.parquet(out).toPandas()
+    assert set(got["conv_id"]) == {"a", "b"}
+
+
+def test_incremental_index_bootstrap_crash_resume_creates_index(
+        spark, tmp_path, monkeypatch):
+    """A bootstrap run that crashed during index creation writes zero NEW
+    output rows when resumed -- the index must still be created from the
+    kept set, or the bootstrap corpus silently never enters it."""
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the distant mountains and rivers flow")
+    idx = str(tmp_path / "mh_index")
+    _write_turns([_turn("a", 0, base)], str(tmp_path / "s1.parquet"))
+
+    import sumi_agent_spark.plans.pipeline as pl
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash during index create")
+
+    monkeypatch.setattr(pl, "write_minhash_index", crash, raising=False)
+    import sumi_agent_spark.operators.minhash_index as mhi
+    real_write = mhi.write_minhash_index
+    monkeypatch.setattr(mhi, "write_minhash_index", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline(spark, str(tmp_path / "s1.parquet"),
+                     str(tmp_path / "out1"), near_dedup_threshold=0.6,
+                     near_dedup_index_path=idx)
+    monkeypatch.setattr(mhi, "write_minhash_index", real_write)
+
+    s1 = run_pipeline(spark, str(tmp_path / "s1.parquet"),
+                      str(tmp_path / "out1"), resume=True,
+                      near_dedup_threshold=0.6, near_dedup_index_path=idx)
+    assert s1["rows"] == 0  # output already complete from the crashed run
+    # ...but the index exists now, and slice 2 dedups against it
+    assert spark.read.parquet(f"{idx}/shingles").count() == 1
+    _write_turns([_turn("b", 0, base.replace("quick", "swift"))],
+                 str(tmp_path / "s2.parquet"))
+    s2 = run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                      str(tmp_path / "out2"), near_dedup_threshold=0.6,
+                      near_dedup_index_path=idx)
+    assert s2["n_near_dup_dropped"] == 1 and s2["rows"] == 0
+
+
 def test_incremental_index_crash_before_append_resumes_clean(
         spark, tmp_path, monkeypatch):
     """Index maintenance appends LAST: a run that crashes after the main

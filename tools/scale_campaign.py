@@ -55,7 +55,6 @@ def one_level(cores: int) -> tuple[float, int]:
                   extra_conf=_SPLIT_CONF)
     try:
         bench._warm(s)
-        t0 = time.time()
         best = float("inf")
         base = s.read.parquet(bench.ensure_big_fixture(s, REPL))
         n = base.count()
