@@ -53,10 +53,19 @@ from .dedup import (
 )
 
 
-def _read_meta(spark: SparkSession, index_path: str) -> dict:
+def _read_meta(spark: SparkSession, index_path: str,
+               expect_granularity: str = "doc") -> dict:
     row = spark.read.parquet(f"{index_path}/meta").first()
-    return {k: row[k] for k in
+    meta = {k: row[k] for k in
             ("n_hashes", "bands", "shingle_k", "threshold")}
+    granularity = row.asDict().get("granularity", "doc")
+    if granularity != expect_granularity:
+        raise ValueError(
+            f"minhash index at {index_path} has granularity "
+            f"{granularity!r}; this operator requires "
+            f"{expect_granularity!r} (doc-level and group-level indexes "
+            f"store different shingle layouts and cannot be mixed)")
+    return meta
 
 
 def _committed_doc_ids(spark: SparkSession, index_path: str) -> DataFrame:
@@ -101,7 +110,7 @@ def write_minhash_index(
      .write.mode("overwrite").partitionBy("band")
      .parquet(f"{index_path}/bands"))
     meta = {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k,
-            "threshold": float(threshold)}
+            "threshold": float(threshold), "granularity": "doc"}
     spark.createDataFrame([meta]).write.mode("overwrite").parquet(
         f"{index_path}/meta")
     return meta
@@ -259,6 +268,226 @@ def minhash_index_bucket_audit(
                  "left_anti")
            .select("doc_id", minhash("text").alias("sig")))
     new_banded = _banded(sig, "doc_id", meta["bands"])
+    old_banded = (spark.read.parquet(f"{index_path}/bands")
+                  .select("doc_id", "band", "band_key"))
+    sizes = (old_banded.unionByName(new_banded)
+             .groupBy("band", "band_key").agg(F.count("*").alias("n")))
+    capped = F.col("n") > max_bucket_size
+    row = sizes.agg(
+        F.coalesce(F.sum(F.when(capped, F.col("n"))), F.lit(0))
+         .alias("n_capped_rows"),
+        F.coalesce(F.sum(capped.cast("long")), F.lit(0))
+         .alias("n_capped_buckets"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_n")).first()
+    return {"n_capped_rows": int(row["n_capped_rows"]),
+            "n_capped_buckets": int(row["n_capped_buckets"]),
+            "max_bucket_n": int(row["max_bucket_n"])}
+
+
+# ─── Group-granularity (conversation) index ───
+#
+# Same layout contract as the doc index (shingles first, bands last = the
+# commit marker, meta = create marker), with two differences pinned in
+# meta as granularity="group":
+#
+# * ``bands/`` keys are GROUP ids and band keys come from the group's
+#   union-set signature (elementwise unsigned min over member rows --
+#   ``dedup._group_signatures``);
+# * ``shingles/`` stores EXPLODED ``(doc_id, sh)`` rows, one per unique
+#   shingle per group, never a per-group array: a million-turn
+#   conversation must not materialize as one unbounded array anywhere,
+#   and the exact-Jaccard verify runs as scalar-row joins + counts
+#   exactly like ``minhash_near_duplicates_grouped``.
+#
+# Semantics restriction, stated plainly: a GROUP is closed per slice.  A
+# group id already committed to the index is corpus and a later slice's
+# rows for it are ignored (filtered, like re-ingested docs) -- the right
+# model for transcript dumps where a conversation is complete when
+# exported.  Growing a committed conversation would change its signature,
+# which an append-only parquet index cannot express (stale band rows need
+# a MERGE/delete -- an Iceberg-table upgrade, not a semantics change).
+
+
+def _group_shingle_rows(df: DataFrame, group_col: str, text_col: str,
+                        shingle_k: int) -> DataFrame:
+    """Exploded unique (doc_id, sh) rows per group."""
+    shingles = make_shingle_udf(shingle_k)
+    return (df.select(F.col(group_col).alias("doc_id"),
+                      F.col(text_col).alias("text"))
+            .select("doc_id", F.explode(shingles("text")).alias("sh"))
+            .distinct())
+
+
+def write_grouped_minhash_index(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    index_path: str,
+    threshold: float = 0.8,
+    n_hashes: int = 128,
+    bands: Optional[int] = None,
+    shingle_k: int = 5,
+) -> dict:
+    """Create a GROUP-granularity MinHash index (e.g. conversations) at
+    ``index_path`` from a (deduped) corpus of member rows.  Overwrites any
+    existing index at the path."""
+    from .dedup import _group_signatures
+
+    bands = resolve_bands(threshold, n_hashes, bands)
+    spark = df.sparkSession
+    base = df.select(F.col(group_col).alias("gid"),
+                     F.col(text_col).alias("text"))
+    (_group_shingle_rows(base, "gid", "text", shingle_k)
+     .write.mode("overwrite").parquet(f"{index_path}/shingles"))
+    gsig = _group_signatures(base, "gid", "text", n_hashes, shingle_k)
+    (_banded(gsig, "gid", bands)
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(f"{index_path}/bands"))
+    meta = {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k,
+            "threshold": float(threshold), "granularity": "group"}
+    spark.createDataFrame([meta]).write.mode("overwrite").parquet(
+        f"{index_path}/meta")
+    return meta
+
+
+def append_grouped_to_minhash_index(
+    new_df: DataFrame, group_col: str, text_col: str, index_path: str,
+) -> None:
+    """Append a slice's groups to a group-granularity index, idempotently
+    (same per-store anti-join + shingles-first/bands-last protocol as
+    :func:`append_to_minhash_index`)."""
+    from .dedup import _group_signatures
+
+    spark = new_df.sparkSession
+    meta = _read_meta(spark, index_path, expect_granularity="group")
+    base = new_df.select(F.col(group_col).alias("gid"),
+                         F.col(text_col).alias("text"))
+    sh_existing = (spark.read.parquet(f"{index_path}/shingles")
+                   .select(F.col("doc_id").alias("gid")).distinct())
+    (_group_shingle_rows(base.join(sh_existing, "gid", "left_anti"),
+                         "gid", "text", meta["shingle_k"])
+     .write.mode("append").parquet(f"{index_path}/shingles"))
+    bd_existing = (_committed_doc_ids(spark, index_path)
+                   .withColumnRenamed("doc_id", "gid"))
+    gsig = _group_signatures(base.join(bd_existing, "gid", "left_anti"),
+                             "gid", "text", meta["n_hashes"],
+                             meta["shingle_k"])
+    (_banded(gsig, "gid", meta["bands"])
+     .write.mode("append").partitionBy("band")
+     .parquet(f"{index_path}/bands"))
+
+
+def minhash_near_duplicates_grouped_incremental(
+    new_df: DataFrame,
+    group_col: str,
+    text_col: str,
+    index_path: str,
+    max_bucket_size: int = 1000,
+    observation=None,
+) -> DataFrame:
+    """Group-granularity near-dup pairs touching the new slice, against
+    index + slice -- the conversation analog of
+    :func:`minhash_near_duplicates_incremental`.
+
+    Returns ``(id_a, id_b, jaccard, new_a, new_b)`` with the index's
+    pinned threshold, group-id pairs canonically ordered, never
+    old-vs-old.  Groups already committed to the index are corpus and
+    filtered from the slice (closed-per-slice model, see the section
+    comment).  Candidate generation caps FULL buckets (index + slice
+    rows); the exact verify joins exploded shingle rows -- index rows for
+    corpus groups, freshly-shingled rows for slice groups, both
+    semi-join-restricted to candidate groups."""
+    from pyspark.sql.window import Window
+
+    from .dedup import _group_signatures
+
+    spark = new_df.sparkSession
+    meta = _read_meta(spark, index_path, expect_granularity="group")
+    threshold = meta["threshold"]
+    committed = (_committed_doc_ids(spark, index_path)
+                 .withColumnRenamed("doc_id", "gid"))
+    base = (new_df.select(F.col(group_col).alias("gid"),
+                          F.col(text_col).alias("text"))
+            .join(committed, "gid", "left_anti"))
+
+    gsig = _group_signatures(base, "gid", "text", meta["n_hashes"],
+                             meta["shingle_k"])
+    new_banded = (_banded(gsig, "gid", meta["bands"])  # aliases to doc_id
+                  .withColumnRenamed("doc_id", "gid")
+                  .withColumn("is_new", F.lit(True)))
+    old_banded = (spark.read.parquet(f"{index_path}/bands")
+                  .select(F.col("doc_id").alias("gid"), "band", "band_key")
+                  .withColumn("is_new", F.lit(False)))
+    all_banded = old_banded.unionByName(new_banded)
+    sized = all_banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_key")))
+    if observation is not None:
+        sized = _observe_capping(sized, observation, max_bucket_size)
+    capped = sized.filter(F.col("bucket_n") <= max_bucket_size) \
+        .drop("bucket_n")
+    a = capped.filter("is_new").alias("a")
+    b = capped.alias("b")
+    a_lt = F.col("a.gid") < F.col("b.gid")
+    pairs = (a.join(b, ["band", "band_key"])
+             .filter(F.col("a.gid") != F.col("b.gid"))
+             .select(
+                 F.when(a_lt, F.col("a.gid")).otherwise(F.col("b.gid"))
+                  .alias("id_a"),
+                 F.when(a_lt, F.col("b.gid")).otherwise(F.col("a.gid"))
+                  .alias("id_b"),
+                 F.when(a_lt, F.col("a.is_new")).otherwise(F.col("b.is_new"))
+                  .alias("new_a"),
+                 F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
+                  .alias("new_b"))
+             .distinct())
+
+    cand = (pairs.select(F.col("id_a").alias("gid"))
+            .union(pairs.select(F.col("id_b").alias("gid")))
+            .distinct())
+    new_sh = (_group_shingle_rows(base.join(cand, "gid", "left_semi"),
+                                  "gid", "text", meta["shingle_k"])
+              .withColumnRenamed("doc_id", "gid"))
+    old_sh = (spark.read.parquet(f"{index_path}/shingles")
+              .select(F.col("doc_id").alias("gid"), "sh")
+              .join(cand, "gid", "left_semi"))
+    sh_rows = old_sh.unionByName(new_sh)
+    sizes = sh_rows.groupBy("gid").agg(F.count("*").alias("n_sh"))
+    ea = sh_rows.select(F.col("gid").alias("id_a"), "sh")
+    eb = sh_rows.select(F.col("gid").alias("id_b"), "sh")
+    inter = (pairs.join(ea, "id_a").join(eb, ["id_b", "sh"])
+             .groupBy("id_a", "id_b", "new_a", "new_b")
+             .agg(F.count("*").alias("n_inter")))
+    na = sizes.select(F.col("gid").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("gid").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
+                    "new_a", "new_b"))
+
+
+def minhash_grouped_index_bucket_audit(
+    new_df: DataFrame, group_col: str, text_col: str, index_path: str,
+    max_bucket_size: int = 1000,
+) -> dict:
+    """Exact capping recount for a grouped incremental run (index + slice
+    group signatures) -- the group-granularity analog of
+    :func:`minhash_index_bucket_audit`, for the empty-output corner where
+    the observe-based counter is pruned."""
+    from .dedup import _group_signatures
+
+    spark = new_df.sparkSession
+    meta = _read_meta(spark, index_path, expect_granularity="group")
+    committed = (_committed_doc_ids(spark, index_path)
+                 .withColumnRenamed("doc_id", "gid"))
+    base = (new_df.select(F.col(group_col).alias("gid"),
+                          F.col(text_col).alias("text"))
+            .join(committed, "gid", "left_anti"))
+    gsig = _group_signatures(base, "gid", "text", meta["n_hashes"],
+                             meta["shingle_k"])
+    new_banded = _banded(gsig, "gid", meta["bands"])  # aliases to doc_id
     old_banded = (spark.read.parquet(f"{index_path}/bands")
                   .select("doc_id", "band", "band_key"))
     sizes = (old_banded.unionByName(new_banded)

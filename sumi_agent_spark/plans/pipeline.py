@@ -436,10 +436,15 @@ def _near_dedup_full_stage(spark, df, threshold, output_path, resume,
     return deduped, nd_row, nd_drops
 
 
-def _near_dedup_slice_stage(spark, df, threshold, index_path):
+def _near_dedup_slice_stage(spark, df, threshold, index_path,
+                            scope="turn"):
     """Daily-ingest near-dedup: LSH-join the slice against a persisted
     MinHash index (operators/minhash_index.py) instead of recomputing the
     corpus -- O(slice + matched buckets), never O(corpus), never old-vs-old.
+    ``scope="turn"`` dedups individual turns against a doc-granularity
+    index; ``scope="conversation"`` dedups whole conversations against a
+    group-granularity index (union-of-turn shingle sets; conversations are
+    closed per slice -- see operators/minhash_index.py).
 
     First run (no index at the path) bootstraps: full in-slice near-dedup;
     run_pipeline then CREATES the index from the kept turns after the main
@@ -452,24 +457,37 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path):
     where index_action is ("create"|"append", kept_df)."""
     from pyspark.sql import Observation
 
-    from ..operators.dedup import capped_bucket_metrics, minhash_bucket_audit
+    from ..operators.dedup import (
+        capped_bucket_metrics, minhash_bucket_audit,
+        minhash_grouped_bucket_audit)
     from ..operators.minhash_index import (
-        incremental_drop_keys, minhash_index_bucket_audit,
+        incremental_drop_keys, minhash_grouped_index_bucket_audit,
+        minhash_index_bucket_audit,
+        minhash_near_duplicates_grouped_incremental,
         minhash_near_duplicates_incremental)
 
+    conv_scope = scope == "conversation"
     meta = _try_read_first(spark, f"{index_path}/meta")
     if meta is None:  # bootstrap slice: plain in-slice near-dedup
         nd_obs = Observation("near_dedup_capping")
-        deduped, nd_drops = near_deduplicate_turns(
-            df, threshold=threshold, observation=nd_obs)
+        if conv_scope:
+            deduped, nd_drops = near_deduplicate_conversations(
+                df, threshold=threshold, observation=nd_obs)
+        else:
+            deduped, nd_drops = near_deduplicate_turns(
+                df, threshold=threshold, observation=nd_obs)
         nd_drops.persist()
         n_nd = nd_drops.count()
         m = capped_bucket_metrics(nd_obs)
         metrics_observed = m is not None
         if m is None:
-            m = minhash_bucket_audit(
-                df.withColumn("_nk", F.struct("conv_id", "turn_idx")),
-                "_nk", "text", threshold=threshold)
+            if conv_scope:
+                m = minhash_grouped_bucket_audit(
+                    df, "conv_id", "text", threshold=threshold)
+            else:
+                m = minhash_bucket_audit(
+                    df.withColumn("_nk", F.struct("conv_id", "turn_idx")),
+                    "_nk", "text", threshold=threshold)
         nd_row = {"stage": "near_dedup_bootstrap", "n_dropped": n_nd,
                   "n_capped_rows": m["n_capped_rows"],
                   "n_capped_buckets": m["n_capped_buckets"],
@@ -483,19 +501,33 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path):
             f"minhash index at {index_path} was built with threshold "
             f"{meta['threshold']}; this run requested {threshold} -- "
             f"rebuild the index or match the threshold")
-    keyed = df.withColumn("_nk", F.struct("conv_id", "turn_idx"))
     nd_obs = Observation("near_dedup_capping")
-    pairs = minhash_near_duplicates_incremental(
-        keyed, "_nk", "text", index_path, observation=nd_obs)
-    drops = (incremental_drop_keys(pairs)
-             .withColumnRenamed("doc_id", "_nk"))
-    drops.persist()
-    n_nd = drops.count()  # fires the observation; pins the drop set
-    m = capped_bucket_metrics(nd_obs)
-    metrics_observed = m is not None
-    if m is None:
-        m = minhash_index_bucket_audit(keyed, "_nk", "text", index_path)
-    deduped = keyed.join(drops, "_nk", "left_anti").drop("_nk")
+    if conv_scope:
+        pairs = minhash_near_duplicates_grouped_incremental(
+            df, "conv_id", "text", index_path, observation=nd_obs)
+        drops = (incremental_drop_keys(pairs)
+                 .withColumnRenamed("doc_id", "conv_id"))
+        drops.persist()
+        n_nd = drops.count()  # fires the observation; pins the drop set
+        m = capped_bucket_metrics(nd_obs)
+        metrics_observed = m is not None
+        if m is None:
+            m = minhash_grouped_index_bucket_audit(
+                df, "conv_id", "text", index_path)
+        deduped = df.join(drops, "conv_id", "left_anti")
+    else:
+        keyed = df.withColumn("_nk", F.struct("conv_id", "turn_idx"))
+        pairs = minhash_near_duplicates_incremental(
+            keyed, "_nk", "text", index_path, observation=nd_obs)
+        drops = (incremental_drop_keys(pairs)
+                 .withColumnRenamed("doc_id", "_nk"))
+        drops.persist()
+        n_nd = drops.count()  # fires the observation; pins the drop set
+        m = capped_bucket_metrics(nd_obs)
+        metrics_observed = m is not None
+        if m is None:
+            m = minhash_index_bucket_audit(keyed, "_nk", "text", index_path)
+        deduped = keyed.join(drops, "_nk", "left_anti").drop("_nk")
     nd_row = {"stage": "near_dedup_incremental", "n_dropped": n_nd,
               "n_capped_rows": m["n_capped_rows"],
               "n_capped_buckets": m["n_capped_buckets"],
@@ -568,7 +600,11 @@ def run_pipeline(
     switches near-dedup to document granularity: whole conversations whose
     union-of-turn-shingle Jaccard matches an earlier conversation are
     dropped (:func:`near_deduplicate_conversations`); ``"turn"`` (default)
-    keeps the per-turn behavior.  ``drop_toxic_above`` (e.g. 0.3) drops turns
+    keeps the per-turn behavior.  The two options compose: conversation
+    scope with an index path maintains a GROUP-granularity index
+    (conversations are closed per slice; a turn-scope run against a group
+    index, or vice versa, fails loudly on the granularity pinned in the
+    index meta).  ``drop_toxic_above`` (e.g. 0.3) drops turns
     whose lexicon toxicity score exceeds the threshold, also pre-scrub so
     toxic turns never pay detection cost (operators/toxicity.py; NULL text
     scores 0 and is never dropped by this gate).
@@ -608,14 +644,9 @@ def run_pipeline(
                 f"near_dedup_scope must be 'turn' or 'conversation', "
                 f"got {near_dedup_scope!r}")
         if near_dedup_index_path is not None:
-            if near_dedup_scope != "turn":
-                raise ValueError(
-                    "incremental near-dedup (near_dedup_index_path) "
-                    "currently supports scope='turn' only; run "
-                    "conversation-scope dedup as a full-corpus pass")
             df, nd_row, nd_drops, nd_index_action = _near_dedup_slice_stage(
                 spark, df, float(near_dedup_threshold),
-                near_dedup_index_path)
+                near_dedup_index_path, scope=near_dedup_scope)
         else:
             df, nd_row, nd_drops = _near_dedup_full_stage(
                 spark, df, float(near_dedup_threshold), output_path, resume,
@@ -689,9 +720,16 @@ def run_pipeline(
         # against the same index (idempotent restart).  Cost: one extra
         # signature pass over the kept slice rows.
         from ..operators.minhash_index import (
-            append_to_minhash_index, write_minhash_index)
+            append_grouped_to_minhash_index, append_to_minhash_index,
+            write_grouped_minhash_index, write_minhash_index)
         action, kept = nd_index_action
-        kept_keyed = kept.withColumn("_nk", F.struct("conv_id", "turn_idx"))
+        conv_scope = near_dedup_scope == "conversation"
+        if conv_scope:
+            kept_keyed, key_col = kept, "conv_id"
+        else:
+            kept_keyed = kept.withColumn(
+                "_nk", F.struct("conv_id", "turn_idx"))
+            key_col = "_nk"
         if action == "create":
             # gate on the KEPT set, not rows written this call: a
             # bootstrap that crashed mid-create and RESUMED writes zero
@@ -699,16 +737,18 @@ def run_pipeline(
             # create the index, or the whole bootstrap corpus silently
             # never enters it and later slices dedup against nothing
             if not kept_keyed.isEmpty():  # empty input: no readable index
-                write_minhash_index(kept_keyed, "_nk", "text",
-                                    near_dedup_index_path,
-                                    threshold=float(near_dedup_threshold))
+                create = (write_grouped_minhash_index if conv_scope
+                          else write_minhash_index)
+                create(kept_keyed, key_col, "text", near_dedup_index_path,
+                       threshold=float(near_dedup_threshold))
         else:
-            # idempotent by construction: append_to_minhash_index
-            # anti-joins each store's already-committed keys, so a
-            # completed-slice re-run appends nothing and a half-crashed
-            # append completes exactly-once
-            append_to_minhash_index(kept_keyed, "_nk", "text",
-                                    near_dedup_index_path)
+            # idempotent by construction: the append fns anti-join each
+            # store's already-committed keys, so a completed-slice re-run
+            # appends nothing and a half-crashed append completes
+            # exactly-once
+            append = (append_grouped_to_minhash_index if conv_scope
+                      else append_to_minhash_index)
+            append(kept_keyed, key_col, "text", near_dedup_index_path)
     wall = time.time() - t0
     stats = {"rows": n, "wall_sec": round(wall, 3),
              "rows_per_sec": round(n / wall, 1) if wall > 0 else None,

@@ -226,6 +226,64 @@ def test_index_write_rejects_bad_bands(spark, corpus, tmp_path):
                             str(tmp_path / "idx"), bands=256)
 
 
+def test_grouped_incremental_equals_full_grouped_restricted(spark,
+                                                            tmp_path):
+    """Group-granularity incremental == full-corpus grouped run restricted
+    to pairs touching a new group, with corpus-wins flags."""
+    from sumi_agent_spark.operators.dedup import (
+        minhash_near_duplicates_grouped)
+    from sumi_agent_spark.operators.minhash_index import (
+        minhash_near_duplicates_grouped_incremental,
+        write_grouped_minhash_index)
+
+    t2 = "a second turn about watermarks, state stores and output modes"
+    old_rows = [("g100", 0, BASE), ("g100", 1, t2),
+                ("g101", 0, ALT), ("g101", 1, THIRD)]
+    new_rows = [("g1", 0, BASE.replace("quick", "swift")), ("g1", 1, t2),
+                ("g2", 0, "a genuinely novel conversation mentioning "
+                          "nothing seen before in the corpus")]
+    old_df = spark.createDataFrame(old_rows, ["conv_id", "turn_idx", "text"])
+    new_df = spark.createDataFrame(new_rows, ["conv_id", "turn_idx", "text"])
+    path = str(tmp_path / "gidx")
+    write_grouped_minhash_index(old_df, "conv_id", "text", path,
+                                threshold=0.6)
+
+    inc = minhash_near_duplicates_grouped_incremental(
+        new_df, "conv_id", "text", path)
+    got = {(r.id_a, r.id_b): (r.jaccard, r.new_a, r.new_b)
+           for r in inc.collect()}
+
+    full = minhash_near_duplicates_grouped(
+        old_df.unionByName(new_df), "conv_id", "text", threshold=0.6)
+    new_keys = {"g1", "g2"}
+    want = {(r.id_a, r.id_b): r.jaccard for r in full.collect()
+            if r.id_a in new_keys or r.id_b in new_keys}
+    assert {k: v[0] for k, v in got.items()} == want
+    assert got[("g1", "g100")][1:] == (True, False)  # corpus side flagged
+
+
+def test_grouped_index_granularity_mismatch_raises(spark, corpus, slice_df,
+                                                   tmp_path):
+    from sumi_agent_spark.operators.minhash_index import (
+        minhash_near_duplicates_grouped_incremental,
+        write_grouped_minhash_index)
+
+    doc_path = str(tmp_path / "didx")
+    write_minhash_index(corpus, "doc_id", "text", doc_path, threshold=0.6)
+    with pytest.raises(ValueError, match="granularity"):
+        minhash_near_duplicates_grouped_incremental(
+            slice_df, "doc_id", "text", doc_path)
+
+    grp_path = str(tmp_path / "gidx")
+    write_grouped_minhash_index(corpus, "doc_id", "text", grp_path,
+                                threshold=0.6)
+    with pytest.raises(ValueError, match="granularity"):
+        minhash_near_duplicates_incremental(
+            slice_df, "doc_id", "text", grp_path)
+    with pytest.raises(ValueError, match="granularity"):
+        append_to_minhash_index(slice_df, "doc_id", "text", grp_path)
+
+
 def test_geometry_is_pinned_in_meta(spark, corpus, slice_df, tmp_path):
     """Appends and incremental runs take geometry from the index meta, so
     a caller cannot desync hash family / bands between runs."""

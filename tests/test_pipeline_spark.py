@@ -563,13 +563,58 @@ def test_conversation_near_dedup_resume_reuses_drop_set(
     assert len(recomputed) == 1 and not recomputed.iloc[0]["drop_set_reused"]
 
 
-def test_conversation_scope_with_index_rejected(spark, tmp_path):
-    _write_turns([_turn("a", 0, "anything")], str(tmp_path / "in.parquet"))
-    with pytest.raises(ValueError, match="scope='turn'"):
-        run_pipeline(spark, str(tmp_path / "in.parquet"),
-                     str(tmp_path / "out"), near_dedup_threshold=0.6,
-                     near_dedup_scope="conversation",
-                     near_dedup_index_path=str(tmp_path / "idx"))
+def test_run_pipeline_conversation_incremental_index(spark, tmp_path):
+    """Conversation scope composes with the incremental index: slice 1
+    bootstraps a GROUP-granularity index; slice 2 drops a whole
+    conversation (including its unique closing turn) because its union
+    shingle set near-matches an indexed corpus conversation."""
+    t1 = ("the quick brown fox jumps over the lazy dog while the sun "
+          "sets slowly behind the distant mountains and rivers flow")
+    t2 = ("a second lengthy turn discussing watermarks, state stores, "
+          "output modes and exactly-once semantics in streaming systems")
+    idx = str(tmp_path / "mh_index")
+    _write_turns([_turn("a", 0, t1), _turn("a", 1, t2)],
+                 str(tmp_path / "s1.parquet"))
+    s1 = run_pipeline(spark, str(tmp_path / "s1.parquet"),
+                      str(tmp_path / "out1"), near_dedup_threshold=0.6,
+                      near_dedup_scope="conversation",
+                      near_dedup_index_path=idx)
+    assert s1["n_near_dup_dropped"] == 0
+    meta = spark.read.parquet(f"{idx}/meta").first()
+    assert meta["granularity"] == "group"
+
+    # slice 2: conv b ~ corpus conv a (plus a unique closing turn that
+    # per-turn scope would keep); conv c is novel
+    _write_turns([_turn("b", 0, t1.replace("quick", "swift")),
+                  _turn("b", 1, t2), _turn("b", 2, "thanks, bye!"),
+                  _turn("c", 0, "entirely unrelated material about "
+                                "broadcast joins and partition pruning")],
+                 str(tmp_path / "s2.parquet"))
+    s2 = run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                      str(tmp_path / "out2"), near_dedup_threshold=0.6,
+                      near_dedup_scope="conversation",
+                      near_dedup_index_path=idx)
+    assert s2["n_near_dup_dropped"] == 1  # one conversation: b
+    got = spark.read.parquet(f"{tmp_path}/out2").toPandas()
+    assert set(got["conv_id"]) == {"c"}
+    nd = spark.read.parquet(f"{tmp_path}/out2/_lineage_neardup").toPandas()
+    assert nd.iloc[0]["stage"] == "near_dedup_incremental"
+
+    # slice 3: conv d ~ slice 2's KEPT conv c -> proves the grouped append
+    _write_turns([_turn("d", 0, "entirely unrelated material about "
+                                "broadcast joins and partition pruning!")],
+                 str(tmp_path / "s3.parquet"))
+    s3 = run_pipeline(spark, str(tmp_path / "s3.parquet"),
+                      str(tmp_path / "out3"), near_dedup_threshold=0.6,
+                      near_dedup_scope="conversation",
+                      near_dedup_index_path=idx)
+    assert s3["n_near_dup_dropped"] == 1 and s3["rows"] == 0
+
+    # a TURN-scope run against the group index must fail loudly
+    with pytest.raises(ValueError, match="granularity"):
+        run_pipeline(spark, str(tmp_path / "s3.parquet"),
+                     str(tmp_path / "out4"), near_dedup_threshold=0.6,
+                     near_dedup_scope="turn", near_dedup_index_path=idx)
 
 
 def test_run_pipeline_incremental_index_slices(spark, tmp_path):
