@@ -490,6 +490,22 @@ def minhash_near_duplicates_grouped(
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def bucket_cap_stats(sizes: DataFrame, max_bucket_size: int) -> dict:
+    """Exact {n_capped_rows, n_capped_buckets, max_bucket_n} from a
+    ``(band, band_key, n)`` bucket-size frame -- the shared tail of every
+    audit job (per-doc, grouped, and both index variants)."""
+    capped = F.col("n") > max_bucket_size
+    row = sizes.agg(
+        F.coalesce(F.sum(F.when(capped, F.col("n"))), F.lit(0))
+         .alias("n_capped_rows"),
+        F.coalesce(F.sum(capped.cast("long")), F.lit(0))
+         .alias("n_capped_buckets"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_n")).first()
+    return {"n_capped_rows": int(row["n_capped_rows"]),
+            "n_capped_buckets": int(row["n_capped_buckets"]),
+            "max_bucket_n": int(row["max_bucket_n"])}
+
+
 def minhash_bucket_audit(
     df: DataFrame, id_col: str, text_col: str,
     threshold: float = 0.8, n_hashes: int = 128, bands: Optional[int] = None,
@@ -508,16 +524,7 @@ def minhash_bucket_audit(
                     minhash(F.col(text_col)).alias("sig"))
     sizes = (_banded(sig, "doc_id", bands)
              .groupBy("band", "band_key").agg(F.count("*").alias("n")))
-    capped = F.col("n") > max_bucket_size
-    row = sizes.agg(
-        F.coalesce(F.sum(F.when(capped, F.col("n"))), F.lit(0))
-         .alias("n_capped_rows"),
-        F.coalesce(F.sum(capped.cast("long")), F.lit(0))
-         .alias("n_capped_buckets"),
-        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_n")).first()
-    return {"n_capped_rows": int(row["n_capped_rows"]),
-            "n_capped_buckets": int(row["n_capped_buckets"]),
-            "max_bucket_n": int(row["max_bucket_n"])}
+    return bucket_cap_stats(sizes, max_bucket_size)
 
 
 def minhash_grouped_bucket_audit(
@@ -534,16 +541,7 @@ def minhash_grouped_bucket_audit(
                                   shingle_k)
     sizes = (_banded(group_sig, "gid", bands)
              .groupBy("band", "band_key").agg(F.count("*").alias("n")))
-    capped = F.col("n") > max_bucket_size
-    row = sizes.agg(
-        F.coalesce(F.sum(F.when(capped, F.col("n"))), F.lit(0))
-         .alias("n_capped_rows"),
-        F.coalesce(F.sum(capped.cast("long")), F.lit(0))
-         .alias("n_capped_buckets"),
-        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_n")).first()
-    return {"n_capped_rows": int(row["n_capped_rows"]),
-            "n_capped_buckets": int(row["n_capped_buckets"]),
-            "max_bucket_n": int(row["max_bucket_n"])}
+    return bucket_cap_stats(sizes, max_bucket_size)
 
 
 def brute_force_jaccard_pairs(

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from .dedup import (
     _banded,
     _observe_capping,
+    bucket_cap_stats,
     make_minhash_udf,
     make_shingle_udf,
     resolve_bands,
@@ -231,7 +232,12 @@ def minhash_near_duplicates_incremental(
              .distinct())
 
     new_sh = base.select("doc_id", shingles("text").alias("sh"))
-    old_sh = spark.read.parquet(f"{index_path}/shingles")
+    # anti-join the store against the slice's keys: a crashed append may
+    # have left slice docs' shingle arrays in the store without their
+    # bands (phantoms).  Values would survive (the phantom array equals
+    # the fresh one), but each affected pair would emit twice.
+    old_sh = (spark.read.parquet(f"{index_path}/shingles")
+              .join(base.select("doc_id"), "doc_id", "left_anti"))
     all_sh = old_sh.unionByName(new_sh)
     sa = all_sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = all_sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -272,16 +278,7 @@ def minhash_index_bucket_audit(
                   .select("doc_id", "band", "band_key"))
     sizes = (old_banded.unionByName(new_banded)
              .groupBy("band", "band_key").agg(F.count("*").alias("n")))
-    capped = F.col("n") > max_bucket_size
-    row = sizes.agg(
-        F.coalesce(F.sum(F.when(capped, F.col("n"))), F.lit(0))
-         .alias("n_capped_rows"),
-        F.coalesce(F.sum(capped.cast("long")), F.lit(0))
-         .alias("n_capped_buckets"),
-        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_n")).first()
-    return {"n_capped_rows": int(row["n_capped_rows"]),
-            "n_capped_buckets": int(row["n_capped_buckets"]),
-            "max_bucket_n": int(row["max_bucket_n"])}
+    return bucket_cap_stats(sizes, max_bucket_size)
 
 
 # ─── Group-granularity (conversation) index ───
@@ -447,9 +444,17 @@ def minhash_near_duplicates_grouped_incremental(
     new_sh = (_group_shingle_rows(base.join(cand, "gid", "left_semi"),
                                   "gid", "text", meta["shingle_k"])
               .withColumnRenamed("doc_id", "gid"))
+    # anti-join the store against the SLICE's gids: a crashed append may
+    # have left a slice group's shingle rows in the store without its
+    # bands (phantoms).  The grouped verify COUNTS rows, so a phantom+
+    # fresh double-copy would inflate n_sh and n_inter and flip Jaccard
+    # verdicts on the resumed run (the doc-index verify carries arrays,
+    # where phantoms only duplicate identical rows and values survive).
+    slice_gids = base.select("gid").distinct()
     old_sh = (spark.read.parquet(f"{index_path}/shingles")
               .select(F.col("doc_id").alias("gid"), "sh")
-              .join(cand, "gid", "left_semi"))
+              .join(cand, "gid", "left_semi")
+              .join(slice_gids, "gid", "left_anti"))
     sh_rows = old_sh.unionByName(new_sh)
     sizes = sh_rows.groupBy("gid").agg(F.count("*").alias("n_sh"))
     ea = sh_rows.select(F.col("gid").alias("id_a"), "sh")
@@ -492,16 +497,7 @@ def minhash_grouped_index_bucket_audit(
                   .select("doc_id", "band", "band_key"))
     sizes = (old_banded.unionByName(new_banded)
              .groupBy("band", "band_key").agg(F.count("*").alias("n")))
-    capped = F.col("n") > max_bucket_size
-    row = sizes.agg(
-        F.coalesce(F.sum(F.when(capped, F.col("n"))), F.lit(0))
-         .alias("n_capped_rows"),
-        F.coalesce(F.sum(capped.cast("long")), F.lit(0))
-         .alias("n_capped_buckets"),
-        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket_n")).first()
-    return {"n_capped_rows": int(row["n_capped_rows"]),
-            "n_capped_buckets": int(row["n_capped_buckets"]),
-            "max_bucket_n": int(row["max_bucket_n"])}
+    return bucket_cap_stats(sizes, max_bucket_size)
 
 
 def incremental_drop_keys(pairs: DataFrame) -> DataFrame:

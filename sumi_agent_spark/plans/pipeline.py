@@ -377,6 +377,7 @@ def _near_dedup_full_stage(spark, df, threshold, output_path, resume,
                     done = spark.read.parquet(drops_path)
                     df = df.join(done, key_cols, "left_anti")
                 nd_row = {"stage": stage_name, "n_dropped": n_nd,
+                          "n_preindexed_rows_dropped": 0,
                           "n_capped_rows": int(meta["n_capped_rows"]),
                           "n_capped_buckets": int(meta["n_capped_buckets"]),
                           "max_bucket_n": int(meta["max_bucket_n"]),
@@ -411,6 +412,7 @@ def _near_dedup_full_stage(spark, df, threshold, output_path, resume,
                 df_pre_nd.withColumn("_nk", F.struct("conv_id", "turn_idx")),
                 "_nk", "text", threshold=threshold)
     nd_row = {"stage": stage_name, "n_dropped": n_nd,
+              "n_preindexed_rows_dropped": 0,
               "n_capped_rows": m["n_capped_rows"],
               "n_capped_buckets": m["n_capped_buckets"],
               "max_bucket_n": m["max_bucket_n"],
@@ -489,6 +491,7 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
                     df.withColumn("_nk", F.struct("conv_id", "turn_idx")),
                     "_nk", "text", threshold=threshold)
         nd_row = {"stage": "near_dedup_bootstrap", "n_dropped": n_nd,
+                  "n_preindexed_rows_dropped": 0,
                   "n_capped_rows": m["n_capped_rows"],
                   "n_capped_buckets": m["n_capped_buckets"],
                   "max_bucket_n": m["max_bucket_n"],
@@ -501,8 +504,26 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
             f"minhash index at {index_path} was built with threshold "
             f"{meta['threshold']}; this run requested {threshold} -- "
             f"rebuild the index or match the threshold")
+    expect_gran = "conversation" if conv_scope else "turn"
+    index_gran = meta.asDict().get("granularity", "doc")
+    if (index_gran == "group") != conv_scope:
+        raise ValueError(
+            f"minhash index at {index_path} has granularity "
+            f"{index_gran!r} but this run requested "
+            f"near-dedup scope {expect_gran!r} -- scope and index "
+            f"granularity must match")
+    # Slice rows whose key is ALREADY committed to the index are corpus
+    # re-exports (a completed slice re-run, a partially re-exported dump):
+    # emitting them would duplicate already-ingested content, so they are
+    # DROPPED here -- with their own lineage counter, never silently (the
+    # operators' committed filter only excludes them from pair
+    # computation; without this gate they would pass straight to output).
+    from ..operators.minhash_index import _committed_doc_ids
     nd_obs = Observation("near_dedup_capping")
     if conv_scope:
+        committed = (_committed_doc_ids(spark, index_path)
+                     .withColumnRenamed("doc_id", "conv_id"))
+        n_pre = df.join(committed, "conv_id", "left_semi").count()
         pairs = minhash_near_duplicates_grouped_incremental(
             df, "conv_id", "text", index_path, observation=nd_obs)
         drops = (incremental_drop_keys(pairs)
@@ -514,9 +535,13 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
         if m is None:
             m = minhash_grouped_index_bucket_audit(
                 df, "conv_id", "text", index_path)
-        deduped = df.join(drops, "conv_id", "left_anti")
+        deduped = (df.join(drops, "conv_id", "left_anti")
+                   .join(committed, "conv_id", "left_anti"))
     else:
         keyed = df.withColumn("_nk", F.struct("conv_id", "turn_idx"))
+        committed = (_committed_doc_ids(spark, index_path)
+                     .withColumnRenamed("doc_id", "_nk"))
+        n_pre = keyed.join(committed, "_nk", "left_semi").count()
         pairs = minhash_near_duplicates_incremental(
             keyed, "_nk", "text", index_path, observation=nd_obs)
         drops = (incremental_drop_keys(pairs)
@@ -527,8 +552,10 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
         metrics_observed = m is not None
         if m is None:
             m = minhash_index_bucket_audit(keyed, "_nk", "text", index_path)
-        deduped = keyed.join(drops, "_nk", "left_anti").drop("_nk")
+        deduped = (keyed.join(drops, "_nk", "left_anti")
+                   .join(committed, "_nk", "left_anti").drop("_nk"))
     nd_row = {"stage": "near_dedup_incremental", "n_dropped": n_nd,
+              "n_preindexed_rows_dropped": n_pre,
               "n_capped_rows": m["n_capped_rows"],
               "n_capped_buckets": m["n_capped_buckets"],
               "max_bucket_n": m["max_bucket_n"],
@@ -756,6 +783,8 @@ def run_pipeline(
     if nd_row is not None:
         stats["n_near_dup_dropped"] = nd_row["n_dropped"]
         stats["n_capped_buckets"] = nd_row["n_capped_buckets"]
+        stats["n_preindexed_rows_dropped"] = \
+            nd_row["n_preindexed_rows_dropped"]
     return stats
 
 

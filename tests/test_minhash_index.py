@@ -220,6 +220,65 @@ def test_append_crash_between_stores_converges(spark, corpus, slice_df,
     assert bd.filter("count > 1").count() == 0
 
 
+def test_grouped_append_crash_between_stores_converges(spark, tmp_path,
+                                                       monkeypatch):
+    """The grouped verify COUNTS exploded shingle rows, so a phantom
+    (crashed-append) copy of a slice group's shingles would inflate
+    Jaccard and flip verdicts unless the store side is anti-joined against
+    the slice -- this drives that exact crash and asserts mid-crash pairs
+    equal the clean run's, then completes the append exactly-once."""
+    import sumi_agent_spark.operators.minhash_index as mhi
+    from sumi_agent_spark.operators.minhash_index import (
+        append_grouped_to_minhash_index,
+        minhash_near_duplicates_grouped_incremental,
+        write_grouped_minhash_index)
+
+    t2 = "a second turn about watermarks, state stores and output modes"
+    old_df = spark.createDataFrame(
+        [("g100", 0, BASE), ("g100", 1, t2)],
+        ["conv_id", "turn_idx", "text"])
+    # g1 shares BASE-variant + t2 with g100 but adds a unique turn, so its
+    # Jaccard vs g100 sits BELOW 1.0 -- the verdict-flip hazard zone
+    new_df = spark.createDataFrame(
+        [("g1", 0, BASE.replace("quick", "swift")), ("g1", 1, t2),
+         ("g1", 2, "an extra closing turn about partition pruning and "
+                   "broadcast joins that g100 does not have")],
+        ["conv_id", "turn_idx", "text"])
+    path = str(tmp_path / "gidx")
+    write_grouped_minhash_index(old_df, "conv_id", "text", path,
+                                threshold=0.6)
+    clean = {(r.id_a, r.id_b): r.jaccard for r in
+             minhash_near_duplicates_grouped_incremental(
+                 new_df, "conv_id", "text", path).collect()}
+    assert ("g1", "g100") in clean and clean[("g1", "g100")] < 1.0
+
+    real_banded = mhi._banded
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before bands append")
+
+    monkeypatch.setattr(mhi, "_banded", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        append_grouped_to_minhash_index(new_df, "conv_id", "text", path)
+    monkeypatch.setattr(mhi, "_banded", real_banded)
+    # phantom state: g1's shingle rows in the store, bands absent
+    sh_gids = {r.doc_id for r in spark.read.parquet(f"{path}/shingles")
+               .select("doc_id").distinct().collect()}
+    assert "g1" in sh_gids
+    mid = {(r.id_a, r.id_b): r.jaccard for r in
+           minhash_near_duplicates_grouped_incremental(
+               new_df, "conv_id", "text", path).collect()}
+    assert mid == clean  # phantom rows must not change any Jaccard
+
+    append_grouped_to_minhash_index(new_df, "conv_id", "text", path)
+    sh = (spark.read.parquet(f"{path}/shingles")
+          .groupBy("doc_id", "sh").count())
+    assert sh.filter("count > 1").count() == 0  # exactly-once rows
+    bd = (spark.read.parquet(f"{path}/bands")
+          .groupBy("doc_id", "band").count())
+    assert bd.filter("count > 1").count() == 0
+
+
 def test_index_write_rejects_bad_bands(spark, corpus, tmp_path):
     with pytest.raises(ValueError, match="exceeds n_hashes"):
         write_minhash_index(corpus, "doc_id", "text",

@@ -741,6 +741,35 @@ def test_incremental_index_bootstrap_crash_resume_creates_index(
     assert s2["n_near_dup_dropped"] == 1 and s2["rows"] == 0
 
 
+def test_incremental_rerun_of_completed_slice_drops_preindexed(
+        spark, tmp_path):
+    """Re-ingesting a slice whose keys are already committed to the index
+    (a duplicate export) must not re-emit corpus content: the rows drop
+    with their own lineage counter, so a fresh-output re-run writes only
+    genuinely new material."""
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the distant mountains and rivers flow")
+    idx = str(tmp_path / "mh_index")
+    _write_turns([_turn("a", 0, base)], str(tmp_path / "s1.parquet"))
+    run_pipeline(spark, str(tmp_path / "s1.parquet"),
+                 str(tmp_path / "out1"), near_dedup_threshold=0.6,
+                 near_dedup_index_path=idx)
+
+    # day-2 export re-includes conv a verbatim plus a new conv
+    _write_turns([_turn("a", 0, base),
+                  _turn("x", 0, "a brand new conversation about bucketed "
+                                "joins and adaptive query execution")],
+                 str(tmp_path / "s2.parquet"))
+    s2 = run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                      str(tmp_path / "out2"), near_dedup_threshold=0.6,
+                      near_dedup_index_path=idx)
+    assert s2["n_preindexed_rows_dropped"] == 1  # conv a's re-export
+    got = spark.read.parquet(f"{tmp_path}/out2").toPandas()
+    assert set(got["conv_id"]) == {"x"}
+    nd = spark.read.parquet(f"{tmp_path}/out2/_lineage_neardup").toPandas()
+    assert nd.iloc[0]["n_preindexed_rows_dropped"] == 1
+
+
 def test_incremental_index_crash_before_append_resumes_clean(
         spark, tmp_path, monkeypatch):
     """Index maintenance appends LAST: a run that crashes after the main
