@@ -619,6 +619,41 @@ def _q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_a", "new_b")
 
 
+def _q_emb_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dedup protocol in one query: index the
+    even-id half of ``embeddings`` as the corpus, then dedup a slice made
+    of the odd half (novel) plus deterministically perturbed copies of the
+    corpus vectors (id + 10000: scaled 1.01x with a tiny per-dimension
+    additive wobble -- cosine to the original stays ~0.9999, far above
+    the 0.95 threshold, while all other pairs stay below it: the table's
+    own max pairwise cosine is ~0.51).  Every expected pair is
+    (corpus_id, corpus_id + 10000) with corpus-wins flags (False, True).
+    Deterministic (fixed hyperplane seed, no RNG in the perturbation), so
+    pinnable; operators/embedding_index.py."""
+    from sumi_agent_spark.operators.embedding_index import (
+        embedding_near_duplicates_incremental, write_embedding_index)
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    index_path = f"/tmp/sumi_contract_emb_index_{sf}"
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    perturbed = corpus.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x * F.lit(1.01)
+                          + F.lit(0.001) * F.cos(F.col("vec_id") + i))
+            .cast("float")).alias("embedding"))
+    slice_df = emb.filter(F.col("vec_id") % 2 == 1).unionByName(perturbed)
+    write_embedding_index(corpus, "vec_id", "embedding", index_path,
+                          threshold=0.95)
+    pairs = embedding_near_duplicates_incremental(
+        slice_df, "vec_id", "embedding", index_path)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("cos") * 1e6).cast("long").alias("cos_ppm"),
+        "new_a", "new_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_hash": _q_normalize_hash,
@@ -643,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "conv_near_dup": _q_conv_near_dup,
         "incremental_near_dup": _q_incremental_near_dup,
+        "emb_incremental_near_dup": _q_emb_incremental_near_dup,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_stats": _q_winnow_stats,
         "scrub_docs": _q_scrub_docs,

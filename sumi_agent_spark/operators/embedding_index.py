@@ -1,0 +1,221 @@
+"""Persisted hyperplane-LSH index for incremental embedding near-dedup.
+
+The embedding analog of ``operators/minhash_index.py``: dedup today's
+ingest slice's embeddings against the already-ingested corpus without
+recomputing (or even reading) corpus vectors beyond the matched buckets.
+
+Layout at ``index_path`` (same crash protocol as the MinHash index):
+
+* ``vectors/`` -- ``(doc_id, v)`` rows, the exact-verify input; written
+  FIRST;
+* ``buckets/`` -- ``(doc_id, bkt)`` hyperplane sign-bucket rows,
+  partitioned by ``bkt``; written LAST, so bucket membership certifies a
+  fully-committed doc (phantom vectors from a crashed append are
+  invisible -- commitment is defined by ``buckets/``);
+* ``meta/``    -- ``(n_planes, dim, threshold)``.  The random hyperplanes
+  derive deterministically from the fixed module seed and ``dim``, so a
+  slice bucketed in a later run lands in bit-identical buckets; a slice
+  whose vectors have a different dimension raises instead of silently
+  hashing garbage.
+
+Candidate generation joins NEW x (OLD union NEW) bucket rows -- never
+old-vs-old -- with FULL-bucket capping (old + new rows), and every
+candidate pair is exact-verified with JVM-side cosine against the vector
+store.  Docs already committed to the index are corpus: they are filtered
+from the slice up front (re-ingested duplicates are the caller's to drop,
+see ``plans/pipeline.py``'s pre-indexed counter for the MinHash analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from .dedup import _SEED, _observe_capping, bucket_cap_stats
+
+
+def _make_bucket_udf(n_planes: int, dim: int):
+    rng = np.random.RandomState(_SEED)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.vstack(vecs.to_numpy())
+        signs = (m @ planes.T) > 0
+        keys = np.zeros(len(m), dtype=np.int64)
+        for j in range(n_planes):
+            keys |= signs[:, j].astype(np.int64) << j
+        return pd.Series(keys)
+
+    return bucket
+
+
+def _read_meta(spark: SparkSession, index_path: str) -> dict:
+    row = spark.read.parquet(f"{index_path}/meta").first()
+    return {k: row[k] for k in ("n_planes", "dim", "threshold")}
+
+
+def _committed_ids(spark: SparkSession, index_path: str) -> DataFrame:
+    return (spark.read.parquet(f"{index_path}/buckets")
+            .select("doc_id").distinct())
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        raise ValueError("cannot infer embedding dim from an empty frame")
+    return int(row["d"])
+
+
+def write_embedding_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+) -> dict:
+    """Create an embedding index from a (deduped) corpus.  Overwrites any
+    existing index at the path."""
+    spark = df.sparkSession
+    dim = _dim_of(df, vec_col)
+    bucket = _make_bucket_udf(n_planes, dim)
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(vec_col).alias("v"))
+    base.write.mode("overwrite").parquet(f"{index_path}/vectors")
+    (base.select("doc_id", bucket("v").alias("bkt"))
+     .write.mode("overwrite").partitionBy("bkt")
+     .parquet(f"{index_path}/buckets"))
+    meta = {"n_planes": n_planes, "dim": dim, "threshold": float(threshold)}
+    spark.createDataFrame([meta]).write.mode("overwrite").parquet(
+        f"{index_path}/meta")
+    return meta
+
+
+def append_to_embedding_index(
+    new_df: DataFrame, id_col: str, vec_col: str, index_path: str,
+) -> None:
+    """Append a slice's vectors + bucket rows, idempotently (per-store
+    anti-join of committed keys; vectors first, buckets last)."""
+    spark = new_df.sparkSession
+    meta = _read_meta(spark, index_path)
+    _check_dim(new_df, vec_col, meta)
+    bucket = _make_bucket_udf(meta["n_planes"], meta["dim"])
+    base = new_df.select(F.col(id_col).alias("doc_id"),
+                         F.col(vec_col).alias("v"))
+    vec_existing = (spark.read.parquet(f"{index_path}/vectors")
+                    .select("doc_id").distinct())
+    (base.join(vec_existing, "doc_id", "left_anti")
+     .write.mode("append").parquet(f"{index_path}/vectors"))
+    bkt_existing = _committed_ids(spark, index_path)
+    (base.join(bkt_existing, "doc_id", "left_anti")
+     .select("doc_id", bucket("v").alias("bkt"))
+     .write.mode("append").partitionBy("bkt")
+     .parquet(f"{index_path}/buckets"))
+
+
+def _check_dim(df: DataFrame, vec_col: str, meta: dict) -> None:
+    dim = _dim_of(df, vec_col)
+    if dim != meta["dim"]:
+        raise ValueError(
+            f"embedding index was built for dim={meta['dim']}; the slice "
+            f"has dim={dim} -- different embedding spaces cannot be "
+            f"bucketed together")
+
+
+def embedding_near_duplicates_incremental(
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    max_bucket_size: int = 2000,
+    observation=None,
+) -> DataFrame:
+    """Near-identical embedding pairs touching the new slice, against
+    index + slice: ``(id_a, id_b, cos, new_a, new_b)`` with ``cos >=``
+    the index's pinned threshold, ids canonically ordered, never
+    old-vs-old.  Same shape as the MinHash incremental operator: bucket
+    rows shuffle-join (full-bucket capping, observable), exact cosine
+    verifies JVM-side against the vector store, nothing is collected to
+    the driver, per-run cost O(slice + matched buckets)."""
+    spark = new_df.sparkSession
+    meta = _read_meta(spark, index_path)
+    _check_dim(new_df, vec_col, meta)
+    from pyspark.sql.window import Window
+
+    bucket = _make_bucket_udf(meta["n_planes"], meta["dim"])
+    threshold = meta["threshold"]
+    base = (new_df.select(F.col(id_col).alias("doc_id"),
+                          F.col(vec_col).alias("v"))
+            .join(_committed_ids(spark, index_path), "doc_id", "left_anti"))
+    new_b = (base.select("doc_id", bucket("v").alias("bkt"))
+             .withColumn("is_new", F.lit(True)))
+    old_b = (spark.read.parquet(f"{index_path}/buckets")
+             .select("doc_id", "bkt").withColumn("is_new", F.lit(False)))
+    all_b = old_b.unionByName(new_b)
+    sized = all_b.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("bkt")))
+    if observation is not None:
+        sized = _observe_capping(sized, observation, max_bucket_size)
+    capped = sized.filter(F.col("bucket_n") <= max_bucket_size) \
+        .drop("bucket_n")
+    a = capped.filter("is_new").alias("a")
+    b = capped.alias("b")
+    a_lt = F.col("a.doc_id") < F.col("b.doc_id")
+    pairs = (a.join(b, "bkt")
+             .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+             .select(
+                 F.when(a_lt, F.col("a.doc_id")).otherwise(F.col("b.doc_id"))
+                  .alias("id_a"),
+                 F.when(a_lt, F.col("b.doc_id")).otherwise(F.col("a.doc_id"))
+                  .alias("id_b"),
+                 F.when(a_lt, F.col("a.is_new")).otherwise(F.col("b.is_new"))
+                  .alias("new_a"),
+                 F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
+                  .alias("new_b"))
+             .distinct())
+    # verify vectors: store rows for corpus docs (anti-joined against the
+    # slice so a crashed append's phantom vectors cannot pair twice) plus
+    # the slice's own vectors
+    old_v = (spark.read.parquet(f"{index_path}/vectors")
+             .join(base.select("doc_id"), "doc_id", "left_anti"))
+    all_v = old_v.unionByName(base)
+    va = all_v.select(F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = all_v.select(F.col("doc_id").alias("id_b"), F.col("v").alias("v_b"))
+    dot = F.aggregate(F.zip_with("v_a", "v_b",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (pairs.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cos", dot / (nrm(F.col("v_a")) * nrm(F.col("v_b"))))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos"),
+                    "new_a", "new_b"))
+
+
+def embedding_index_bucket_audit(
+    new_df: DataFrame, id_col: str, vec_col: str, index_path: str,
+    max_bucket_size: int = 2000,
+) -> dict:
+    """Exact capping recount over index + slice bucket rows, for the
+    empty-output corner where the observe counter is pruned."""
+    spark = new_df.sparkSession
+    meta = _read_meta(spark, index_path)
+    _check_dim(new_df, vec_col, meta)
+    bucket = _make_bucket_udf(meta["n_planes"], meta["dim"])
+    base = (new_df.select(F.col(id_col).alias("doc_id"),
+                          F.col(vec_col).alias("v"))
+            .join(_committed_ids(spark, index_path), "doc_id", "left_anti"))
+    new_b = base.select("doc_id", bucket("v").alias("bkt"))
+    old_b = spark.read.parquet(f"{index_path}/buckets").select("doc_id", "bkt")
+    sizes = (old_b.unionByName(new_b)
+             .groupBy("bkt").agg(F.count("*").alias("n")))
+    return bucket_cap_stats(sizes, max_bucket_size)

@@ -33,6 +33,7 @@ PIN_QUERIES = [
     "minhash_near_dup",
     "conv_near_dup",
     "incremental_near_dup",
+    "emb_incremental_near_dup",
     "simhash_near_dup",
     "winnow_stats",
     "scrub_docs",
