@@ -623,21 +623,29 @@ def _q_emb_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental EMBEDDING near-dedup protocol in one query: index the
     even-id half of ``embeddings`` as the corpus, then dedup a slice made
     of the odd half (novel) plus deterministically perturbed copies of the
-    corpus vectors (id + 10000: scaled 1.01x with a tiny per-dimension
-    additive wobble -- cosine to the original stays ~0.9999, far above
-    the 0.95 threshold, while all other pairs stay below it: the table's
-    own max pairwise cosine is ~0.51).  Every expected pair is
-    (corpus_id, corpus_id + 10000) with corpus-wins flags (False, True).
-    Deterministic (fixed hyperplane seed, no RNG in the perturbation), so
-    pinnable; operators/embedding_index.py."""
+    corpus vectors (ids offset past the table's max id: scaled 1.01x
+    with a tiny per-dimension additive wobble -- cosine to the original
+    stays ~0.9999, far above the 0.95 threshold, while all other pairs
+    stay below it: the table's own max pairwise cosine is ~0.51).  A
+    TRUE pair is (corpus_id, corpus_id + offset) with corpus-wins flags
+    (False, True); the single-table 16-plane hyperplane LSH recalls 241
+    of the 250 true pairs at sf0.01 (~96% -- a near-1-cosine pair still
+    misses when a dimension sits near a hyperplane; which 9 ids miss is
+    a deterministic property of the seeded planes, pinned as such).
+    Deterministic throughout: fixed hyperplane seed, no RNG in the
+    perturbation, offset = max(10000, max_id + 1) so a perturbed id can
+    never collide with a committed corpus id at any scale factor (the
+    committed-key filter would silently drop it);
+    operators/embedding_index.py."""
     from sumi_agent_spark.operators.embedding_index import (
         embedding_near_duplicates_incremental, write_embedding_index)
     sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     index_path = f"/tmp/sumi_contract_emb_index_{sf}"
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    offset = max(10000, int(emb.agg(F.max("vec_id")).first()[0]) + 1)
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
     perturbed = corpus.select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
+        (F.col("vec_id") + offset).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, i: (x * F.lit(1.01)

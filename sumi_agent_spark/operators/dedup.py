@@ -705,19 +705,21 @@ def simhash_near_duplicates(
 
 # ─── Embedding cosine near-dup ───
 
-def embedding_near_duplicates(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95, n_planes: int = 16, max_bucket_size: int = 2000,
-    observation=None,
-) -> DataFrame:
-    """Near-identical embeddings via random-hyperplane LSH + exact cosine.
+def make_hyperplane_bucket_udf(n_planes: int, dim: int):
+    """Series[array<float>] -> int64 sign-bucket key over ``n_planes``
+    fixed random hyperplanes (seeded; identical across runs/processes).
 
-    Sign-bucket on ``n_planes`` fixed random hyperplanes (cos >= 0.95 pairs
-    collide with high probability), then exact-verify cosine JVM-side."""
-    from pyspark.sql.window import Window
-
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"]
+    The SINGLE source of the bucketing used by both the batch operator
+    and the persisted embedding index -- the incremental == full-run
+    equality contract depends on the two never diverging by a bit.
+    ``n_planes`` is bounded to [1, 62]: bit ``63`` is the int64 sign bit
+    and shifting into it is undefined for numpy int64; ``<= 0`` would
+    collapse every vector into one bucket and turn the banded self-join
+    into an unguarded cross join."""
+    if not 1 <= n_planes <= 62:
+        raise ValueError(
+            f"n_planes must be in [1, 62] (int64 bucket key), "
+            f"got {n_planes}")
     rng = np.random.RandomState(_SEED)
     planes = rng.standard_normal((n_planes, dim))
 
@@ -732,6 +734,38 @@ def embedding_near_duplicates(
             keys |= signs[:, j].astype(np.int64) << j
         return pd.Series(keys)
 
+    return bucket
+
+
+def cosine_cols(va, vb) -> F.Column:
+    """Exact cosine between two array columns, pure JVM HOF codegen --
+    shared by the batch operator and the embedding index verify."""
+    dot = F.aggregate(F.zip_with(va, vb,
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+
+    def nrm(c):
+        return F.sqrt(F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    return dot / (nrm(va) * nrm(vb))
+
+
+def embedding_near_duplicates(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, n_planes: int = 16, max_bucket_size: int = 2000,
+    observation=None,
+) -> DataFrame:
+    """Near-identical embeddings via random-hyperplane LSH + exact cosine.
+
+    Sign-bucket on ``n_planes`` fixed random hyperplanes (cos >= 0.95 pairs
+    collide with high probability), then exact-verify cosine JVM-side."""
+    from pyspark.sql.window import Window
+
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    bucket = make_hyperplane_bucket_udf(n_planes, dim)
     base = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
                      bucket(F.col(vec_col)).alias("bkt"))
     sized = base.withColumn("bucket_n",
@@ -740,17 +774,11 @@ def embedding_near_duplicates(
         sized = _observe_capping(sized, observation, max_bucket_size)
     capped = sized.filter(F.col("bucket_n") <= max_bucket_size)
     a, b = capped.alias("a"), capped.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
-                                 lambda x, y: x.cast("double") * y.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
     return (a.join(b, "bkt")
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("id_a"),
                     F.col("b.doc_id").alias("id_b"),
-                    (dot / (nrm(F.col("a.v")) * nrm(F.col("b.v")))).alias("cos"))
+                    cosine_cols(F.col("a.v"), F.col("b.v")).alias("cos"))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
             .distinct())

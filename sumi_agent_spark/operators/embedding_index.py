@@ -2,7 +2,7 @@
 
 The embedding analog of ``operators/minhash_index.py``: dedup today's
 ingest slice's embeddings against the already-ingested corpus without
-recomputing (or even reading) corpus vectors beyond the matched buckets.
+recomputing corpus buckets.
 
 Layout at ``index_path`` (same crash protocol as the MinHash index):
 
@@ -13,52 +13,41 @@ Layout at ``index_path`` (same crash protocol as the MinHash index):
   vectors from a crashed append are invisible -- commitment is defined by
   ``buckets/``).  Deliberately NOT partitioned by ``bkt``: with
   ``2^n_planes`` possible buckets that would explode into tens of
-  thousands of tiny partition directories (measured 33 s vs 6 s for the
+  thousands of tiny partition directories (measured 33 s vs ~5 s for the
   contract query at sf0.1), and the incremental join shuffles on ``bkt``
   regardless -- unlike the MinHash index's ``band`` column, whose
   cardinality is the band count (16-32);
 * ``meta/``    -- ``(n_planes, dim, threshold)``.  The random hyperplanes
-  derive deterministically from the fixed module seed and ``dim``, so a
-  slice bucketed in a later run lands in bit-identical buckets; a slice
-  whose vectors have a different dimension raises instead of silently
-  hashing garbage.
+  derive deterministically from the fixed module seed and ``dim``
+  (``dedup.make_hyperplane_bucket_udf`` -- the same code path the batch
+  operator uses, so incremental and full runs can never bucket
+  differently), and a slice whose vectors have a different dimension
+  raises instead of silently hashing garbage.
 
 Candidate generation joins NEW x (OLD union NEW) bucket rows -- never
-old-vs-old -- with FULL-bucket capping (old + new rows), and every
-candidate pair is exact-verified with JVM-side cosine against the vector
-store.  Docs already committed to the index are corpus: they are filtered
-from the slice up front (re-ingested duplicates are the caller's to drop,
-see ``plans/pipeline.py``'s pre-indexed counter for the MinHash analog).
+old-vs-old -- with FULL-bucket capping (old + new rows).  The capping
+window and the candidate join share one ``bkt`` exchange (reused), so the
+run pays a single narrow-row shuffle of the bucket store per slice; the
+heavy data -- the dim-sized vector store -- is only ever joined
+semi-restricted to candidate ids, never in full.  Docs already committed to the
+index are corpus: they are filtered from the slice up front (re-ingested
+duplicates are the caller's to drop, see ``plans/pipeline.py``'s
+pre-indexed counter for the MinHash analog).  NULL embeddings are
+ignored everywhere (they cannot be near-duplicates and would crash the
+bucket UDF's ``vstack``).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
-from .dedup import _SEED, _observe_capping, bucket_cap_stats
-
-
-def _make_bucket_udf(n_planes: int, dim: int):
-    rng = np.random.RandomState(_SEED)
-    planes = rng.standard_normal((n_planes, dim))
-
-    @pandas_udf(LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int64")
-        m = np.vstack(vecs.to_numpy())
-        signs = (m @ planes.T) > 0
-        keys = np.zeros(len(m), dtype=np.int64)
-        for j in range(n_planes):
-            keys |= signs[:, j].astype(np.int64) << j
-        return pd.Series(keys)
-
-    return bucket
+from .dedup import (
+    _observe_capping,
+    bucket_cap_stats,
+    cosine_cols,
+    make_hyperplane_bucket_udf,
+)
 
 
 def _read_meta(spark: SparkSession, index_path: str) -> dict:
@@ -71,11 +60,36 @@ def _committed_ids(spark: SparkSession, index_path: str) -> DataFrame:
             .select("doc_id").distinct())
 
 
-def _dim_of(df: DataFrame, vec_col: str) -> int:
-    row = df.select(F.size(vec_col).alias("d")).first()
-    if row is None:
-        raise ValueError("cannot infer embedding dim from an empty frame")
-    return int(row["d"])
+def _clean_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(doc_id, v) with NULL embeddings dropped (documented semantics)."""
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(vec_col).alias("v"))
+            .filter(F.col("v").isNotNull()))
+
+
+def _dim_bounds(base: DataFrame):
+    """(min_dim, max_dim) over non-null vectors; (None, None) if empty."""
+    row = base.agg(F.min(F.size("v")).alias("lo"),
+                   F.max(F.size("v")).alias("hi")).first()
+    return row["lo"], row["hi"]
+
+
+def _check_dim(base: DataFrame, meta: dict) -> None:
+    """Validate every non-null vector's length against the index dim.
+
+    Checks min AND max (a first-row-only probe would let a mixed-dim
+    slice through to a cryptic executor-side ``vstack`` error).  An empty
+    slice passes vacuously -- the dim is already pinned in meta, and a
+    zero-new-embeddings day must not crash the ingest job."""
+    lo, hi = _dim_bounds(base)
+    if lo is None:  # empty slice: nothing to validate
+        return
+    if lo != meta["dim"] or hi != meta["dim"]:
+        got = str(lo) if lo == hi else f"{lo}..{hi}"
+        raise ValueError(
+            f"embedding index was built for dim={meta['dim']}; the slice "
+            f"has dim={got} -- different embedding spaces cannot be "
+            f"bucketed together")
 
 
 def write_embedding_index(
@@ -87,12 +101,21 @@ def write_embedding_index(
     n_planes: int = 16,
 ) -> dict:
     """Create an embedding index from a (deduped) corpus.  Overwrites any
-    existing index at the path."""
+    existing index at the path.  Raises on an empty or mixed-dimension
+    corpus (an index needs one well-defined dim)."""
     spark = df.sparkSession
-    dim = _dim_of(df, vec_col)
-    bucket = _make_bucket_udf(n_planes, dim)
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     F.col(vec_col).alias("v"))
+    base = _clean_base(df, id_col, vec_col)
+    lo, hi = _dim_bounds(base)
+    if lo is None:
+        raise ValueError(
+            "cannot create an embedding index from an empty corpus "
+            "(no non-null vectors to infer dim from)")
+    if lo != hi:
+        raise ValueError(
+            f"corpus has mixed embedding dims {lo}..{hi}; an index "
+            f"requires one embedding space")
+    dim = int(lo)
+    bucket = make_hyperplane_bucket_udf(n_planes, dim)
     base.write.mode("overwrite").parquet(f"{index_path}/vectors")
     (base.select("doc_id", bucket("v").alias("bkt"))
      .write.mode("overwrite").parquet(f"{index_path}/buckets"))
@@ -106,13 +129,18 @@ def append_to_embedding_index(
     new_df: DataFrame, id_col: str, vec_col: str, index_path: str,
 ) -> None:
     """Append a slice's vectors + bucket rows, idempotently (per-store
-    anti-join of committed keys; vectors first, buckets last)."""
+    anti-join of committed keys; vectors first, buckets last).
+
+    Call AFTER consuming the incremental pair result for the slice: the
+    pair computation must see the index in its pre-slice state, and
+    Spark's lazy evaluation would otherwise race the append against the
+    read (a post-append ``collect()`` of a pre-append ``pairs`` plan
+    reads post-append buckets and anti-joins the whole slice out)."""
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
-    _check_dim(new_df, vec_col, meta)
-    bucket = _make_bucket_udf(meta["n_planes"], meta["dim"])
-    base = new_df.select(F.col(id_col).alias("doc_id"),
-                         F.col(vec_col).alias("v"))
+    base = _clean_base(new_df, id_col, vec_col)
+    _check_dim(base, meta)
+    bucket = make_hyperplane_bucket_udf(meta["n_planes"], meta["dim"])
     vec_existing = (spark.read.parquet(f"{index_path}/vectors")
                     .select("doc_id").distinct())
     (base.join(vec_existing, "doc_id", "left_anti")
@@ -121,15 +149,6 @@ def append_to_embedding_index(
     (base.join(bkt_existing, "doc_id", "left_anti")
      .select("doc_id", bucket("v").alias("bkt"))
      .write.mode("append").parquet(f"{index_path}/buckets"))
-
-
-def _check_dim(df: DataFrame, vec_col: str, meta: dict) -> None:
-    dim = _dim_of(df, vec_col)
-    if dim != meta["dim"]:
-        raise ValueError(
-            f"embedding index was built for dim={meta['dim']}; the slice "
-            f"has dim={dim} -- different embedding spaces cannot be "
-            f"bucketed together")
 
 
 def embedding_near_duplicates_incremental(
@@ -144,23 +163,38 @@ def embedding_near_duplicates_incremental(
     index + slice: ``(id_a, id_b, cos, new_a, new_b)`` with ``cos >=``
     the index's pinned threshold, ids canonically ordered, never
     old-vs-old.  Same shape as the MinHash incremental operator: bucket
-    rows shuffle-join (full-bucket capping, observable), exact cosine
-    verifies JVM-side against the vector store, nothing is collected to
-    the driver, per-run cost O(slice + matched buckets)."""
+    rows shuffle-join with full-bucket capping (observable), exact cosine
+    verifies JVM-side against the vector store restricted to candidate
+    ids, nothing is collected to the driver.  The bucket store (narrow
+    rows) shuffles once per slice -- the window and the join reuse one
+    exchange; the wide vector store never joins unrestricted.
+
+    Single-table hyperplane LSH recall at 16 planes is ~96% for
+    cos ~ 0.9999 pairs (measured: the contract query's 241/250); raise
+    ``n_planes``-independent recall with multiple probes/tables if a
+    deployment needs more -- exact alternatives are
+    ``cosine_pairs_blocked`` (similarity.py)."""
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
-    _check_dim(new_df, vec_col, meta)
+    base = _clean_base(new_df, id_col, vec_col)
+    _check_dim(base, meta)
     from pyspark.sql.window import Window
 
-    bucket = _make_bucket_udf(meta["n_planes"], meta["dim"])
+    bucket = make_hyperplane_bucket_udf(meta["n_planes"], meta["dim"])
     threshold = meta["threshold"]
-    base = (new_df.select(F.col(id_col).alias("doc_id"),
-                          F.col(vec_col).alias("v"))
-            .join(_committed_ids(spark, index_path), "doc_id", "left_anti"))
+    base = base.join(_committed_ids(spark, index_path), "doc_id",
+                     "left_anti")
     new_b = (base.select("doc_id", bucket("v").alias("bkt"))
              .withColumn("is_new", F.lit(True)))
     old_b = (spark.read.parquet(f"{index_path}/buckets")
              .select("doc_id", "bkt").withColumn("is_new", F.lit(False)))
+    # the capping window shuffles bucket rows on bkt -- the SAME
+    # partitioning the candidate self-join needs, so the exchange is
+    # computed once and reused: one narrow-row shuffle of the bucket
+    # store per slice, not two.  (A slice-touched-bucket semi-join does
+    # not help: shuffled it costs the same corpus exchange, broadcast it
+    # caps the slice size, and a shared-UDF build side trips Spark's
+    # zip-partitions assertion -- measured, r4.)
     all_b = old_b.unionByName(new_b)
     sized = all_b.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("bkt")))
@@ -183,22 +217,20 @@ def embedding_near_duplicates_incremental(
                  F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
                   .alias("new_b"))
              .distinct())
-    # verify vectors: store rows for corpus docs (anti-joined against the
-    # slice so a crashed append's phantom vectors cannot pair twice) plus
-    # the slice's own vectors
+    # verify vectors: store rows restricted to candidate ids (never the
+    # full corpus) and anti-joined against the slice so a crashed
+    # append's phantom vectors cannot pair twice; plus the slice's own
+    cand = (pairs.select(F.col("id_a").alias("doc_id"))
+            .union(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct())
     old_v = (spark.read.parquet(f"{index_path}/vectors")
+             .join(cand, "doc_id", "left_semi")
              .join(base.select("doc_id"), "doc_id", "left_anti"))
-    all_v = old_v.unionByName(base)
+    all_v = old_v.unionByName(base.join(cand, "doc_id", "left_semi"))
     va = all_v.select(F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
     vb = all_v.select(F.col("doc_id").alias("id_b"), F.col("v").alias("v_b"))
-    dot = F.aggregate(F.zip_with("v_a", "v_b",
-                                 lambda x, y: x.cast("double") * y.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
     return (pairs.join(va, "id_a").join(vb, "id_b")
-            .withColumn("cos", dot / (nrm(F.col("v_a")) * nrm(F.col("v_b"))))
+            .withColumn("cos", cosine_cols(F.col("v_a"), F.col("v_b")))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos"),
                     "new_a", "new_b"))
@@ -212,11 +244,11 @@ def embedding_index_bucket_audit(
     empty-output corner where the observe counter is pruned."""
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
-    _check_dim(new_df, vec_col, meta)
-    bucket = _make_bucket_udf(meta["n_planes"], meta["dim"])
-    base = (new_df.select(F.col(id_col).alias("doc_id"),
-                          F.col(vec_col).alias("v"))
-            .join(_committed_ids(spark, index_path), "doc_id", "left_anti"))
+    base = _clean_base(new_df, id_col, vec_col)
+    _check_dim(base, meta)
+    bucket = make_hyperplane_bucket_udf(meta["n_planes"], meta["dim"])
+    base = base.join(_committed_ids(spark, index_path), "doc_id",
+                     "left_anti")
     new_b = base.select("doc_id", bucket("v").alias("bkt"))
     old_b = spark.read.parquet(f"{index_path}/buckets").select("doc_id", "bkt")
     sizes = (old_b.unionByName(new_b)

@@ -203,6 +203,14 @@ def minhash_near_duplicates_incremental(
     old_banded = (spark.read.parquet(f"{index_path}/bands")
                   .select("doc_id", "band", "band_key")
                   .withColumn("is_new", F.lit(False)))
+    # the capping window shuffles index band rows on (band, band_key) --
+    # the SAME partitioning the candidate self-join needs, so the exchange
+    # is computed once and reused: the incremental run pays one narrow-row
+    # shuffle of the band store per slice, not two.  (Restricting to
+    # slice-touched buckets via a semi-join does not help: a shuffled
+    # semi-join costs the same corpus exchange, a broadcast one caps the
+    # slice size, and a shared-UDF build side trips Spark's
+    # zip-partitions assertion -- measured, r4.)
     all_banded = old_banded.unionByName(new_banded)
 
     from pyspark.sql.window import Window

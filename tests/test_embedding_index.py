@@ -91,6 +91,41 @@ def test_embedding_index_dim_mismatch_raises(spark, emb_fixture, tmp_path):
             bad, "vec_id", "embedding", path)
     with pytest.raises(ValueError, match="dim"):
         append_to_embedding_index(bad, "vec_id", "embedding", path)
+    # a MIXED-dim slice must be rejected up front too (a first-row-only
+    # probe would pass it through to a cryptic executor-side vstack error)
+    mixed = _vecs(spark, [(8, np.ones(16)), (9, np.ones(8))])
+    with pytest.raises(ValueError, match="16|8"):
+        embedding_near_duplicates_incremental(
+            mixed, "vec_id", "embedding", path)
+
+
+def test_embedding_index_empty_and_null_slices(spark, emb_fixture,
+                                               tmp_path):
+    """A zero-new-embeddings day (empty slice, or all-NULL vectors) must
+    return empty / append nothing, never crash the ingest job; an empty
+    CORPUS cannot create an index (no dim to pin) and says so."""
+    corpus, _ = emb_fixture
+    path = str(tmp_path / "eidx")
+    write_embedding_index(corpus, "vec_id", "embedding", path)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    assert embedding_near_duplicates_incremental(
+        empty, "vec_id", "embedding", path).count() == 0
+    n_v = spark.read.parquet(f"{path}/vectors").count()
+    append_to_embedding_index(empty, "vec_id", "embedding", path)
+    assert spark.read.parquet(f"{path}/vectors").count() == n_v
+
+    nulls = spark.createDataFrame([(7, None)],
+                                  "vec_id long, embedding array<double>")
+    assert embedding_near_duplicates_incremental(
+        nulls, "vec_id", "embedding", path).count() == 0
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        write_embedding_index(empty, "vec_id", "embedding",
+                              str(tmp_path / "eidx2"))
+    with pytest.raises(ValueError, match="n_planes"):
+        write_embedding_index(corpus, "vec_id", "embedding",
+                              str(tmp_path / "eidx3"), n_planes=64)
 
 
 def test_embedding_incremental_capping_full_bucket(spark, tmp_path):
