@@ -182,17 +182,28 @@ def main() -> None:
         # Python workers), isolating the job's own scaling behavior the way
         # dedicated executors on a real cluster would.  Pair 8,32 measures
         # the fully-saturated host instead (JVM steals cores from Python).
+        # Protocol hardening (r4, see tools/scale_campaign.py + BENCH.md):
+        # (a) file-aligned scan splits at BOTH levels -- the default
+        # 128 MB split sizing hands the low level 2 badly-quantized task
+        # waves and reports nonsense efficiency; (b) 4x input by default
+        # so the ~1.9 s fixed per-pass cost amortizes to the marginal
+        # regime a production run lives in.
         pair = [int(x) for x in
                 os.environ.get("SUMI_BENCH_SCALE_PAIR", "4,16").split(",")]
+        scale_repl = int(os.environ.get("SUMI_BENCH_SCALE_REPL",
+                                        str(repl * 4)))
+        split_conf = {"spark.sql.files.maxPartitionBytes": "2m",
+                      "spark.sql.files.openCostInBytes": "131072"}
         spark.stop()
         # interleave the two levels (lo,hi,lo,hi) and keep the best per
         # level: controls for machine-state drift between measurements
         best_sec: dict[int, float] = {}
         n = 0
         for nc in pair * 3:
-            s = get_spark(app_name=f"sumi-scale-{nc}", cores=nc)
+            s = get_spark(app_name=f"sumi-scale-{nc}", cores=nc,
+                          extra_conf=split_conf)
             _warm(s)
-            sec_n, n = scrub_bench(s, repl)
+            sec_n, n = scrub_bench(s, scale_repl)
             best_sec[nc] = min(best_sec.get(nc, float("inf")), sec_n)
             s.stop()
         scaling = {}
