@@ -628,14 +628,14 @@ def _q_emb_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays ~0.9999, far above the 0.95 threshold, while all other pairs
     stay below it: the table's own max pairwise cosine is ~0.51).  A
     TRUE pair is (corpus_id, corpus_id + offset) with corpus-wins flags
-    (False, True); the single-table 16-plane hyperplane LSH recalls 241
-    of the 250 true pairs at sf0.01 (~96% -- a near-1-cosine pair still
-    misses when a dimension sits near a hyperplane; which 9 ids miss is
-    a deterministic property of the seeded planes, pinned as such).
-    Deterministic throughout: fixed hyperplane seed, no RNG in the
-    perturbation, offset = max(10000, max_id + 1) so a perturbed id can
-    never collide with a committed corpus id at any scale factor (the
-    committed-key filter would silently drop it);
+    (False, True); with one-bit multi-probe (``probe_bits=1``) the
+    16-plane hyperplane LSH recalls ALL 250 true pairs at sf0.01
+    (exact-bucket probing recalled 241 -- a near-1-cosine pair misses
+    when a dimension sits near a hyperplane; the one-bit neighbor probes
+    recover exactly those).  Deterministic throughout: fixed hyperplane
+    seed, no RNG in the perturbation, offset = max(10000, max_id + 1) so
+    a perturbed id can never collide with a committed corpus id at any
+    scale factor (the committed-key filter would silently drop it);
     operators/embedding_index.py."""
     from sumi_agent_spark.operators.embedding_index import (
         embedding_near_duplicates_incremental, write_embedding_index)
@@ -655,7 +655,7 @@ def _q_emb_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_embedding_index(corpus, "vec_id", "embedding", index_path,
                           threshold=0.95)
     pairs = embedding_near_duplicates_incremental(
-        slice_df, "vec_id", "embedding", index_path)
+        slice_df, "vec_id", "embedding", index_path, probe_bits=1)
     return pairs.select(
         "id_a", "id_b",
         F.round(F.col("cos") * 1e6).cast("long").alias("cos_ppm"),

