@@ -67,6 +67,17 @@ def _clean_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             .filter(F.col("v").isNotNull()))
 
 
+def _unique_vec_rows(base: DataFrame) -> DataFrame:
+    """One (doc_id, v) row per key, winner = lexicographic min vector.
+
+    The index stores one bucket/vector row per key; duplicate slice keys
+    (callers that skipped exact dedup) would otherwise write duplicate
+    rows that multiply later slices' verify joins.  ``min`` over the
+    array column is deterministic under retries, unlike
+    ``dropDuplicates``; one key-hash shuffle, paid only on write/append."""
+    return base.groupBy("doc_id").agg(F.min("v").alias("v"))
+
+
 def _dim_bounds(base: DataFrame):
     """(min_dim, max_dim) over non-null vectors; (None, None) if empty."""
     row = base.agg(F.min(F.size("v")).alias("lo"),
@@ -102,9 +113,10 @@ def write_embedding_index(
 ) -> dict:
     """Create an embedding index from a (deduped) corpus.  Overwrites any
     existing index at the path.  Raises on an empty or mixed-dimension
-    corpus (an index needs one well-defined dim)."""
+    corpus (an index needs one well-defined dim).  Duplicate keys
+    collapse to one row (:func:`_unique_vec_rows`)."""
     spark = df.sparkSession
-    base = _clean_base(df, id_col, vec_col)
+    base = _unique_vec_rows(_clean_base(df, id_col, vec_col))
     lo, hi = _dim_bounds(base)
     if lo is None:
         raise ValueError(
@@ -135,10 +147,11 @@ def append_to_embedding_index(
     pair computation must see the index in its pre-slice state, and
     Spark's lazy evaluation would otherwise race the append against the
     read (a post-append ``collect()`` of a pre-append ``pairs`` plan
-    reads post-append buckets and anti-joins the whole slice out)."""
+    reads post-append buckets and anti-joins the whole slice out).
+    Duplicate slice keys collapse to one row (:func:`_unique_vec_rows`)."""
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
-    base = _clean_base(new_df, id_col, vec_col)
+    base = _unique_vec_rows(_clean_base(new_df, id_col, vec_col))
     _check_dim(base, meta)
     bucket = make_hyperplane_bucket_udf(meta["n_planes"], meta["dim"])
     vec_existing = (spark.read.parquet(f"{index_path}/vectors")
@@ -158,7 +171,7 @@ def embedding_near_duplicates_incremental(
     index_path: str,
     max_bucket_size: int = 2000,
     observation=None,
-    probe_bits: int = 0,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Near-identical embedding pairs touching the new slice, against
     index + slice: ``(id_a, id_b, cos, new_a, new_b)`` with ``cos >=``
@@ -170,15 +183,17 @@ def embedding_near_duplicates_incremental(
     rows) shuffles once per slice -- the window and the join reuse one
     exchange; the wide vector store never joins unrestricted.
 
-    Recall: single-table hyperplane LSH at 16 planes is ~96% for
-    cos ~ 0.9999 pairs (measured: 241/250 on the contract fixture) -- a
-    near-identical pair still misses when one dimension sits close to a
-    hyperplane.  ``probe_bits=1`` (multi-probe, the ``lsh_topk`` trick)
-    additionally probes every slice row into its ``n_planes`` one-bit
-    neighbor buckets: ~99.9% recall (250/250 measured) for
-    ``n_planes + 1`` join rows per slice vector -- the corpus side is
-    NOT exploded, so index size and the capping window are unaffected,
-    and capping/metrics always count TRUE bucket rows only.  Exact
+    Recall: ``probe_bits=1`` (the DEFAULT; multi-probe, the ``lsh_topk``
+    trick) probes every slice row into its true bucket plus its
+    ``n_planes`` one-bit neighbor buckets: ~99.9% recall (250/250
+    measured on the contract fixture) for ``n_planes + 1`` join rows per
+    slice vector -- the corpus side is NOT exploded, so index size and
+    the capping window are unaffected, and capping/metrics always count
+    TRUE bucket rows only.  ``probe_bits=0`` (exact bucket) trades that
+    slice-side fanout for ~96% recall at cos ~ 0.9999 (measured:
+    241/250) -- a near-identical pair misses when one dimension sits
+    close to a hyperplane; use it only when the slice is enormous
+    relative to the corpus and the fanout is measured to matter.  Exact
     alternatives remain ``cosine_pairs_blocked`` (similarity.py)."""
     if probe_bits not in (0, 1):
         raise ValueError(

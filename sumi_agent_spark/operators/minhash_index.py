@@ -80,6 +80,21 @@ def _committed_doc_ids(spark: SparkSession, index_path: str) -> DataFrame:
             .select("doc_id").distinct())
 
 
+def _unique_doc_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, text) with duplicate keys collapsed deterministically.
+
+    The index stores exactly one shingle array / signature per key; a
+    caller that skipped exact dedup (``run_pipeline`` with
+    ``dedup=False``) can feed duplicate ``(conv_id, turn_idx)`` keys,
+    which would write duplicate shingle/band rows -- multiplying every
+    later slice's verify-join rows and emitting duplicated pairs.  The
+    winner is ``min(text)`` per key (deterministic under retries, unlike
+    ``dropDuplicates``); one hash-agg shuffle on the key, paid only on
+    write/append, never on the incremental read path."""
+    return (df.groupBy(F.col(id_col).alias("doc_id"))
+            .agg(F.min(F.col(text_col)).alias("text")))
+
+
 def write_minhash_index(
     df: DataFrame,
     id_col: str,
@@ -97,13 +112,13 @@ def write_minhash_index(
     in that order, so readers can treat ``meta`` as the create-commit
     marker and ``bands`` as the per-doc commit marker (see
     :func:`_committed_doc_ids`).  Returns the pinned geometry.  Overwrites
-    any existing index at the path."""
+    any existing index at the path.  Duplicate keys in ``df`` collapse to
+    one row (min text per key -- see :func:`_unique_doc_rows`)."""
     bands = resolve_bands(threshold, n_hashes, bands)
     spark = df.sparkSession
     minhash = make_minhash_udf(n_hashes, shingle_k)
     shingles = make_shingle_udf(shingle_k)
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     F.col(text_col).alias("text"))
+    base = _unique_doc_rows(df, id_col, text_col)
     (base.select("doc_id", shingles("text").alias("sh"))
      .write.mode("overwrite").parquet(f"{index_path}/shingles"))
     sig = base.select("doc_id", minhash("text").alias("sig"))
@@ -131,13 +146,13 @@ def append_to_minhash_index(
     Call AFTER consuming the incremental pair result for the slice (the
     pair computation must see the index in its pre-slice state; Spark's
     lazy evaluation would otherwise race the append against the read).
-    Geometry comes from the index meta, so appends can never drift."""
+    Geometry comes from the index meta, so appends can never drift.
+    Duplicate slice keys collapse to one row (:func:`_unique_doc_rows`)."""
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
     minhash = make_minhash_udf(meta["n_hashes"], meta["shingle_k"])
     shingles = make_shingle_udf(meta["shingle_k"])
-    base = new_df.select(F.col(id_col).alias("doc_id"),
-                         F.col(text_col).alias("text"))
+    base = _unique_doc_rows(new_df, id_col, text_col)
     sh_existing = (spark.read.parquet(f"{index_path}/shingles")
                    .select("doc_id").distinct())
     (base.join(sh_existing, "doc_id", "left_anti")
@@ -239,12 +254,23 @@ def minhash_near_duplicates_incremental(
                   .alias("new_b"))
              .distinct())
 
-    new_sh = base.select("doc_id", shingles("text").alias("sh"))
+    # verify inputs are semi-join-restricted to candidate ids BEFORE the
+    # union: without the restriction every incremental run would shuffle
+    # the O(corpus)-sized shingle store (the index's largest artifact,
+    # ~8 B per corpus char) into the pair join, contradicting the
+    # O(slice + matched buckets) cost contract (the grouped and embedding
+    # variants already restrict; this path was the straggler).
+    cand = (pairs.select(F.col("id_a").alias("doc_id"))
+            .union(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct())
+    new_sh = (base.join(cand, "doc_id", "left_semi")
+              .select("doc_id", shingles("text").alias("sh")))
     # anti-join the store against the slice's keys: a crashed append may
     # have left slice docs' shingle arrays in the store without their
     # bands (phantoms).  Values would survive (the phantom array equals
     # the fresh one), but each affected pair would emit twice.
     old_sh = (spark.read.parquet(f"{index_path}/shingles")
+              .join(cand, "doc_id", "left_semi")
               .join(base.select("doc_id"), "doc_id", "left_anti"))
     all_sh = old_sh.unionByName(new_sh)
     sa = all_sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))

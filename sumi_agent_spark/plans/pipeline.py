@@ -702,80 +702,89 @@ def run_pipeline(
         F.sum(_nonempty_lines(F.col("masked_text")).cast("long"))
          .alias("lines_out"))
 
+    # the finally guards the whole tail -- write, guards, AND index
+    # maintenance: the index create/append consumes ``kept``, whose plan
+    # anti-joins the persisted drop set, so unpersisting right after the
+    # write would make index maintenance recompute the full near-dedup
+    # LSH subtree instead of the claimed one signature pass over the
+    # kept rows (deterministic either way; this is purely the cost)
     try:
         n = write_with_lineage(ordered(scrubbed), output_path, stage="scrub")
+
+        def _obs(o) -> dict:
+            # a fully-empty write (e.g. resume found no new keys) lets AQE
+            # empty-propagation prune the observed subtree; the metrics row
+            # is then absent and .get raises -- all-zero is correct
+            try:
+                return o.get
+            except Exception:
+                return {}
+
+        m_in, m_out = _obs(in_obs), _obs(out_obs)
+        # Both observations sit BELOW the range exchange, whose
+        # boundary-sampling job executes the child plan an extra time --
+        # every metric is scaled by the same pass count, so the ==/ratio
+        # guards stay exact; normalize the reported numbers back to
+        # single-pass values via the true written count (observed once,
+        # above the exchange, by write_with_lineage).
+        rows_in = int(m_in.get("rows_in") or 0)
+        rows_out = int(m_out.get("rows_out") or 0)
+        lines_in = int(m_out.get("lines_in") or 0)
+        lines_out = int(m_out.get("lines_out") or 0)
+        passes = rows_out // n if n and rows_out % n == 0 else 1
+        guard_row = _assert_retention(
+            "scrub", rows_in // passes, rows_out // passes,
+            lines_in // passes, lines_out // passes, min_line_ratio)
+        spark.createDataFrame([guard_row]).write.mode("append").parquet(
+            f"{output_path}/_lineage_guards")
+        if nd_index_action is not None:
+            # Index content = dedup-kept turns, BEFORE the toxicity/resume
+            # gates: the index answers "what has this corpus already seen",
+            # so a toxic turn dropped from the OUTPUT still anchors dedup of
+            # its future near-copies (which the toxicity gate would drop
+            # anyway -- near-copies of toxic text score toxic).
+            # index maintenance runs LAST, only after the write + guards
+            # succeeded: a crash anywhere above leaves the index in its
+            # pre-slice state, so a resumed run recomputes the same drops
+            # against the same index (idempotent restart).  Cost: one extra
+            # signature pass over the kept slice rows.
+            from ..operators.minhash_index import (
+                append_grouped_to_minhash_index, append_to_minhash_index,
+                write_grouped_minhash_index, write_minhash_index)
+            action, kept = nd_index_action
+            conv_scope = near_dedup_scope == "conversation"
+            if conv_scope:
+                kept_keyed, key_col = kept, "conv_id"
+            else:
+                kept_keyed = kept.withColumn(
+                    "_nk", F.struct("conv_id", "turn_idx"))
+                key_col = "_nk"
+            if action == "create":
+                # gate on the KEPT set, not rows written this call: a
+                # bootstrap that crashed mid-create and RESUMED writes zero
+                # new output rows (resume_filter removed them) but must
+                # still create the index, or the whole bootstrap corpus
+                # silently never enters it and later slices dedup against
+                # nothing
+                if not kept_keyed.isEmpty():  # empty input: no index
+                    create = (write_grouped_minhash_index if conv_scope
+                              else write_minhash_index)
+                    create(kept_keyed, key_col, "text",
+                           near_dedup_index_path,
+                           threshold=float(near_dedup_threshold))
+            else:
+                # idempotent by construction: the append fns anti-join each
+                # store's already-committed keys, so a completed-slice
+                # re-run appends nothing and a half-crashed append
+                # completes exactly-once
+                append = (append_grouped_to_minhash_index if conv_scope
+                          else append_to_minhash_index)
+                append(kept_keyed, key_col, "text", near_dedup_index_path)
     finally:
         # the cached drop set must not outlive the run even when the
         # write or a downstream guard raises (long-lived sessions)
         if nd_drops is not None:
             nd_drops.unpersist()
-
-    def _obs(o) -> dict:
-        # a fully-empty write (e.g. resume found no new keys) lets AQE
-        # empty-propagation prune the observed subtree; the metrics row is
-        # then absent and .get raises -- all-zero is the correct reading
-        try:
-            return o.get
-        except Exception:
-            return {}
-
-    m_in, m_out = _obs(in_obs), _obs(out_obs)
-    # Both observations sit BELOW the range exchange, whose boundary-sampling
-    # job executes the child plan an extra time -- every metric is scaled by
-    # the same pass count, so the ==/ratio guards stay exact; normalize the
-    # reported numbers back to single-pass values via the true written count
-    # (observed once, above the exchange, by write_with_lineage).
-    rows_in = int(m_in.get("rows_in") or 0)
-    rows_out = int(m_out.get("rows_out") or 0)
-    lines_in = int(m_out.get("lines_in") or 0)
-    lines_out = int(m_out.get("lines_out") or 0)
-    passes = rows_out // n if n and rows_out % n == 0 else 1
-    guard_row = _assert_retention(
-        "scrub", rows_in // passes, rows_out // passes,
-        lines_in // passes, lines_out // passes, min_line_ratio)
-    spark.createDataFrame([guard_row]).write.mode("append").parquet(
-        f"{output_path}/_lineage_guards")
-    if nd_index_action is not None:
-        # Index content = dedup-kept turns, BEFORE the toxicity/resume
-        # gates: the index answers "what has this corpus already seen",
-        # so a toxic turn dropped from the OUTPUT still anchors dedup of
-        # its future near-copies (which the toxicity gate would drop
-        # anyway -- near-copies of toxic text score toxic).
-        # index maintenance runs LAST, only after the write + guards
-        # succeeded: a crash anywhere above leaves the index in its
-        # pre-slice state, so a resumed run recomputes the same drops
-        # against the same index (idempotent restart).  Cost: one extra
-        # signature pass over the kept slice rows.
-        from ..operators.minhash_index import (
-            append_grouped_to_minhash_index, append_to_minhash_index,
-            write_grouped_minhash_index, write_minhash_index)
-        action, kept = nd_index_action
-        conv_scope = near_dedup_scope == "conversation"
-        if conv_scope:
-            kept_keyed, key_col = kept, "conv_id"
-        else:
-            kept_keyed = kept.withColumn(
-                "_nk", F.struct("conv_id", "turn_idx"))
-            key_col = "_nk"
-        if action == "create":
-            # gate on the KEPT set, not rows written this call: a
-            # bootstrap that crashed mid-create and RESUMED writes zero
-            # new output rows (resume_filter removed them) but must still
-            # create the index, or the whole bootstrap corpus silently
-            # never enters it and later slices dedup against nothing
-            if not kept_keyed.isEmpty():  # empty input: no readable index
-                create = (write_grouped_minhash_index if conv_scope
-                          else write_minhash_index)
-                create(kept_keyed, key_col, "text", near_dedup_index_path,
-                       threshold=float(near_dedup_threshold))
-        else:
-            # idempotent by construction: the append fns anti-join each
-            # store's already-committed keys, so a completed-slice re-run
-            # appends nothing and a half-crashed append completes
-            # exactly-once
-            append = (append_grouped_to_minhash_index if conv_scope
-                      else append_to_minhash_index)
-            append(kept_keyed, key_col, "text", near_dedup_index_path)
     wall = time.time() - t0
     stats = {"rows": n, "wall_sec": round(wall, 3),
              "rows_per_sec": round(n / wall, 1) if wall > 0 else None,
