@@ -662,6 +662,33 @@ def _q_emb_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_a", "new_b")
 
 
+def _q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): the
+    "benchmark" is the 80-char prefix of every 20th document, the corpus
+    is all documents; each doc reports its distinct char-13-gram count
+    and how many of those grams appear anywhere in the benchmark set.
+    Docs whose prefix seeded the benchmark are contaminated by
+    construction; everything else is flagged only on a real shared
+    k-gram.  k=20 here (not the operator's conservative 13-char default)
+    because the synthetic fixture's docs are template-generated and share
+    short boilerplate phrases -- at k=13 the gate flags 483/500, at k=20
+    a discriminating 73/500 (the 25 seeds + genuine sharers), which
+    exercises both hit and miss paths.  Fully live DuckDB twin (exact
+    substr k-grams -- the rolling shingle hash is injective on this
+    fixture), docs shorter than k excluded on BOTH sides so the
+    padded-shingle edge never enters the comparison."""
+    from sumi_agent_spark.operators.decontaminate import (
+        flag_benchmark_overlap)
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 20)
+    bench = (docs.filter(F.col("doc_id") % 20 == 0)
+             .select(F.substring("text", 1, 80).alias("text")))
+    return flag_benchmark_overlap(docs, "doc_id", "text", bench, k=20) \
+        .select("doc_id",
+                F.col("n_shingles").cast("long").alias("n_shingles"),
+                F.col("n_bench_hits").cast("long").alias("n_bench_hits"),
+                "contaminated")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_hash": _q_normalize_hash,
@@ -687,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_near_dup": _q_conv_near_dup,
         "incremental_near_dup": _q_incremental_near_dup,
         "emb_incremental_near_dup": _q_emb_incremental_near_dup,
+        "decontam_overlap": _q_decontam_overlap,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_stats": _q_winnow_stats,
         "scrub_docs": _q_scrub_docs,
@@ -1086,6 +1114,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "toxicity_score": _toxicity_twin_sql(),
+        "decontam_overlap": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+            bg AS (
+              SELECT DISTINCT g
+              FROM (SELECT unnest(list_transform(
+                             range(1, length(btext) - 18),
+                             i -> substr(btext, i, 20))) AS g
+                    FROM (SELECT substr(text, 1, 80) AS btext
+                          FROM corpus WHERE doc_id % 20 = 0))),
+            bl AS (SELECT list(g) AS gs FROM bg),
+            dg AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, length(text) - 18),
+                       i -> substr(text, i, 20))) AS s
+              FROM corpus)
+            SELECT doc_id,
+                   CAST(len(s) AS BIGINT) AS n_shingles,
+                   CAST(len(list_intersect(s, bl.gs)) AS BIGINT)
+                     AS n_bench_hits,
+                   len(list_intersect(s, bl.gs)) >= 1 AS contaminated
+            FROM dg, bl
+        """,
     }
     # a pin-embedding twin resolves to None before gen_pins has run --
     # drop it so the driver records a rows-only check instead of crashing

@@ -601,6 +601,10 @@ def run_pipeline(
     near_dedup_index_path: Optional[str] = None,
     near_dedup_scope: str = "turn",
     drop_toxic_above: Optional[float] = None,
+    decontaminate_against: Optional[str] = None,
+    decontam_text_col: str = "text",
+    decontam_k: int = 13,
+    decontam_min_hits: int = 1,
     min_line_ratio: float = 0.5,
     scrub_transform=scrub_transcripts,
     **scrub_kwargs,
@@ -635,6 +639,14 @@ def run_pipeline(
     whose lexicon toxicity score exceeds the threshold, also pre-scrub so
     toxic turns never pay detection cost (operators/toxicity.py; NULL text
     scores 0 and is never dropped by this gate).
+    ``decontaminate_against`` (a parquet path of benchmark rows with a
+    ``decontam_text_col`` text column) drops turns that share at least
+    ``decontam_min_hits`` exact ``decontam_k``-gram shingles with the
+    benchmark set (operators/decontaminate.py) -- the standard
+    eval-contamination gate; the drop count + parameters land in the
+    ``_lineage_decontam`` sidecar.  Per-row-independent like the toxicity
+    gate, so it composes with resume/dedup in any order without changing
+    winner sets.
 
     Retention guards (reference accept/reject ratios,
     RedactPro.tsx:1337-1349,1390-1398): input rows and masked non-empty
@@ -686,6 +698,29 @@ def run_pipeline(
             f"{output_path}/_lineage_neardup")
     if resume:
         df = resume_filter(df, output_path)
+    dc_drops = None
+    if decontaminate_against is not None:
+        # per-row-independent gate, so it sits AFTER resume_filter (a
+        # resumed run only re-checks still-unwritten turns); the flagged
+        # key set is small by construction, so persist + count it for
+        # lineage, then one anti-join -- the same drop-set pattern as
+        # near-dedup.  Runs before the toxicity filter so contaminated
+        # turns never pay the toxicity regex either.
+        from ..operators.decontaminate import contaminated_keys
+        bench_df = spark.read.parquet(decontaminate_against)
+        keyed = df.withColumn("_ck", F.struct("conv_id", "turn_idx"))
+        dc_drops = contaminated_keys(
+            keyed, "_ck", "text", bench_df,
+            bench_text_col=decontam_text_col,
+            k=int(decontam_k), min_hits=int(decontam_min_hits))
+        dc_drops.persist()
+        n_contam = dc_drops.count()  # pins the drop set for the write pass
+        df = keyed.join(dc_drops, "_ck", "left_anti").drop("_ck")
+        dc_row = {"stage": "decontaminate", "n_dropped": n_contam,
+                  "k": int(decontam_k), "min_hits": int(decontam_min_hits),
+                  "benchmark_path": decontaminate_against}
+        spark.createDataFrame([dc_row]).write.mode("append").parquet(
+            f"{output_path}/_lineage_decontam")
     if drop_toxic_above is not None:
         from ..operators.toxicity import toxicity_score_col
         df = df.filter(toxicity_score_col(F.col("text"))
@@ -781,10 +816,12 @@ def run_pipeline(
                           else append_to_minhash_index)
                 append(kept_keyed, key_col, "text", near_dedup_index_path)
     finally:
-        # the cached drop set must not outlive the run even when the
+        # the cached drop sets must not outlive the run even when the
         # write or a downstream guard raises (long-lived sessions)
         if nd_drops is not None:
             nd_drops.unpersist()
+        if dc_drops is not None:
+            dc_drops.unpersist()
     wall = time.time() - t0
     stats = {"rows": n, "wall_sec": round(wall, 3),
              "rows_per_sec": round(n / wall, 1) if wall > 0 else None,
@@ -794,6 +831,8 @@ def run_pipeline(
         stats["n_capped_buckets"] = nd_row["n_capped_buckets"]
         stats["n_preindexed_rows_dropped"] = \
             nd_row["n_preindexed_rows_dropped"]
+    if decontaminate_against is not None:
+        stats["n_contaminated_dropped"] = n_contam
     return stats
 
 
@@ -832,6 +871,17 @@ def main() -> None:
                     "(union-of-turn-shingle Jaccard, keep-first by conv_id)")
     ap.add_argument("--drop-toxic-above", type=float, default=None,
                     metavar="T", help="drop turns with toxicity score > T")
+    ap.add_argument("--decontaminate-against", default=None, metavar="PATH",
+                    help="drop turns sharing exact k-gram shingles with "
+                    "the benchmark parquet at PATH (eval-contamination "
+                    "gate; counts land in the _lineage_decontam sidecar)")
+    ap.add_argument("--decontam-text-col", default="text",
+                    help="benchmark text column (default: text)")
+    ap.add_argument("--decontam-k", type=int, default=13,
+                    help="shingle length in chars (default: 13)")
+    ap.add_argument("--decontam-min-hits", type=int, default=1,
+                    help="flag a turn at >= this many distinct benchmark "
+                    "k-gram hits (default: 1)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -852,7 +902,11 @@ def main() -> None:
                          near_dedup_threshold=args.near_dedup_threshold,
                          near_dedup_index_path=args.near_dedup_index,
                          near_dedup_scope=args.near_dedup_scope,
-                         drop_toxic_above=args.drop_toxic_above)
+                         drop_toxic_above=args.drop_toxic_above,
+                         decontaminate_against=args.decontaminate_against,
+                         decontam_text_col=args.decontam_text_col,
+                         decontam_k=args.decontam_k,
+                         decontam_min_hits=args.decontam_min_hits)
     print(json.dumps(stats))
 
 

@@ -1,0 +1,201 @@
+"""Benchmark decontamination: exact k-gram containment vs an eval set.
+
+Contract under test (operators/decontaminate.py): a doc quoting an exact
+benchmark k-gram is flagged, a paraphrase is not, hit counts equal a
+brute-force distinct-char-k-gram intersection, and the pipeline gate
+drops flagged turns with a lineage sidecar.
+"""
+
+import datetime
+
+import pytest
+
+BENCH = [
+    (0, "The quick brown fox jumps over the lazy dog by the river bank."),
+    (1, "Machine translation quality is judged with held-out references."),
+]
+
+DOCS = [
+    # quotes a long exact benchmark span -> contaminated
+    (10, "As they say: the quick brown fox jumps over the lazy dog by "
+         "the river bank. End of quote."),
+    # paraphrase, no shared 13-char run -> clean
+    (11, "A fast auburn fox leapt across one sleepy canine near that "
+         "stream's edge."),
+    # unrelated -> clean
+    (12, "Completely unrelated sentence about distributed query engines "
+         "and shuffle costs."),
+    # quotes the second benchmark row -> contaminated
+    (13, "Note that machine translation quality is judged with held-out "
+         "references, per the docs."),
+]
+
+
+def _grams(text: str, k: int) -> set:
+    if len(text) < k:
+        text = text + "\x1f" * (k - len(text))
+    return {text[i:i + k] for i in range(len(text) - k + 1)}
+
+
+def _bench_df(spark):
+    return spark.createDataFrame(BENCH, "bench_id long, text string")
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_flag_exact_vs_paraphrase(spark):
+    from sumi_agent_spark.operators.decontaminate import flag_benchmark_overlap
+
+    out = flag_benchmark_overlap(
+        _docs_df(spark), "doc_id", "text", _bench_df(spark)).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert bool(out.loc[10, "contaminated"])
+    assert bool(out.loc[13, "contaminated"])
+    assert not bool(out.loc[11, "contaminated"])
+    assert not bool(out.loc[12, "contaminated"])
+    # every doc present exactly once, zero hits reported as 0 not NULL
+    assert len(out) == len(DOCS)
+    assert int(out.loc[11, "n_bench_hits"]) == 0
+
+
+def test_hit_counts_match_bruteforce(spark):
+    """n_shingles / n_bench_hits equal distinct-char-k-gram set math."""
+    from sumi_agent_spark.operators.decontaminate import flag_benchmark_overlap
+
+    k = 13
+    bench_grams = set()
+    for _, t in BENCH:
+        bench_grams |= _grams(t, k)
+    out = flag_benchmark_overlap(
+        _docs_df(spark), "doc_id", "text", _bench_df(spark), k=k) \
+        .toPandas().set_index("doc_id")
+    for doc_id, text in DOCS:
+        g = _grams(text, k)
+        assert int(out.loc[doc_id, "n_shingles"]) == len(g)
+        assert int(out.loc[doc_id, "n_bench_hits"]) == len(g & bench_grams)
+
+
+def test_min_hits_threshold(spark):
+    from sumi_agent_spark.operators.decontaminate import flag_benchmark_overlap
+
+    base = flag_benchmark_overlap(
+        _docs_df(spark), "doc_id", "text", _bench_df(spark)).toPandas() \
+        .set_index("doc_id")
+    hits10 = int(base.loc[10, "n_bench_hits"])
+    assert hits10 > 1
+    strict = flag_benchmark_overlap(
+        _docs_df(spark), "doc_id", "text", _bench_df(spark),
+        min_hits=hits10 + 1).toPandas().set_index("doc_id")
+    assert not bool(strict.loc[10, "contaminated"])
+    loose = flag_benchmark_overlap(
+        _docs_df(spark), "doc_id", "text", _bench_df(spark),
+        min_hits=hits10).toPandas().set_index("doc_id")
+    assert bool(loose.loc[10, "contaminated"])
+
+
+def test_broadcast_false_parity(spark):
+    from sumi_agent_spark.operators.decontaminate import flag_benchmark_overlap
+
+    a = flag_benchmark_overlap(
+        _docs_df(spark), "doc_id", "text", _bench_df(spark),
+        broadcast=True).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = flag_benchmark_overlap(
+        _docs_df(spark), "doc_id", "text", _bench_df(spark),
+        broadcast=False).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_broadcast_plan_shape(spark):
+    """broadcast=True must not shuffle the corpus-side shingle stream: the
+    probe join is a broadcast hash join (the 100 TB contract)."""
+    from sumi_agent_spark.operators.decontaminate import flag_benchmark_overlap
+
+    out = flag_benchmark_overlap(
+        _docs_df(spark), "doc_id", "text", _bench_df(spark), broadcast=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_null_short_and_repeat_texts(spark):
+    """NULL text never matches a real benchmark; a doc repeating one
+    benchmark k-gram many times counts it once (containment, not
+    frequency)."""
+    from sumi_agent_spark.operators.decontaminate import flag_benchmark_overlap
+
+    gram = BENCH[0][1][:13]
+    rows = [(1, None), (2, "tiny"), (3, gram * 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = flag_benchmark_overlap(
+        docs, "doc_id", "text", _bench_df(spark)).toPandas() \
+        .set_index("doc_id")
+    assert not bool(out.loc[1, "contaminated"])
+    assert not bool(out.loc[2, "contaminated"])
+    assert bool(out.loc[3, "contaminated"])
+    # repeated gram: hits bounded by the doc's DISTINCT shingles that are
+    # benchmark members, far below the 40 repetitions
+    assert int(out.loc[3, "n_bench_hits"]) <= int(out.loc[3, "n_shingles"])
+
+
+def test_pipeline_decontaminate_gate(spark, tmp_path):
+    """run_pipeline(decontaminate_against=...) drops flagged turns, counts
+    them in _lineage_decontam, and leaves clean turns byte-identical."""
+    from sumi_agent_spark.plans.pipeline import run_pipeline
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", DOCS[0][1], "", ts),     # contaminated
+        ("c1", 1, "user", DOCS[1][1], "", ts),     # paraphrase, clean
+        ("c2", 0, "user", DOCS[2][1], "", ts),     # clean
+        ("c2", 1, "user", DOCS[3][1], "", ts),     # contaminated
+    ]
+    inp = str(tmp_path / "dc_in.parquet")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").write.parquet(inp)
+    bench_path = str(tmp_path / "bench.parquet")
+    _bench_df(spark).write.parquet(bench_path)
+
+    out = str(tmp_path / "dc_out")
+    stats = run_pipeline(spark, inp, out,
+                         decontaminate_against=bench_path)
+    got = spark.read.parquet(out).toPandas()
+    keys = set(zip(got["conv_id"], got["turn_idx"]))
+    assert keys == {("c1", 1), ("c2", 0)}
+    assert stats["n_contaminated_dropped"] == 2
+    side = spark.read.parquet(out + "/_lineage_decontam").toPandas()
+    assert len(side) == 1
+    assert int(side["n_dropped"].iloc[0]) == 2
+    assert int(side["k"].iloc[0]) == 13
+    assert side["benchmark_path"].iloc[0] == bench_path
+
+    # without the gate every turn survives (the gate is the only filter)
+    out2 = str(tmp_path / "dc_out_all")
+    run_pipeline(spark, inp, out2)
+    assert spark.read.parquet(out2).count() == 4
+
+
+def test_pipeline_decontaminate_resume_idempotent(spark, tmp_path):
+    """A resumed run with the gate re-drops the same turns and writes
+    nothing new when the first run completed."""
+    from sumi_agent_spark.plans.pipeline import run_pipeline
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", DOCS[0][1], "", ts),
+        ("c1", 1, "user", DOCS[1][1], "", ts),
+    ]
+    inp = str(tmp_path / "dcr_in.parquet")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").write.parquet(inp)
+    bench_path = str(tmp_path / "bench.parquet")
+    _bench_df(spark).write.parquet(bench_path)
+    out = str(tmp_path / "dcr_out")
+    run_pipeline(spark, inp, out, decontaminate_against=bench_path)
+    stats2 = run_pipeline(spark, inp, out, resume=True,
+                          decontaminate_against=bench_path)
+    assert stats2["rows"] == 0
+    got = spark.read.parquet(out).toPandas()
+    assert set(zip(got["conv_id"], got["turn_idx"])) == {("c1", 1)}
