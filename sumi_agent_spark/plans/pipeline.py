@@ -564,6 +564,113 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
     return deduped, nd_row, drops, ("append", deduped)
 
 
+def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
+                           n_planes):
+    """Embedding near-dedup keyed on the ``(conv_id, turn_idx)`` struct --
+    the embedding analog of :func:`_near_dedup_slice_stage`, for corpora
+    that ship precomputed turn embeddings.
+
+    ``index_path=None`` runs plain in-slice dedup (keep-first by key, the
+    earlier turn of every cos >= threshold pair wins).  With an index
+    path: first run bootstraps (in-slice dedup; ``run_pipeline`` creates
+    the index from the kept rows after the main write), later runs join
+    the slice against the persisted hyperplane index
+    (operators/embedding_index.py) -- corpus-wins on mixed pairs,
+    keep-first on slice pairs, pre-indexed re-export keys dropped with
+    their own counter, O(slice + matched buckets) per run.
+
+    Rows with a NULL embedding can never be flagged (they have nothing to
+    compare) and pass through; the index stores only non-null vectors.
+    Returns (deduped_df, lineage_row, drops_to_unpersist_or_None,
+    index_action_or_None) with index_action = ("create"|"append", kept)."""
+    from pyspark.sql import Observation
+
+    from ..operators.dedup import (
+        capped_bucket_metrics, embedding_near_duplicates)
+    from ..operators.embedding_index import (
+        _committed_ids, embedding_index_bucket_audit,
+        embedding_near_duplicates_incremental)
+    from ..operators.minhash_index import incremental_drop_keys
+
+    if vec_col not in df.columns:
+        raise ValueError(
+            f"embedding dedup requires a {vec_col!r} column in the input "
+            f"(pass embedding_col= to name it); input has {df.columns}")
+    keyed = df.withColumn("_ek", F.struct("conv_id", "turn_idx"))
+    nonnull = keyed.filter(F.col(vec_col).isNotNull())
+    meta = (_try_read_first(spark, f"{index_path}/meta")
+            if index_path is not None else None)
+
+    if meta is None:  # full in-slice dedup (bootstrap or index-less mode)
+        stage = ("embedding_dedup_bootstrap" if index_path is not None
+                 else "embedding_dedup")
+        if nonnull.isEmpty():  # batch op's dim probe would crash
+            nd_row = {"stage": stage, "n_dropped": 0,
+                      "n_preindexed_rows_dropped": 0, "n_capped_rows": 0,
+                      "n_capped_buckets": 0, "max_bucket_n": 0,
+                      "metrics_observed": False}
+            clean = keyed.drop("_ek")
+            action = (("create", clean) if index_path is not None else None)
+            return clean, nd_row, None, action
+        obs = Observation("embedding_dedup_capping")
+        pairs = embedding_near_duplicates(
+            nonnull, "_ek", vec_col, threshold=threshold,
+            n_planes=n_planes, observation=obs)
+        drops = pairs.select(F.col("id_b").alias("_ek")).distinct()
+        drops.persist()
+        n_nd = drops.count()  # fires the observation; pins the drop set
+        m = capped_bucket_metrics(obs)
+        metrics_observed = m is not None
+        if m is None:
+            # zero pairs end-to-end prunes the observed subtree; recount
+            # exactly (rare path, one extra bucket scan)
+            from ..operators.dedup import make_hyperplane_bucket_udf
+            dim = nonnull.select(F.size(vec_col).alias("d")).first()["d"]
+            bucket = make_hyperplane_bucket_udf(n_planes, dim)
+            sizes = (nonnull.select(bucket(F.col(vec_col)).alias("bkt"))
+                     .groupBy("bkt").agg(F.count("*").alias("n")))
+            from ..operators.dedup import bucket_cap_stats
+            m = bucket_cap_stats(sizes, 2000)
+        deduped = keyed.join(drops, "_ek", "left_anti").drop("_ek")
+        nd_row = {"stage": stage, "n_dropped": n_nd,
+                  "n_preindexed_rows_dropped": 0,
+                  "n_capped_rows": m["n_capped_rows"],
+                  "n_capped_buckets": m["n_capped_buckets"],
+                  "max_bucket_n": m["max_bucket_n"],
+                  "metrics_observed": metrics_observed}
+        action = (("create", deduped) if index_path is not None else None)
+        return deduped, nd_row, drops, action
+
+    if abs(float(meta["threshold"]) - threshold) > 1e-12:
+        raise ValueError(
+            f"embedding index at {index_path} was built with threshold "
+            f"{meta['threshold']}; this run requested {threshold} -- "
+            f"rebuild the index or match the threshold")
+    committed = (_committed_ids(spark, index_path)
+                 .withColumnRenamed("doc_id", "_ek"))
+    n_pre = keyed.join(committed, "_ek", "left_semi").count()
+    obs = Observation("embedding_dedup_capping")
+    pairs = embedding_near_duplicates_incremental(
+        keyed, "_ek", vec_col, index_path, observation=obs)
+    drops = (incremental_drop_keys(pairs)
+             .withColumnRenamed("doc_id", "_ek"))
+    drops.persist()
+    n_nd = drops.count()
+    m = capped_bucket_metrics(obs)
+    metrics_observed = m is not None
+    if m is None:
+        m = embedding_index_bucket_audit(keyed, "_ek", vec_col, index_path)
+    deduped = (keyed.join(drops, "_ek", "left_anti")
+               .join(committed, "_ek", "left_anti").drop("_ek"))
+    nd_row = {"stage": "embedding_dedup_incremental", "n_dropped": n_nd,
+              "n_preindexed_rows_dropped": n_pre,
+              "n_capped_rows": m["n_capped_rows"],
+              "n_capped_buckets": m["n_capped_buckets"],
+              "max_bucket_n": m["max_bucket_n"],
+              "metrics_observed": metrics_observed}
+    return deduped, nd_row, drops, ("append", deduped)
+
+
 def _nonempty_lines(col) -> F.Column:
     return F.size(F.filter(F.split(F.coalesce(col, F.lit("")), "\n"),
                            lambda x: F.length(F.trim(x)) > 0))
@@ -600,6 +707,10 @@ def run_pipeline(
     near_dedup_threshold: Optional[float] = None,
     near_dedup_index_path: Optional[str] = None,
     near_dedup_scope: str = "turn",
+    embedding_dedup_threshold: Optional[float] = None,
+    embedding_index_path: Optional[str] = None,
+    embedding_col: str = "embedding",
+    embedding_n_planes: int = 16,
     drop_toxic_above: Optional[float] = None,
     decontaminate_against: Optional[str] = None,
     decontam_text_col: str = "text",
@@ -635,7 +746,17 @@ def run_pipeline(
     scope with an index path maintains a GROUP-granularity index
     (conversations are closed per slice; a turn-scope run against a group
     index, or vice versa, fails loudly on the granularity pinned in the
-    index meta).  ``drop_toxic_above`` (e.g. 0.3) drops turns
+    index meta).
+    ``embedding_dedup_threshold`` (e.g. 0.95) near-dedups on a
+    precomputed ``embedding_col`` array column instead of / in addition
+    to text shingles: turns whose embedding cosine matches an earlier
+    turn (or, with ``embedding_index_path``, the already-ingested corpus
+    via the persisted hyperplane index -- bootstrap-created on first run,
+    appended after every successful write, exactly like the MinHash
+    index) are dropped keep-first/corpus-wins; counters land in the
+    ``_lineage_embdedup`` sidecar.  NULL embeddings never drop.  Both
+    dedup families compose: MinHash runs first, the embedding stage sees
+    its survivors.  ``drop_toxic_above`` (e.g. 0.3) drops turns
     whose lexicon toxicity score exceeds the threshold, also pre-scrub so
     toxic turns never pay detection cost (operators/toxicity.py; NULL text
     scores 0 and is never dropped by this gate).
@@ -696,6 +817,14 @@ def run_pipeline(
         # (own sidecar: mixed schemas in one parquet dir read unreliably)
         spark.createDataFrame([nd_row]).write.mode("append").parquet(
             f"{output_path}/_lineage_neardup")
+    eb_drops = None
+    eb_index_action = None  # ("create"|"append", kept_df)
+    if embedding_dedup_threshold is not None:
+        df, eb_row, eb_drops, eb_index_action = _embedding_dedup_stage(
+            spark, df, float(embedding_dedup_threshold),
+            embedding_index_path, embedding_col, int(embedding_n_planes))
+        spark.createDataFrame([eb_row]).write.mode("append").parquet(
+            f"{output_path}/_lineage_embdedup")
     if resume:
         df = resume_filter(df, output_path)
     dc_drops = None
@@ -815,11 +944,36 @@ def run_pipeline(
                 append = (append_grouped_to_minhash_index if conv_scope
                           else append_to_minhash_index)
                 append(kept_keyed, key_col, "text", near_dedup_index_path)
+        if eb_index_action is not None:
+            # same last-step commit protocol as the MinHash index: a
+            # crash anywhere above leaves the embedding index in its
+            # pre-slice state, and the append functions are idempotent
+            from ..operators.embedding_index import (
+                append_to_embedding_index, write_embedding_index)
+            eb_action, eb_kept = eb_index_action
+            eb_keyed = eb_kept.withColumn(
+                "_ek", F.struct("conv_id", "turn_idx"))
+            if eb_action == "create":
+                # the index needs >= 1 non-null vector to pin its dim; a
+                # bootstrap slice without any stays index-less and the
+                # next run bootstraps again
+                if not eb_keyed.filter(
+                        F.col(embedding_col).isNotNull()).isEmpty():
+                    write_embedding_index(
+                        eb_keyed, "_ek", embedding_col,
+                        embedding_index_path,
+                        threshold=float(embedding_dedup_threshold),
+                        n_planes=int(embedding_n_planes))
+            else:
+                append_to_embedding_index(
+                    eb_keyed, "_ek", embedding_col, embedding_index_path)
     finally:
         # the cached drop sets must not outlive the run even when the
         # write or a downstream guard raises (long-lived sessions)
         if nd_drops is not None:
             nd_drops.unpersist()
+        if eb_drops is not None:
+            eb_drops.unpersist()
         if dc_drops is not None:
             dc_drops.unpersist()
     wall = time.time() - t0
@@ -831,6 +985,10 @@ def run_pipeline(
         stats["n_capped_buckets"] = nd_row["n_capped_buckets"]
         stats["n_preindexed_rows_dropped"] = \
             nd_row["n_preindexed_rows_dropped"]
+    if embedding_dedup_threshold is not None:
+        stats["n_embedding_dup_dropped"] = eb_row["n_dropped"]
+        stats["n_emb_preindexed_rows_dropped"] = \
+            eb_row["n_preindexed_rows_dropped"]
     if decontaminate_against is not None:
         stats["n_contaminated_dropped"] = n_contam
     return stats
@@ -869,6 +1027,20 @@ def main() -> None:
                     help="near-dedup granularity: drop individual turns "
                     "(default) or whole near-duplicate conversations "
                     "(union-of-turn-shingle Jaccard, keep-first by conv_id)")
+    ap.add_argument("--embedding-dedup-threshold", type=float, default=None,
+                    metavar="C", help="drop turns whose embedding cosine "
+                    ">= C matches an earlier turn (or the corpus, with "
+                    "--embedding-index); input must carry the embedding "
+                    "column")
+    ap.add_argument("--embedding-index", default=None, metavar="PATH",
+                    help="incremental embedding dedup against the "
+                    "persisted hyperplane index at PATH (bootstrap-created "
+                    "on first run, appended after every successful write)")
+    ap.add_argument("--embedding-col", default="embedding",
+                    help="input embedding column (default: embedding)")
+    ap.add_argument("--embedding-n-planes", type=int, default=16,
+                    help="hyperplanes for the LSH bucketing (default: 16; "
+                    "only used when creating a new index)")
     ap.add_argument("--drop-toxic-above", type=float, default=None,
                     metavar="T", help="drop turns with toxicity score > T")
     ap.add_argument("--decontaminate-against", default=None, metavar="PATH",
@@ -902,6 +1074,11 @@ def main() -> None:
                          near_dedup_threshold=args.near_dedup_threshold,
                          near_dedup_index_path=args.near_dedup_index,
                          near_dedup_scope=args.near_dedup_scope,
+                         embedding_dedup_threshold=(
+                             args.embedding_dedup_threshold),
+                         embedding_index_path=args.embedding_index,
+                         embedding_col=args.embedding_col,
+                         embedding_n_planes=args.embedding_n_planes,
                          drop_toxic_above=args.drop_toxic_above,
                          decontaminate_against=args.decontaminate_against,
                          decontam_text_col=args.decontam_text_col,

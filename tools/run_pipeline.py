@@ -23,7 +23,19 @@ def main() -> None:
     ap.add_argument("--generate", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dedup", action="store_true")
+    ap.add_argument("--near-dedup-threshold", type=float, default=None)
+    ap.add_argument("--near-dedup-index", default=None)
+    ap.add_argument("--near-dedup-scope", default="turn",
+                    choices=("turn", "conversation"))
+    ap.add_argument("--embedding-dedup-threshold", type=float, default=None)
+    ap.add_argument("--embedding-index", default=None)
+    ap.add_argument("--embedding-col", default="embedding")
+    ap.add_argument("--embedding-n-planes", type=int, default=16)
     ap.add_argument("--drop-toxic-above", type=float, default=None)
+    ap.add_argument("--decontaminate-against", default=None)
+    ap.add_argument("--decontam-text-col", default="text")
+    ap.add_argument("--decontam-k", type=int, default=13)
+    ap.add_argument("--decontam-min-hits", type=int, default=1)
     args = ap.parse_args()
 
     spark = (SparkSession.builder.appName("sumi-scrub")
@@ -45,7 +57,19 @@ def main() -> None:
         write_parquet(input_path, n_convs=args.generate)
     stats = run_pipeline(spark, input_path, args.output, resume=args.resume,
                          dedup=args.dedup,
-                         drop_toxic_above=args.drop_toxic_above)
+                         near_dedup_threshold=args.near_dedup_threshold,
+                         near_dedup_index_path=args.near_dedup_index,
+                         near_dedup_scope=args.near_dedup_scope,
+                         embedding_dedup_threshold=(
+                             args.embedding_dedup_threshold),
+                         embedding_index_path=args.embedding_index,
+                         embedding_col=args.embedding_col,
+                         embedding_n_planes=args.embedding_n_planes,
+                         drop_toxic_above=args.drop_toxic_above,
+                         decontaminate_against=args.decontaminate_against,
+                         decontam_text_col=args.decontam_text_col,
+                         decontam_k=args.decontam_k,
+                         decontam_min_hits=args.decontam_min_hits)
     print(json.dumps(stats))
 
 
