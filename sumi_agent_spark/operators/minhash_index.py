@@ -66,6 +66,9 @@ def _read_meta(spark: SparkSession, index_path: str,
             f"{granularity!r}; this operator requires "
             f"{expect_granularity!r} (doc-level and group-level indexes "
             f"store different shingle layouts and cannot be mixed)")
+    # live reindex epoch (group indexes only; absent on doc indexes and
+    # pre-epoch group indexes = 0, i.e. only the base stores are live)
+    meta["epoch"] = int(row.asDict().get("epoch", 0) or 0)
     return meta
 
 
@@ -330,13 +333,28 @@ def minhash_index_bucket_audit(
 #   and the exact-Jaccard verify runs as scalar-row joins + counts
 #   exactly like ``minhash_near_duplicates_grouped``.
 #
-# Semantics restriction, stated plainly: a GROUP is closed per slice.  A
-# group id already committed to the index is corpus and a later slice's
-# rows for it are ignored (filtered, like re-ingested docs) -- the right
-# model for transcript dumps where a conversation is complete when
-# exported.  Growing a committed conversation would change its signature,
-# which an append-only parquet index cannot express (stale band rows need
-# a MERGE/delete -- an Iceberg-table upgrade, not a semantics change).
+# Semantics: a GROUP is closed per slice.  A group id already committed
+# to the index is corpus and a later slice's rows for it are ignored
+# (filtered, like re-ingested docs) -- the right model for transcript
+# dumps where a conversation is complete when exported.  A conversation
+# that DOES grow (a later dump re-exports it with new turns) is handled
+# by EPOCH-VERSIONED REINDEXING (:func:`reindex_groups`): growing a
+# committed conversation changes its signature, which append-only stores
+# cannot express in place, so the rebuilt groups are written to fresh
+# ``shingles_e{N}/`` + ``bands_e{N}/`` directories and ``meta`` -- flipped
+# LAST, the same commit-marker discipline as everything else here --
+# pins the live epoch N.  Readers union epochs 0..live and keep each
+# group's rows from the HIGHEST epoch that contains it, so a rebuilt
+# group's stale epoch-0 band rows can never generate candidates.  A
+# crash between the epoch writes and the meta flip leaves the old epoch
+# live, and a re-run overwrites the orphaned directories idempotently.
+# Cost, stated honestly: an index that has never been reindexed
+# (epoch 0) reads exactly as before -- zero extra shuffles; once epochs
+# exist, readers pay one additional narrow-row shuffle (a per-gid
+# max-epoch window over the band store, and over the candidate-restricted
+# shingle rows) per run, and stale epochs accrete until a compaction
+# rewrite (= a fresh write_grouped_minhash_index from the resolved
+# state).
 
 
 def _group_shingle_rows(df: DataFrame, group_col: str, text_col: str,
@@ -347,6 +365,92 @@ def _group_shingle_rows(df: DataFrame, group_col: str, text_col: str,
                       F.col(text_col).alias("text"))
             .select("doc_id", F.explode(shingles("text")).alias("sh"))
             .distinct())
+
+
+def _epoch_path(index_path: str, sub: str, epoch: int) -> str:
+    """Directory of one epoch of a grouped store: epoch 0 is the base
+    ``bands/``/``shingles/`` directory (pre-epoch indexes read
+    unchanged), epoch N >= 1 is ``bands_eN/``/``shingles_eN/``."""
+    return (f"{index_path}/{sub}" if epoch == 0
+            else f"{index_path}/{sub}_e{epoch}")
+
+
+def _read_epoched(spark: SparkSession, index_path: str, sub: str,
+                  live: int, cols: list[str]) -> DataFrame:
+    """Union of a grouped store's epochs 0..live with an ``_epoch``
+    column.  Directories beyond ``live`` (a crashed reindex that never
+    flipped meta) are never read -- invisibility by construction."""
+    out = None
+    for e in range(live + 1):
+        part = (spark.read.parquet(_epoch_path(index_path, sub, e))
+                .select(*cols).withColumn("_epoch", F.lit(e)))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _resolve_latest(rows: DataFrame, key_col: str, live: int) -> DataFrame:
+    """Keep each key's rows from the highest epoch that contains it; a
+    never-reindexed index (live == 0) short-circuits to a free column
+    drop.  One narrow-row shuffle on the key when epochs exist."""
+    if live == 0:
+        return rows.drop("_epoch")
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(key_col)
+    return (rows.withColumn("_emax", F.max("_epoch").over(w))
+            .filter(F.col("_epoch") == F.col("_emax"))
+            .drop("_emax", "_epoch"))
+
+
+def committed_group_ids(spark: SparkSession, index_path: str,
+                        live: Optional[int] = None) -> DataFrame:
+    """One-column (``gid``) set of groups committed to a grouped index at
+    ANY live epoch.  Epoch commit marker is that epoch's bands store
+    (written last within the epoch); the base-epoch marker doubles as the
+    create marker exactly as before."""
+    if live is None:
+        live = _read_meta(spark, index_path,
+                          expect_granularity="group")["epoch"]
+    return (_read_epoched(spark, index_path, "bands", live, ["doc_id"])
+            .select(F.col("doc_id").alias("gid")).distinct())
+
+
+def reindex_groups(
+    grown_df: DataFrame, group_col: str, text_col: str, index_path: str,
+) -> dict:
+    """Rebuild the touched groups of a grouped index into a fresh epoch.
+
+    ``grown_df`` must carry each touched conversation's FULL current
+    member rows (old + new turns): signatures and shingle sets are
+    recomputed from scratch for exactly the group ids present, written
+    to ``shingles_e{N+1}`` then ``bands_e{N+1}`` (overwrite mode, so a
+    crashed attempt's orphan directories are replaced, never appended
+    to), and ``meta`` is flipped to the new epoch LAST -- a crash
+    anywhere before the flip leaves the old epoch live and the whole
+    operation re-runnable.  Groups NOT present in ``grown_df`` are
+    untouched (their latest epoch still wins at read time).  Returns the
+    new meta.  O(touched groups), never O(corpus)."""
+    from .dedup import _group_signatures
+
+    spark = grown_df.sparkSession
+    meta = _read_meta(spark, index_path, expect_granularity="group")
+    new_epoch = meta["epoch"] + 1
+    base = grown_df.select(F.col(group_col).alias("gid"),
+                           F.col(text_col).alias("text"))
+    (_group_shingle_rows(base, "gid", "text", meta["shingle_k"])
+     .write.mode("overwrite")
+     .parquet(_epoch_path(index_path, "shingles", new_epoch)))
+    gsig = _group_signatures(base, "gid", "text", meta["n_hashes"],
+                             meta["shingle_k"])
+    (_banded(gsig, "gid", meta["bands"])
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(_epoch_path(index_path, "bands", new_epoch)))
+    meta_new = {"n_hashes": meta["n_hashes"], "bands": meta["bands"],
+                "shingle_k": meta["shingle_k"],
+                "threshold": float(meta["threshold"]),
+                "granularity": "group", "epoch": new_epoch}
+    spark.createDataFrame([meta_new]).write.mode("overwrite").parquet(
+        f"{index_path}/meta")
+    return meta_new
 
 
 def write_grouped_minhash_index(
@@ -391,15 +495,19 @@ def append_grouped_to_minhash_index(
 
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path, expect_granularity="group")
+    live = meta["epoch"]
     base = new_df.select(F.col(group_col).alias("gid"),
                          F.col(text_col).alias("text"))
-    sh_existing = (spark.read.parquet(f"{index_path}/shingles")
+    # membership spans ALL live epochs (a gid can exist only in a reindex
+    # epoch); new groups append into the BASE stores -- per-gid
+    # max-epoch resolution makes that correct regardless of live epoch
+    sh_existing = (_read_epoched(spark, index_path, "shingles", live,
+                                 ["doc_id"])
                    .select(F.col("doc_id").alias("gid")).distinct())
     (_group_shingle_rows(base.join(sh_existing, "gid", "left_anti"),
                          "gid", "text", meta["shingle_k"])
      .write.mode("append").parquet(f"{index_path}/shingles"))
-    bd_existing = (_committed_doc_ids(spark, index_path)
-                   .withColumnRenamed("doc_id", "gid"))
+    bd_existing = committed_group_ids(spark, index_path, live)
     gsig = _group_signatures(base.join(bd_existing, "gid", "left_anti"),
                              "gid", "text", meta["n_hashes"],
                              meta["shingle_k"])
@@ -435,8 +543,8 @@ def minhash_near_duplicates_grouped_incremental(
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path, expect_granularity="group")
     threshold = meta["threshold"]
-    committed = (_committed_doc_ids(spark, index_path)
-                 .withColumnRenamed("doc_id", "gid"))
+    live = meta["epoch"]
+    committed = committed_group_ids(spark, index_path, live)
     base = (new_df.select(F.col(group_col).alias("gid"),
                           F.col(text_col).alias("text"))
             .join(committed, "gid", "left_anti"))
@@ -446,7 +554,13 @@ def minhash_near_duplicates_grouped_incremental(
     new_banded = (_banded(gsig, "gid", meta["bands"])  # aliases to doc_id
                   .withColumnRenamed("doc_id", "gid")
                   .withColumn("is_new", F.lit(True)))
-    old_banded = (spark.read.parquet(f"{index_path}/bands")
+    # epoch resolution BEFORE the capping window: a rebuilt group's stale
+    # epoch-0 band rows must neither inflate bucket sizes nor generate
+    # candidates (free at epoch 0 -- see _resolve_latest)
+    old_banded = (_resolve_latest(
+                      _read_epoched(spark, index_path, "bands", live,
+                                    ["doc_id", "band", "band_key"]),
+                      "doc_id", live)
                   .select(F.col("doc_id").alias("gid"), "band", "band_key")
                   .withColumn("is_new", F.lit(False)))
     all_banded = old_banded.unionByName(new_banded)
@@ -485,9 +599,15 @@ def minhash_near_duplicates_grouped_incremental(
     # verdicts on the resumed run (the doc-index verify carries arrays,
     # where phantoms only duplicate identical rows and values survive).
     slice_gids = base.select("gid").distinct()
-    old_sh = (spark.read.parquet(f"{index_path}/shingles")
+    # candidate-restrict FIRST, then resolve epochs: the per-gid window
+    # runs over candidate rows only, never the O(corpus) store
+    old_sh = (_resolve_latest(
+                  _read_epoched(spark, index_path, "shingles", live,
+                                ["doc_id", "sh"])
+                  .join(cand.withColumnRenamed("gid", "doc_id"),
+                        "doc_id", "left_semi"),
+                  "doc_id", live)
               .select(F.col("doc_id").alias("gid"), "sh")
-              .join(cand, "gid", "left_semi")
               .join(slice_gids, "gid", "left_anti"))
     sh_rows = old_sh.unionByName(new_sh)
     sizes = sh_rows.groupBy("gid").agg(F.count("*").alias("n_sh"))
@@ -519,16 +639,18 @@ def minhash_grouped_index_bucket_audit(
 
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path, expect_granularity="group")
-    committed = (_committed_doc_ids(spark, index_path)
-                 .withColumnRenamed("doc_id", "gid"))
+    live = meta["epoch"]
+    committed = committed_group_ids(spark, index_path, live)
     base = (new_df.select(F.col(group_col).alias("gid"),
                           F.col(text_col).alias("text"))
             .join(committed, "gid", "left_anti"))
     gsig = _group_signatures(base, "gid", "text", meta["n_hashes"],
                              meta["shingle_k"])
     new_banded = _banded(gsig, "gid", meta["bands"])  # aliases to doc_id
-    old_banded = (spark.read.parquet(f"{index_path}/bands")
-                  .select("doc_id", "band", "band_key"))
+    old_banded = _resolve_latest(
+        _read_epoched(spark, index_path, "bands", live,
+                      ["doc_id", "band", "band_key"]),
+        "doc_id", live)
     sizes = (old_banded.unionByName(new_banded)
              .groupBy("band", "band_key").agg(F.count("*").alias("n")))
     return bucket_cap_stats(sizes, max_bucket_size)

@@ -518,11 +518,12 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
     # DROPPED here -- with their own lineage counter, never silently (the
     # operators' committed filter only excludes them from pair
     # computation; without this gate they would pass straight to output).
-    from ..operators.minhash_index import _committed_doc_ids
+    from ..operators.minhash_index import (
+        _committed_doc_ids, committed_group_ids)
     nd_obs = Observation("near_dedup_capping")
     if conv_scope:
-        committed = (_committed_doc_ids(spark, index_path)
-                     .withColumnRenamed("doc_id", "conv_id"))
+        committed = (committed_group_ids(spark, index_path)
+                     .withColumnRenamed("gid", "conv_id"))
         n_pre = df.join(committed, "conv_id", "left_semi").count()
         pairs = minhash_near_duplicates_grouped_incremental(
             df, "conv_id", "text", index_path, observation=nd_obs)
