@@ -32,6 +32,27 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def cpu_probe() -> float:
+    """Single-thread Python arithmetic throughput, in Mops (best of 3).
+
+    A contention canary, not a benchmark: the shared host's effective
+    clock swings ~2x hour to hour (measured r3/r4), which makes absolute
+    suite seconds incomparable across rounds.  Emitting the probe before
+    and after the suite (``probe_mops_pre``/``probe_mops_post`` in the
+    JSON) lets a reader normalize a suspicious timing against machine
+    state instead of re-measuring by hand (which is what the r4 review
+    had to do).  Fixed work / measured time; pure-Python so the number
+    reflects exactly the scheduler pressure the Arrow UDF workers see."""
+    n = 2_000_000
+    best = float("inf")
+    for _ in range(3):
+        x, t0 = 1.0, time.perf_counter()
+        for _ in range(n):
+            x = x * 1.0000001 + 1e-9
+        best = min(best, time.perf_counter() - t0)
+    return round(n / best / 1e6, 1)
+
+
 def ensure_fixture(variant_level: int = 1) -> str:
     path = FIXTURE_RICH_CACHE if variant_level >= 2 else FIXTURE_CACHE
     if not os.path.exists(path):
@@ -143,6 +164,9 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from sumi_agent_spark.session import get_spark
 
+    probe_pre = cpu_probe()
+    log(f"cpu probe (pre): {probe_pre} Mops")
+
     queries: dict[str, float] = {}
     spark = get_spark(app_name="sumi-bench", cores=cpus)
 
@@ -166,6 +190,8 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         queries[name] = round(time.time() - t0, 3)
 
+    probe_post = cpu_probe()
+    log(f"cpu probe (post): {probe_post} Mops")
     result = {
         "metric": "headline_suite_sec",
         "value": round(sum(queries.values()), 3),
@@ -174,6 +200,11 @@ def main() -> None:
         "sf": sf,
         "bench_turns": n_turns,
         "turns_per_sec": turns_per_sec,
+        # host-contention canaries: single-thread Mops before/after the
+        # suite (see cpu_probe); compare across rounds before reading
+        # anything into a +-30% suite-seconds swing
+        "probe_mops_pre": probe_pre,
+        "probe_mops_post": probe_post,
     }
 
     if os.environ.get("SUMI_BENCH_SCALING") == "1":
