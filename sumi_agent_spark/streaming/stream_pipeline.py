@@ -77,6 +77,25 @@ def dedup_stream(
     operators -- backfills run batch, the stream mode is the cheap online
     guard.
 
+    Why there is NO ``hamming <= k`` stream mode (evaluated r5, declined
+    with numbers): the pigeonhole trick the batch operator uses (split
+    the 64-bit hash into k+1 chunks; a hamming<=k pair shares a chunk)
+    only generates CANDIDATES -- the batch operator then verifies exact
+    hamming, which a chunk-keyed ``dropDuplicatesWithinWatermark`` state
+    cannot do (it holds seen KEYS, not the full hashes behind them).
+    Without verification the false-drop rate is
+    ``1 - (1 - (k+1) * 2^-(64/(k+1)))^N`` against N in-horizon texts:
+    at k=3 (16-bit chunks) that is ~45% at N=10^4 and ~100% by N=10^5
+    -- the 65536-value chunk space simply saturates and the stream
+    starts dropping everything; even k=1 reaches ~5% at N=10^8.
+    Verified streaming near-dedup needs chunk-keyed
+    ``applyInPandasWithState`` holding every in-horizon hash (k+1)x,
+    CHAINED into a per-row all-chunks aggregation whose append-mode
+    emission waits on the watermark -- two stateful stages and a
+    full-horizon state copy to approximate what the batch operator does
+    exactly in one pass.  Wrong trade; run the batch operator on the
+    landed output instead.
+
     Both modes use ``dropDuplicatesWithinWatermark`` so the dedup state is
     BOUNDED by the event-time horizon -- an unbounded ``dropDuplicates``
     would grow state forever on a 100 TB backfill.  Semantics difference
