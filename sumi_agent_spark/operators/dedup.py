@@ -705,6 +705,13 @@ def simhash_near_duplicates(
 
 # ─── Embedding cosine near-dup ───
 
+# shared default bucket cap for the embedding family (batch operator,
+# persisted index, pipeline stage + its zero-pair recount audit): one
+# constant so a tune can never leave an audit counting with a different
+# cap than the join it describes
+EMB_MAX_BUCKET_SIZE = 2000
+
+
 def make_hyperplane_bucket_udf(n_planes: int, dim: int):
     """Series[array<float>] -> int64 sign-bucket key over ``n_planes``
     fixed random hyperplanes (seeded; identical across runs/processes).
@@ -754,7 +761,8 @@ def cosine_cols(va, vb) -> F.Column:
 
 def embedding_near_duplicates(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95, n_planes: int = 16, max_bucket_size: int = 2000,
+    threshold: float = 0.95, n_planes: int = 16,
+    max_bucket_size: int = EMB_MAX_BUCKET_SIZE,
     observation=None,
 ) -> DataFrame:
     """Near-identical embeddings via random-hyperplane LSH + exact cosine.

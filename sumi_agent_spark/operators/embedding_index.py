@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import (
+    EMB_MAX_BUCKET_SIZE,
     _observe_capping,
     bucket_cap_stats,
     cosine_cols,
@@ -169,7 +170,7 @@ def embedding_near_duplicates_incremental(
     id_col: str,
     vec_col: str,
     index_path: str,
-    max_bucket_size: int = 2000,
+    max_bucket_size: int = EMB_MAX_BUCKET_SIZE,
     observation=None,
     probe_bits: int = 1,
 ) -> DataFrame:
@@ -193,7 +194,13 @@ def embedding_near_duplicates_incremental(
     slice-side fanout for ~96% recall at cos ~ 0.9999 (measured:
     241/250) -- a near-identical pair misses when one dimension sits
     close to a hyperplane; use it only when the slice is enormous
-    relative to the corpus and the fanout is measured to matter.  Exact
+    relative to the corpus and the fanout is measured to matter.
+    Equivalence contract, stated precisely: at ``probe_bits=0`` the
+    result EQUALS a full-corpus ``embedding_near_duplicates`` run
+    restricted to slice pairs (identical bucket recall, tested); at
+    ``probe_bits=1`` it is a verified SUPERSET of that -- multi-probe
+    only ever ADDS true pairs the single-bucket run missed, since every
+    candidate passes the same exact-cosine filter.  Exact
     alternatives remain ``cosine_pairs_blocked`` (similarity.py)."""
     if probe_bits not in (0, 1):
         raise ValueError(
@@ -274,7 +281,7 @@ def embedding_near_duplicates_incremental(
 
 def embedding_index_bucket_audit(
     new_df: DataFrame, id_col: str, vec_col: str, index_path: str,
-    max_bucket_size: int = 2000,
+    max_bucket_size: int = EMB_MAX_BUCKET_SIZE,
 ) -> dict:
     """Exact capping recount over index + slice bucket rows, for the
     empty-output corner where the observe counter is pruned."""

@@ -624,14 +624,17 @@ def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
         metrics_observed = m is not None
         if m is None:
             # zero pairs end-to-end prunes the observed subtree; recount
-            # exactly (rare path, one extra bucket scan)
-            from ..operators.dedup import make_hyperplane_bucket_udf
+            # exactly (rare path, one extra bucket scan) -- with the SAME
+            # cap constant the capped join used, so a future tune cannot
+            # desynchronize the audit from the join it describes
+            from ..operators.dedup import (
+                EMB_MAX_BUCKET_SIZE, bucket_cap_stats,
+                make_hyperplane_bucket_udf)
             dim = nonnull.select(F.size(vec_col).alias("d")).first()["d"]
             bucket = make_hyperplane_bucket_udf(n_planes, dim)
             sizes = (nonnull.select(bucket(F.col(vec_col)).alias("bkt"))
                      .groupBy("bkt").agg(F.count("*").alias("n")))
-            from ..operators.dedup import bucket_cap_stats
-            m = bucket_cap_stats(sizes, 2000)
+            m = bucket_cap_stats(sizes, EMB_MAX_BUCKET_SIZE)
         deduped = keyed.join(drops, "_ek", "left_anti").drop("_ek")
         nd_row = {"stage": stage, "n_dropped": n_nd,
                   "n_preindexed_rows_dropped": 0,
@@ -1010,6 +1013,32 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="output parquet dir")
     ap.add_argument("--generate", type=int, default=0, metavar="N_CONVS",
                     help="generate a fixture table with N conversations instead of --input")
+    add_pipeline_args(ap)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(cores=args.cores)
+    if args.generate:
+        import tempfile
+
+        from ..sources.transcripts import write_parquet
+        tmp = tempfile.mkdtemp(prefix="sumi_fixture_")
+        input_path = f"{tmp}/transcripts.parquet"
+        write_parquet(input_path, n_convs=args.generate)
+    else:
+        if not args.input:
+            ap.error("--input or --generate required")
+        input_path = args.input
+    stats = run_pipeline(spark, input_path, args.output,
+                         **pipeline_kwargs(args))
+    print(json.dumps(stats))
+
+
+def add_pipeline_args(ap) -> None:
+    """The shared pipeline-stage CLI surface, defined ONCE for every
+    entry point (the in-package runner above and the spark-submit wrapper
+    tools/run_pipeline.py) so the two argparse blocks cannot drift.
+    Pair with :func:`pipeline_kwargs`."""
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dedup", action="store_true",
                     help="drop exact-duplicate turns before scrubbing")
@@ -1055,37 +1084,27 @@ def main() -> None:
     ap.add_argument("--decontam-min-hits", type=int, default=1,
                     help="flag a turn at >= this many distinct benchmark "
                     "k-gram hits (default: 1)")
-    ap.add_argument("--cores", type=int, default=None)
-    args = ap.parse_args()
 
-    spark = get_spark(cores=args.cores)
-    if args.generate:
-        import tempfile
 
-        from ..sources.transcripts import write_parquet
-        tmp = tempfile.mkdtemp(prefix="sumi_fixture_")
-        input_path = f"{tmp}/transcripts.parquet"
-        write_parquet(input_path, n_convs=args.generate)
-    else:
-        if not args.input:
-            ap.error("--input or --generate required")
-        input_path = args.input
-    stats = run_pipeline(spark, input_path, args.output, resume=args.resume,
-                         dedup=args.dedup,
-                         near_dedup_threshold=args.near_dedup_threshold,
-                         near_dedup_index_path=args.near_dedup_index,
-                         near_dedup_scope=args.near_dedup_scope,
-                         embedding_dedup_threshold=(
-                             args.embedding_dedup_threshold),
-                         embedding_index_path=args.embedding_index,
-                         embedding_col=args.embedding_col,
-                         embedding_n_planes=args.embedding_n_planes,
-                         drop_toxic_above=args.drop_toxic_above,
-                         decontaminate_against=args.decontaminate_against,
-                         decontam_text_col=args.decontam_text_col,
-                         decontam_k=args.decontam_k,
-                         decontam_min_hits=args.decontam_min_hits)
-    print(json.dumps(stats))
+def pipeline_kwargs(args) -> dict:
+    """The :func:`run_pipeline` keyword arguments for a parsed
+    :func:`add_pipeline_args` namespace."""
+    return dict(
+        resume=args.resume,
+        dedup=args.dedup,
+        near_dedup_threshold=args.near_dedup_threshold,
+        near_dedup_index_path=args.near_dedup_index,
+        near_dedup_scope=args.near_dedup_scope,
+        embedding_dedup_threshold=args.embedding_dedup_threshold,
+        embedding_index_path=args.embedding_index,
+        embedding_col=args.embedding_col,
+        embedding_n_planes=args.embedding_n_planes,
+        drop_toxic_above=args.drop_toxic_above,
+        decontaminate_against=args.decontaminate_against,
+        decontam_text_col=args.decontam_text_col,
+        decontam_k=args.decontam_k,
+        decontam_min_hits=args.decontam_min_hits,
+    )
 
 
 if __name__ == "__main__":

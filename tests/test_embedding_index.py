@@ -35,12 +35,16 @@ def emb_fixture(spark):
 
 def test_embedding_incremental_equals_full_restricted(spark, emb_fixture,
                                                       tmp_path):
+    """The equality contract holds at probe_bits=0 (same exact-bucket
+    candidate generation as the batch operator); the probe_bits=1 DEFAULT
+    is a verified SUPERSET -- multi-probe can only ADD pairs the batch
+    op's single-bucket recall missed, every one exact-cosine-verified."""
     corpus, new = emb_fixture
     path = str(tmp_path / "eidx")
     write_embedding_index(corpus, "vec_id", "embedding", path,
                           threshold=0.95)
     inc = embedding_near_duplicates_incremental(
-        new, "vec_id", "embedding", path)
+        new, "vec_id", "embedding", path, probe_bits=0)
     got = {(r.id_a, r.id_b): (r.cos, r.new_a, r.new_b)
            for r in inc.collect()}
 
@@ -55,6 +59,17 @@ def test_embedding_incremental_equals_full_restricted(spark, emb_fixture,
     assert all(k[0] in new_keys or k[1] in new_keys for k in got)
     for (ia, ib), (_, na, nb) in got.items():
         assert na == (ia in new_keys) and nb == (ib in new_keys)
+
+    # default (probe_bits=1): superset of the exact-bucket result, same
+    # values on shared keys, every pair still >= threshold and never
+    # old-vs-old
+    inc1 = embedding_near_duplicates_incremental(
+        new, "vec_id", "embedding", path)
+    got1 = {(r.id_a, r.id_b): r.cos for r in inc1.collect()}
+    assert set(got1) >= set(got)
+    assert all(got1[k] == v[0] for k, v in got.items())
+    assert all(v >= 0.95 for v in got1.values())
+    assert all(k[0] in new_keys or k[1] in new_keys for k in got1)
 
 
 def test_embedding_append_idempotent_and_next_slice(spark, emb_fixture,

@@ -7,35 +7,35 @@ Deployment shape per the north rule:
         tools/run_pipeline.py --input <parquet> --output <dir> [--resume]
 
 The --py-files zip lands on every executor's sys.path, so the pandas UDFs
-import the package remotely; no cluster-wide install needed.
+import the package remotely; no cluster-wide install needed.  All
+pipeline-stage flags (dedup, near-dedup, embedding dedup, toxicity,
+decontamination) come from the SHARED definition in
+``plans.pipeline.add_pipeline_args`` -- this wrapper only owns the
+session bootstrap, so the two CLI surfaces cannot drift.
 """
 
 import argparse
 import json
+import os
+import sys
+
+# running the script directly (python tools/run_pipeline.py) puts tools/
+# on sys.path, not the repo root; under spark-submit --py-files the zip
+# provides the package instead and this insert is a harmless no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
 
 def main() -> None:
+    from sumi_agent_spark.plans.pipeline import (
+        add_pipeline_args, pipeline_kwargs, run_pipeline)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=False)
     ap.add_argument("--output", required=True)
     ap.add_argument("--generate", type=int, default=0)
-    ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--dedup", action="store_true")
-    ap.add_argument("--near-dedup-threshold", type=float, default=None)
-    ap.add_argument("--near-dedup-index", default=None)
-    ap.add_argument("--near-dedup-scope", default="turn",
-                    choices=("turn", "conversation"))
-    ap.add_argument("--embedding-dedup-threshold", type=float, default=None)
-    ap.add_argument("--embedding-index", default=None)
-    ap.add_argument("--embedding-col", default="embedding")
-    ap.add_argument("--embedding-n-planes", type=int, default=16)
-    ap.add_argument("--drop-toxic-above", type=float, default=None)
-    ap.add_argument("--decontaminate-against", default=None)
-    ap.add_argument("--decontam-text-col", default="text")
-    ap.add_argument("--decontam-k", type=int, default=13)
-    ap.add_argument("--decontam-min-hits", type=int, default=1)
+    add_pipeline_args(ap)
     args = ap.parse_args()
 
     spark = (SparkSession.builder.appName("sumi-scrub")
@@ -43,8 +43,6 @@ def main() -> None:
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
              .getOrCreate())
-
-    from sumi_agent_spark.plans.pipeline import run_pipeline
 
     if not args.input and not args.generate:
         ap.error("--input or --generate required")
@@ -55,21 +53,8 @@ def main() -> None:
         from sumi_agent_spark.sources.transcripts import write_parquet
         input_path = tempfile.mkdtemp(prefix="sumi_fx_") + "/t.parquet"
         write_parquet(input_path, n_convs=args.generate)
-    stats = run_pipeline(spark, input_path, args.output, resume=args.resume,
-                         dedup=args.dedup,
-                         near_dedup_threshold=args.near_dedup_threshold,
-                         near_dedup_index_path=args.near_dedup_index,
-                         near_dedup_scope=args.near_dedup_scope,
-                         embedding_dedup_threshold=(
-                             args.embedding_dedup_threshold),
-                         embedding_index_path=args.embedding_index,
-                         embedding_col=args.embedding_col,
-                         embedding_n_planes=args.embedding_n_planes,
-                         drop_toxic_above=args.drop_toxic_above,
-                         decontaminate_against=args.decontaminate_against,
-                         decontam_text_col=args.decontam_text_col,
-                         decontam_k=args.decontam_k,
-                         decontam_min_hits=args.decontam_min_hits)
+    stats = run_pipeline(spark, input_path, args.output,
+                         **pipeline_kwargs(args))
     print(json.dumps(stats))
 
 
