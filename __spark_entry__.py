@@ -689,6 +689,29 @@ def _q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "contaminated")
 
 
+def _q_decontam_word_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-n-gram decontamination (``ngrams="word"``): the benchmark is
+    the first-12-token prefix of every 20th document, the unit is 8-token
+    windows (the GPT-3-appendix style, scaled to the fixture's short
+    docs).  Tokenization is the explicit ASCII whitespace class shared
+    with the DuckDB twin; docs with fewer than 8 tokens (e.g. unspaced
+    Japanese) contribute their whole token-joined text as one window on
+    BOTH sides.  Fully live twin; flags 27/500 at sf0.01."""
+    from sumi_agent_spark.operators.decontaminate import (
+        flag_benchmark_overlap)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.filter(F.split(F.col("text"), "[ \t\n\r\f\\x0b]+"),
+                    lambda x: x != F.lit(""))
+    bench = (docs.filter(F.col("doc_id") % 20 == 0)
+             .select(F.array_join(F.slice(toks, 1, 12), " ").alias("text")))
+    return flag_benchmark_overlap(docs, "doc_id", "text", bench, k=8,
+                                  ngrams="word") \
+        .select("doc_id",
+                F.col("n_shingles").cast("long").alias("n_shingles"),
+                F.col("n_bench_hits").cast("long").alias("n_bench_hits"),
+                "contaminated")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_hash": _q_normalize_hash,
@@ -715,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dup": _q_incremental_near_dup,
         "emb_incremental_near_dup": _q_emb_incremental_near_dup,
         "decontam_overlap": _q_decontam_overlap,
+        "decontam_word_overlap": _q_decontam_word_overlap,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_stats": _q_winnow_stats,
         "scrub_docs": _q_scrub_docs,
@@ -1131,6 +1155,41 @@ def oracle_sql() -> dict[str, str]:
                        range(1, length(text) - 18),
                        i -> substr(text, i, 20))) AS s
               FROM corpus)
+            SELECT doc_id,
+                   CAST(len(s) AS BIGINT) AS n_shingles,
+                   CAST(len(list_intersect(s, bl.gs)) AS BIGINT)
+                     AS n_bench_hits,
+                   len(list_intersect(s, bl.gs)) >= 1 AS contaminated
+            FROM dg, bl
+        """,
+        "decontam_word_overlap": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+            tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                       text, '[ \t\n\r\f\v]+'), x -> x <> '') AS toks
+              FROM corpus),
+            bench AS (
+              SELECT toks[1:12] AS btoks FROM tok WHERE doc_id % 20 = 0),
+            bg AS (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(CASE WHEN len(btoks) < 8
+                       THEN [array_to_string(btoks, ' ')]
+                       ELSE list_transform(range(1, len(btoks) - 6),
+                              i -> array_to_string(btoks[i:i+7], ' '))
+                       END) AS g
+                FROM bench)),
+            bl AS (SELECT list(g) AS gs FROM bg),
+            dg AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 8
+                     THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(toks) - 6),
+                            i -> array_to_string(toks[i:i+7], ' ')))
+                     END AS s
+              FROM tok)
             SELECT doc_id,
                    CAST(len(s) AS BIGINT) AS n_shingles,
                    CAST(len(list_intersect(s, bl.gs)) AS BIGINT)

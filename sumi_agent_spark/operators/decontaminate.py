@@ -35,19 +35,91 @@ NULL/short benchmark row.
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 from .dedup import make_shingle_udf
 
+# explicit ASCII whitespace class, NOT str.split(): the DuckDB twin
+# tokenizes with RE2's [ \t\n\r\f\v]+ and Python's str.split() would
+# additionally split on unicode spaces (U+3000 etc.), silently desyncing
+# the two sides on Japanese text
+_WS_SPLIT = re.compile(r"[ \t\n\r\f\v]+")
+_HASH_BASE = np.uint64(1000003)
+
+
+def _hash_windows(flat: list[str]) -> np.ndarray:
+    """Vectorized polynomial hash (mod 2^64) of each string in ``flat``.
+
+    One utf-32 encode of the concatenation + one ``add.reduceat``; empty
+    strings are sentinel-padded first (a zero-length reduceat segment
+    would return the NEXT segment's first element, not 0)."""
+    flat = [w if w else "\x1f" for w in flat]
+    joined = "".join(flat)
+    cps = np.frombuffer(joined.encode("utf-32-le"),
+                        dtype=np.uint32).astype(np.uint64)
+    lens = np.array([len(w) for w in flat], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = (np.arange(len(cps), dtype=np.int64)
+           - np.repeat(starts, lens)).astype(np.uint64)
+    terms = cps * np.power(_HASH_BASE, pos)  # wraps mod 2^64 by design
+    return np.add.reduceat(terms, starts)
+
+
+def make_word_shingle_udf(n_tokens: int = 13):
+    """Series[str] -> array<long> of the row's unique word-n-gram hashes.
+
+    The GPT-3-style decontamination unit: windows of ``n_tokens``
+    whitespace-separated tokens, space-rejoined then hashed.  A text with
+    FEWER than ``n_tokens`` tokens contributes its whole token-joined
+    text as one window (the standard short-doc rule: compare the full
+    document), and NULL/empty texts one sentinel window.  Tokenization is
+    the explicit ASCII class ``[ \\t\\n\\r\\f\\v]+`` so the DuckDB twin
+    can reproduce it exactly (see ``_WS_SPLIT``)."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def word_shingles(texts: pd.Series) -> pd.Series:
+        windows_per_row: list[list[str]] = []
+        for t in texts.fillna(""):
+            toks = [x for x in _WS_SPLIT.split(t) if x]
+            if len(toks) < n_tokens:
+                ws = [" ".join(toks)]
+            else:
+                ws = [" ".join(toks[i:i + n_tokens])
+                      for i in range(len(toks) - n_tokens + 1)]
+            windows_per_row.append(ws)
+        flat = [w for ws in windows_per_row for w in ws]
+        h = _hash_windows(flat).view(np.int64)
+        out, off = [], 0
+        for ws in windows_per_row:
+            out.append(np.unique(h[off:off + len(ws)]))
+            off += len(ws)
+        return pd.Series(out)
+
+    return word_shingles
+
+
+def _shingler(k: int, ngrams: str):
+    if ngrams == "char":
+        return make_shingle_udf(k)
+    if ngrams == "word":
+        return make_word_shingle_udf(k)
+    raise ValueError(f"ngrams must be 'char' or 'word', got {ngrams!r}")
+
 
 def benchmark_shingle_set(benchmark_df: DataFrame, text_col: str,
-                          k: int = 13) -> DataFrame:
+                          k: int = 13, ngrams: str = "char") -> DataFrame:
     """One-column (``s``) DISTINCT shingle-hash set of the benchmark.
 
     Compute once and reuse (or persist to parquet) when decontaminating
     many corpora against the same eval suite."""
-    sh = make_shingle_udf(k)
+    sh = _shingler(k, ngrams)
     return (benchmark_df
             .select(F.explode(sh(F.col(text_col))).alias("s"))
             .distinct())
@@ -62,6 +134,7 @@ def flag_benchmark_overlap(
     k: int = 13,
     min_hits: int = 1,
     broadcast: bool = True,
+    ngrams: str = "char",
 ) -> DataFrame:
     """Per-doc benchmark-overlap counts + the contamination verdict.
 
@@ -72,20 +145,22 @@ def flag_benchmark_overlap(
     same name as ``text_col``), and ``contaminated`` is
     ``n_bench_hits >= min_hits``.
 
-    ``k=13`` (chars) is deliberately conservative-by-default: long
-    enough that English word-8-gram-style collisions are rare, short
-    enough that a quoted benchmark sentence always trips it.  A
-    paraphrase shares no exact k-gram and is NOT flagged -- exactness is
-    the contract (use the MinHash operators for fuzzy overlap).
+    ``ngrams="char"`` (default) shingles ``k`` characters -- robust to
+    tokenization and the right unit for Japanese text; ``"word"``
+    shingles ``k`` whitespace tokens (``make_word_shingle_udf``), the
+    GPT-3-appendix unit for space-delimited languages (k=13 tokens
+    there).  A paraphrase shares no exact k-gram under either unit and
+    is NOT flagged -- exactness is the contract (use the MinHash
+    operators for fuzzy overlap).
 
     ``broadcast=True`` (default) broadcasts the benchmark shingle set;
     pass False when the benchmark side is itself corpus-sized."""
     bench = (benchmark_shingle_set(benchmark_df,
-                                   bench_text_col or text_col, k)
+                                   bench_text_col or text_col, k, ngrams)
              .withColumn("_hit", F.lit(1)))
     if broadcast:
         bench = F.broadcast(bench)
-    sh = make_shingle_udf(k)
+    sh = _shingler(k, ngrams)
     exploded = df.select(F.col(id_col).alias("_doc_id"),
                          F.explode(sh(F.col(text_col))).alias("s"))
     # left join: every shingle row survives, so one groupBy yields both
@@ -109,6 +184,7 @@ def contaminated_keys(
     k: int = 13,
     min_hits: int = 1,
     broadcast: bool = True,
+    ngrams: str = "char",
 ) -> DataFrame:
     """Just the flagged ids, as a one-column (``id_col``) DataFrame --
     the anti-join input for a drop gate (see ``plans.pipeline``'s
@@ -116,5 +192,6 @@ def contaminated_keys(
     the exception), so callers can cheaply persist + count it for
     lineage before anti-joining."""
     flags = flag_benchmark_overlap(df, id_col, text_col, benchmark_df,
-                                   bench_text_col, k, min_hits, broadcast)
+                                   bench_text_col, k, min_hits, broadcast,
+                                   ngrams)
     return flags.filter("contaminated").select(id_col)

@@ -656,6 +656,43 @@ def minhash_grouped_index_bucket_audit(
     return bucket_cap_stats(sizes, max_bucket_size)
 
 
+def compact_grouped_index(spark: SparkSession, src_path: str,
+                          dst_path: str) -> dict:
+    """Rewrite a grouped index's RESOLVED state (per-group latest epoch)
+    as a fresh epoch-0 index at ``dst_path``.
+
+    Epoch directories accrete one per reindex and every reader pays the
+    per-gid resolution shuffle once epochs exist; periodic compaction
+    resets both.  No signatures are recomputed -- the resolved band and
+    shingle rows ARE the full index state, so this is a copy-shaped job
+    (shingles first, bands last, meta last, same commit discipline as
+    create).  ``dst_path`` must differ from ``src_path``: parquet
+    directories cannot be atomically swapped in place, so the caller
+    flips whatever pointer names the live index (and deletes the old
+    tree) once this returns."""
+    if dst_path.rstrip("/") == src_path.rstrip("/"):
+        raise ValueError(
+            "compact_grouped_index writes a NEW index; dst_path must "
+            "differ from src_path (in-place parquet swap is not atomic)")
+    meta = _read_meta(spark, src_path, expect_granularity="group")
+    live = meta["epoch"]
+    (_resolve_latest(_read_epoched(spark, src_path, "shingles", live,
+                                   ["doc_id", "sh"]), "doc_id", live)
+     .write.mode("overwrite").parquet(f"{dst_path}/shingles"))
+    (_resolve_latest(_read_epoched(spark, src_path, "bands", live,
+                                   ["doc_id", "band", "band_key"]),
+                     "doc_id", live)
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(f"{dst_path}/bands"))
+    meta_new = {"n_hashes": meta["n_hashes"], "bands": meta["bands"],
+                "shingle_k": meta["shingle_k"],
+                "threshold": float(meta["threshold"]),
+                "granularity": "group", "epoch": 0}
+    spark.createDataFrame([meta_new]).write.mode("overwrite").parquet(
+        f"{dst_path}/meta")
+    return meta_new
+
+
 def incremental_drop_keys(pairs: DataFrame) -> DataFrame:
     """The keys a corpus-wins + keep-first dedup policy drops, as a
     one-column (``doc_id``) DataFrame.

@@ -720,6 +720,7 @@ def run_pipeline(
     decontam_text_col: str = "text",
     decontam_k: int = 13,
     decontam_min_hits: int = 1,
+    decontam_ngrams: str = "char",
     min_line_ratio: float = 0.5,
     scrub_transform=scrub_transcripts,
     **scrub_kwargs,
@@ -845,12 +846,14 @@ def run_pipeline(
         dc_drops = contaminated_keys(
             keyed, "_ck", "text", bench_df,
             bench_text_col=decontam_text_col,
-            k=int(decontam_k), min_hits=int(decontam_min_hits))
+            k=int(decontam_k), min_hits=int(decontam_min_hits),
+            ngrams=decontam_ngrams)
         dc_drops.persist()
         n_contam = dc_drops.count()  # pins the drop set for the write pass
         df = keyed.join(dc_drops, "_ck", "left_anti").drop("_ck")
         dc_row = {"stage": "decontaminate", "n_dropped": n_contam,
                   "k": int(decontam_k), "min_hits": int(decontam_min_hits),
+                  "ngrams": decontam_ngrams,
                   "benchmark_path": decontaminate_against}
         spark.createDataFrame([dc_row]).write.mode("append").parquet(
             f"{output_path}/_lineage_decontam")
@@ -1084,6 +1087,10 @@ def add_pipeline_args(ap) -> None:
     ap.add_argument("--decontam-min-hits", type=int, default=1,
                     help="flag a turn at >= this many distinct benchmark "
                     "k-gram hits (default: 1)")
+    ap.add_argument("--decontam-ngrams", default="char",
+                    choices=("char", "word"),
+                    help="k-gram unit: chars (default; right for ja) or "
+                    "whitespace tokens (GPT-3-style word n-grams)")
 
 
 def pipeline_kwargs(args) -> dict:
@@ -1104,6 +1111,7 @@ def pipeline_kwargs(args) -> dict:
         decontam_text_col=args.decontam_text_col,
         decontam_k=args.decontam_k,
         decontam_min_hits=args.decontam_min_hits,
+        decontam_ngrams=args.decontam_ngrams,
     )
 
 

@@ -199,3 +199,82 @@ def test_pipeline_decontaminate_resume_idempotent(spark, tmp_path):
     assert stats2["rows"] == 0
     got = spark.read.parquet(out).toPandas()
     assert set(zip(got["conv_id"], got["turn_idx"])) == {("c1", 1)}
+
+
+def _word_grams(text, n):
+    import re
+    toks = [x for x in re.split(r"[ \t\n\r\f\v]+", text) if x]
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_word_mode_flags_quote_not_reorder(spark):
+    """Word n-grams flag an exact token-sequence quote even under
+    different whitespace, and don't flag a token reordering."""
+    from sumi_agent_spark.operators.decontaminate import flag_benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "bench_id long, text string")
+    rows = [
+        # same token sequence with EVERY gap whitespace-mangled -> word
+        # mode flags, char mode cannot (every 20-char window spans a
+        # mangled gap, so no char gram survives)
+        (1, "prefix words alpha  beta\tgamma  delta\nepsilon\tzeta  "
+            "eta\ttheta"),
+        # all benchmark tokens present but reordered -> clean
+        (2, "theta eta zeta epsilon delta gamma beta alpha"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = flag_benchmark_overlap(docs, "doc_id", "text", bench, k=8,
+                               ngrams="word").toPandas().set_index("doc_id")
+    assert bool(w.loc[1, "contaminated"])
+    assert not bool(w.loc[2, "contaminated"])
+    c = flag_benchmark_overlap(docs, "doc_id", "text", bench, k=20,
+                               ngrams="char").toPandas().set_index("doc_id")
+    assert not bool(c.loc[1, "contaminated"])  # whitespace broke char grams
+
+
+def test_word_mode_counts_match_bruteforce(spark):
+    from sumi_agent_spark.operators.decontaminate import flag_benchmark_overlap
+
+    n = 5
+    bench_rows = [(0, "one two three four five six seven"),
+                  (1, "short benchmark")]  # < n tokens: whole-text window
+    doc_rows = [
+        (10, "zero one two three four five six seven eight"),
+        (11, "short benchmark"),           # whole-text match
+        (12, "short  benchmark "),         # same tokens, messy ws -> match
+        (13, "completely unrelated words about nothing here"),
+        (14, None),
+        (15, ""),
+    ]
+    bench_grams = set()
+    for _, t in bench_rows:
+        bench_grams |= _word_grams(t, n)
+    out = flag_benchmark_overlap(
+        spark.createDataFrame(doc_rows, "doc_id long, text string"),
+        "doc_id", "text",
+        spark.createDataFrame(bench_rows, "bench_id long, text string"),
+        k=n, ngrams="word").toPandas().set_index("doc_id")
+    for doc_id, text in doc_rows:
+        g = _word_grams(text or "", n)
+        assert int(out.loc[doc_id, "n_shingles"]) == len(g), doc_id
+        assert int(out.loc[doc_id, "n_bench_hits"]) == len(g & bench_grams), doc_id
+    assert bool(out.loc[11, "contaminated"])
+    assert bool(out.loc[12, "contaminated"])
+    assert not bool(out.loc[13, "contaminated"])
+    # NULL/empty text shares the empty-token window only with an empty
+    # benchmark row, which this benchmark does not contain
+    assert not bool(out.loc[14, "contaminated"])
+    assert not bool(out.loc[15, "contaminated"])
+
+
+def test_ngrams_param_validation(spark):
+    from sumi_agent_spark.operators.decontaminate import flag_benchmark_overlap
+
+    with pytest.raises(ValueError, match="ngrams"):
+        flag_benchmark_overlap(
+            _docs_df(spark), "doc_id", "text", _bench_df(spark),
+            ngrams="sentence")

@@ -170,3 +170,35 @@ def test_append_new_group_after_reindex(spark, tmp_path):
         probe, "conv_id", "text", path))
     assert ("g200", "g6") in got   # appended group matches
     assert ("g100", "g7") in got   # reindexed group matches
+
+
+def test_compact_grouped_index(spark, tmp_path):
+    """Compaction rewrites the resolved state as a fresh epoch-0 index
+    that yields identical incremental pairs, and refuses in-place."""
+    from sumi_agent_spark.operators.minhash_index import (
+        compact_grouped_index)
+
+    src = str(tmp_path / "gidx")
+    write_grouped_minhash_index(_old(spark), "conv_id", "text", src,
+                                threshold=0.6)
+    reindex_groups(_grown(spark), "conv_id", "text", src)
+    want = _pairs(minhash_near_duplicates_grouped_incremental(
+        _slice(spark), "conv_id", "text", src))
+    assert ("g1", "g100") in want
+
+    dst = str(tmp_path / "gidx_compact")
+    meta = compact_grouped_index(spark, src, dst)
+    assert meta["epoch"] == 0
+    got = _pairs(minhash_near_duplicates_grouped_incremental(
+        _slice(spark), "conv_id", "text", dst))
+    assert got == want
+    # stale epoch-0 rows of the reindexed group did NOT survive: the
+    # compacted band store holds exactly one signature per group
+    import pyspark.sql.functions as SF
+    per_gid = (spark.read.parquet(f"{dst}/bands")
+               .groupBy("doc_id").count().collect())
+    counts = {r["doc_id"]: r["count"] for r in per_gid}
+    assert counts["g100"] == counts["g101"]
+
+    with pytest.raises(ValueError, match="differ"):
+        compact_grouped_index(spark, src, src)
