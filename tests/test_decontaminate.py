@@ -278,3 +278,59 @@ def test_ngrams_param_validation(spark):
         flag_benchmark_overlap(
             _docs_df(spark), "doc_id", "text", _bench_df(spark),
             ngrams="sentence")
+
+
+def test_randomized_corpus_parity_both_modes(spark):
+    """200 adversarial random docs over a 4-word/6-char alphabet (small on
+    purpose -- forces heavy k-gram collisions, partial overlaps, repeated
+    windows) match exact brute-force set math in BOTH units, including
+    whitespace mangling and benchmark substrings."""
+    import random
+
+    from sumi_agent_spark.operators.decontaminate import flag_benchmark_overlap
+
+    rng = random.Random(20260817)
+    words = ["ab", "cd", "abc", "dd"]
+    ws = [" ", "  ", "\t", "\n"]
+
+    def rand_text():
+        n = rng.randint(0, 20)
+        return "".join(
+            w + s for w, s in zip(
+                (rng.choice(words) for _ in range(n)),
+                (rng.choice(ws) for _ in range(n)))).rstrip()
+
+    bench_rows = [(i, rand_text()) for i in range(8)]
+    doc_rows = []
+    for i in range(200):
+        t = rand_text()
+        if i % 5 == 0 and bench_rows[i % 8][1]:
+            # splice a benchmark substring into the middle
+            b = bench_rows[i % 8][1]
+            cut = b[len(b) // 4: 3 * len(b) // 4]
+            t = t[:len(t) // 2] + cut + t[len(t) // 2:]
+        doc_rows.append((i, t))
+
+    k_char, k_word = 7, 3
+    bench_char, bench_word = set(), set()
+    for _, t in bench_rows:
+        bench_char |= _grams(t, k_char)
+        bench_word |= _word_grams(t, k_word)
+
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "bench_id long, text string")
+    out_c = flag_benchmark_overlap(docs, "doc_id", "text", bench,
+                                   k=k_char, ngrams="char") \
+        .toPandas().set_index("doc_id")
+    out_w = flag_benchmark_overlap(docs, "doc_id", "text", bench,
+                                   k=k_word, ngrams="word") \
+        .toPandas().set_index("doc_id")
+    for doc_id, text in doc_rows:
+        gc = _grams(text if len(text) else "", k_char)
+        gw = _word_grams(text, k_word)
+        assert int(out_c.loc[doc_id, "n_shingles"]) == len(gc), doc_id
+        assert int(out_c.loc[doc_id, "n_bench_hits"]) == \
+            len(gc & bench_char), doc_id
+        assert int(out_w.loc[doc_id, "n_shingles"]) == len(gw), doc_id
+        assert int(out_w.loc[doc_id, "n_bench_hits"]) == \
+            len(gw & bench_word), doc_id

@@ -202,3 +202,22 @@ def test_compact_grouped_index(spark, tmp_path):
 
     with pytest.raises(ValueError, match="differ"):
         compact_grouped_index(spark, src, src)
+
+
+def test_epoch0_read_path_has_no_resolution_window(spark, tmp_path):
+    """A never-reindexed index must read exactly as before epochs existed:
+    the per-gid max-epoch resolution window (an extra narrow shuffle)
+    appears in the plan only once a reindex has happened."""
+    path = str(tmp_path / "gidx")
+    write_grouped_minhash_index(_old(spark), "conv_id", "text", path,
+                                threshold=0.6)
+    plan0 = (minhash_near_duplicates_grouped_incremental(
+        _slice(spark), "conv_id", "text", path)
+        ._jdf.queryExecution().optimizedPlan().toString())
+    assert "_emax" not in plan0  # free path: resolution short-circuited
+
+    reindex_groups(_grown(spark), "conv_id", "text", path)
+    plan1 = (minhash_near_duplicates_grouped_incremental(
+        _slice(spark), "conv_id", "text", path)
+        ._jdf.queryExecution().optimizedPlan().toString())
+    assert "_emax" in plan1  # epochs exist: resolution window active
