@@ -53,6 +53,31 @@ def cpu_probe() -> float:
     return round(n / best / 1e6, 1)
 
 
+def _probe_work(n: int) -> float:
+    x = 1.0
+    for _ in range(n):
+        x = x * 1.0000001 + 1e-9
+    return x
+
+
+def cpu_probe_mp(procs: int = 8) -> float:
+    """Aggregate Mops across ``procs`` simultaneous worker processes.
+
+    The single-thread probe misses WHOLE-HOST pressure: two r5 bench
+    runs measured 69.5 s vs 85.8 s suites with near-identical
+    single-thread probes (~25 Mops both) -- another tenant was using
+    many cores, not slowing any one core.  Spark's 32 parallel workers
+    feel exactly that kind of contention, so the JSON carries both
+    probes; read a suite swing against whichever one moved."""
+    import concurrent.futures as cf
+
+    n = 2_000_000
+    t0 = time.perf_counter()
+    with cf.ProcessPoolExecutor(max_workers=procs) as ex:
+        list(ex.map(_probe_work, [n] * procs))
+    return round(procs * n / (time.perf_counter() - t0) / 1e6, 1)
+
+
 def ensure_fixture(variant_level: int = 1) -> str:
     path = FIXTURE_RICH_CACHE if variant_level >= 2 else FIXTURE_CACHE
     if not os.path.exists(path):
@@ -165,7 +190,8 @@ def main() -> None:
     from sumi_agent_spark.session import get_spark
 
     probe_pre = cpu_probe()
-    log(f"cpu probe (pre): {probe_pre} Mops")
+    probe_mp_pre = cpu_probe_mp()
+    log(f"cpu probe (pre): {probe_pre} Mops single / {probe_mp_pre} Mops 8-proc")
 
     queries: dict[str, float] = {}
     spark = get_spark(app_name="sumi-bench", cores=cpus)
@@ -191,7 +217,8 @@ def main() -> None:
         queries[name] = round(time.time() - t0, 3)
 
     probe_post = cpu_probe()
-    log(f"cpu probe (post): {probe_post} Mops")
+    probe_mp_post = cpu_probe_mp()
+    log(f"cpu probe (post): {probe_post} Mops single / {probe_mp_post} Mops 8-proc")
     result = {
         "metric": "headline_suite_sec",
         "value": round(sum(queries.values()), 3),
@@ -205,6 +232,8 @@ def main() -> None:
         # anything into a +-30% suite-seconds swing
         "probe_mops_pre": probe_pre,
         "probe_mops_post": probe_post,
+        "probe_mops_mp_pre": probe_mp_pre,
+        "probe_mops_mp_post": probe_mp_post,
     }
 
     if os.environ.get("SUMI_BENCH_SCALING") == "1":
