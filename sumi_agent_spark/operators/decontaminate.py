@@ -105,6 +105,46 @@ def make_word_shingle_udf(n_tokens: int = 13):
     return word_shingles
 
 
+def make_hit_count_udf(bench_hashes):
+    """Series[array<long>] -> int: per row, how many of its shingle
+    hashes are in the (captured, sorted) benchmark hash set.
+
+    The streaming-side half of decontamination: the benchmark set rides
+    in the UDF closure as one sorted int64 array (eval suites are MBs ->
+    ~10^6-10^7 hashes, well inside task-broadcast territory), and each
+    Arrow batch is counted with one concatenate + searchsorted + reduceat
+    -- no per-row Python, no join, no state."""
+    from pyspark.sql.types import IntegerType
+
+    bs = np.sort(np.asarray(bench_hashes, dtype=np.int64))
+
+    @pandas_udf(IntegerType())
+    def hit_count(arrs: pd.Series) -> pd.Series:
+        n = len(arrs)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        rows = [np.asarray(a, dtype=np.int64) for a in arrs]
+        lens = np.array([len(r) for r in rows], dtype=np.int64)
+        flat = (np.concatenate(rows) if len(rows) else
+                np.empty(0, dtype=np.int64))
+        if len(bs) == 0 or len(flat) == 0:
+            return pd.Series(np.zeros(n, dtype=np.int32))
+        idx = np.searchsorted(bs, flat)
+        hit = (idx < len(bs)) & (bs[np.minimum(idx, len(bs) - 1)] == flat)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        counts = np.zeros(n, dtype=np.int64)
+        # pass only nonzero segment starts: reduceat over a zero-length
+        # segment returns the next element, not 0 (empty rows contribute
+        # no elements, so consecutive nonzero starts still bound exactly
+        # one row's span each)
+        nz = lens > 0
+        if nz.any():
+            counts[nz] = np.add.reduceat(hit.astype(np.int64), starts[nz])
+        return pd.Series(counts.astype(np.int32))
+
+    return hit_count
+
+
 def _shingler(k: int, ngrams: str):
     if ngrams == "char":
         return make_shingle_udf(k)

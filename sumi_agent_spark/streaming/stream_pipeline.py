@@ -123,6 +123,44 @@ def dedup_stream(
             .drop("_fp"))
 
 
+def decontaminate_stream(
+    stream: DataFrame,
+    benchmark_df: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 13,
+    min_hits: int = 1,
+    ngrams: str = "char",
+) -> DataFrame:
+    """Drop stream rows that share >= ``min_hits`` exact k-gram shingles
+    with a STATIC benchmark set (operators/decontaminate.py semantics,
+    online).
+
+    The contamination check is per-row independent, so streaming needs no
+    state at all: the benchmark shingle-hash set is computed ONCE at
+    query-definition time (eval suites are MBs -> ~10^6-10^7 hashes; a
+    bounded driver materialization, same size class as a broadcast) and
+    rides sorted inside the count UDF's closure
+    (``decontaminate.make_hit_count_udf``), so each micro-batch pays one
+    Arrow shingle pass + one vectorized searchsorted -- no join, no
+    watermark, no state store, drop decisions identical to the batch
+    gate (same shingle machinery, same hash family).  Emission is
+    immediate.  ``benchmark_df`` must be a BATCH DataFrame; re-create
+    the query to pick up a benchmark update."""
+    from ..operators.decontaminate import (
+        _shingler, benchmark_shingle_set, make_hit_count_udf)
+
+    bench_hashes = [r["s"] for r in
+                    benchmark_shingle_set(benchmark_df, bench_text_col,
+                                          k, ngrams).collect()]
+    sh = _shingler(k, ngrams)
+    hits = make_hit_count_udf(bench_hashes)
+    return (stream
+            .withColumn("_n_hits", hits(sh(F.col(text_col))))
+            .filter(F.col("_n_hits") < F.lit(int(min_hits)))
+            .drop("_n_hits"))
+
+
 def windowed_conversation_counts(
     scrubbed: DataFrame,
     watermark: str = "10 minutes",

@@ -319,3 +319,80 @@ def test_stream_dedup_simhash(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="fingerprint"):
         dedup_stream(stream, fingerprint="minhash")
+
+
+def test_stream_decontaminate(spark, tmp_path):
+    """Streaming decontamination drops exactly the rows the batch gate
+    would: benchmark-quoting rows die, paraphrases and NULLs pass, with
+    no stateful operator (immediate emission) in the chain."""
+    import datetime
+
+    from sumi_agent_spark.operators.decontaminate import flag_benchmark_overlap
+    from sumi_agent_spark.streaming.stream_pipeline import (
+        TRANSCRIPT_SCHEMA, decontaminate_stream, read_transcript_stream)
+
+    bench_text = ("the quick brown fox jumps over the lazy dog by the "
+                  "river bank today")
+    bench = spark.createDataFrame([(0, bench_text)],
+                                  "bench_id long, text string")
+    ts = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "as quoted: " + bench_text + " end", "", ts),
+        ("c1", 1, "user", "a fast auburn fox leapt across one sleepy "
+                          "canine near that stream's edge", "", ts),
+        ("c2", 0, "user", None, "", ts),
+        ("c2", 1, "user", bench_text[10:40] + " padded with other words "
+                          "to make a full turn", "", ts),  # partial quote
+    ]
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(in_dir)
+
+    stream = read_transcript_stream(spark, in_dir)
+    q = (decontaminate_stream(stream, bench).writeStream
+         .format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    keys = set(zip(got["conv_id"], got["turn_idx"]))
+    assert keys == {("c1", 1), ("c2", 0)}  # quote + partial quote dropped
+
+    # batch-parity: same rows flagged by the batch operator
+    batch = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA) \
+        .withColumn("_k", __import__("pyspark").sql.functions.struct(
+            "conv_id", "turn_idx"))
+    flags = flag_benchmark_overlap(batch, "_k", "text", bench) \
+        .toPandas()
+    flagged = {(r["_k"]["conv_id"], r["_k"]["turn_idx"])
+               for _, r in flags.iterrows() if r["contaminated"]}
+    assert flagged == {("c1", 0), ("c2", 1)}
+
+
+def test_stream_decontaminate_word_mode(spark, tmp_path):
+    """Word-n-gram unit works online too (same closure-captured set)."""
+    import datetime
+
+    from sumi_agent_spark.streaming.stream_pipeline import (
+        TRANSCRIPT_SCHEMA, decontaminate_stream, read_transcript_stream)
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "bench_id long, text string")
+    ts = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "intro alpha  beta\tgamma delta\nepsilon zeta "
+                          "eta theta outro", "", ts),      # ws-mangled quote
+        ("c1", 1, "user", "theta eta zeta epsilon delta gamma beta alpha",
+         "", ts),                                          # reordered
+    ]
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(in_dir)
+    stream = read_transcript_stream(spark, in_dir)
+    q = (decontaminate_stream(stream, bench, k=8, ngrams="word")
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert set(zip(got["conv_id"], got["turn_idx"])) == {("c1", 1)}
