@@ -46,14 +46,15 @@ def cpu_probe() -> float:
     n = 2_000_000
     best = float("inf")
     for _ in range(3):
-        x, t0 = 1.0, time.perf_counter()
-        for _ in range(n):
-            x = x * 1.0000001 + 1e-9
+        t0 = time.perf_counter()
+        _probe_work(n)
         best = min(best, time.perf_counter() - t0)
     return round(n / best / 1e6, 1)
 
 
 def _probe_work(n: int) -> float:
+    """The shared probe workload -- ONE definition, so the single-thread
+    and multi-process canaries always measure the same arithmetic."""
     x = 1.0
     for _ in range(n):
         x = x * 1.0000001 + 1e-9
@@ -61,21 +62,26 @@ def _probe_work(n: int) -> float:
 
 
 def cpu_probe_mp(procs: int = 8) -> float:
-    """Aggregate Mops across ``procs`` simultaneous worker processes.
+    """Aggregate Mops across ``procs`` simultaneous worker processes
+    (best of 2, pool warmed untimed -- pool spawn/teardown costs ~0.1 s,
+    comparable to the probe work itself, and would understate the number
+    ~2x if timed).
 
-    The single-thread probe misses WHOLE-HOST pressure: two r5 bench
-    runs measured 69.5 s vs 85.8 s suites with near-identical
-    single-thread probes (~25 Mops both) -- another tenant was using
-    many cores, not slowing any one core.  Spark's 32 parallel workers
-    feel exactly that kind of contention, so the JSON carries both
-    probes; read a suite swing against whichever one moved."""
+    The single-thread probe misses WHOLE-HOST pressure: another tenant
+    using many cores slows Spark's 32 parallel workers without slowing
+    any one core.  The JSON carries both probes; read a suite swing
+    against whichever one moved."""
     import concurrent.futures as cf
 
     n = 2_000_000
-    t0 = time.perf_counter()
     with cf.ProcessPoolExecutor(max_workers=procs) as ex:
-        list(ex.map(_probe_work, [n] * procs))
-    return round(procs * n / (time.perf_counter() - t0) / 1e6, 1)
+        list(ex.map(_probe_work, [10_000] * procs))  # warm: spawn + import
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            list(ex.map(_probe_work, [n] * procs))
+            best = min(best, time.perf_counter() - t0)
+    return round(procs * n / best / 1e6, 1)
 
 
 def ensure_fixture(variant_level: int = 1) -> str:

@@ -52,15 +52,26 @@ from .dedup import make_shingle_udf
 # the two sides on Japanese text
 _WS_SPLIT = re.compile(r"[ \t\n\r\f\v]+")
 _HASH_BASE = np.uint64(1000003)
+# stand-in hashed for a zero-token text's empty window.  NOT a bare
+# control char: windows are space-joined tokens and a token CAN be a
+# single "\x1f", which would hash-collide with the empty window and
+# falsely flag such a doc against an empty benchmark row (and silently
+# break DuckDB-twin parity, where '' != '\x1f').  A token equal to this
+# exact multi-char string is possible in principle (tokens just exclude
+# whitespace) but is the same likelihood class as a 64-bit hash
+# collision, which the operator already accepts.
+_EMPTY_WINDOW_SENTINEL = "\x00<empty-window>\x00"
 
 
 def _hash_windows(flat: list[str]) -> np.ndarray:
     """Vectorized polynomial hash (mod 2^64) of each string in ``flat``.
 
     One utf-32 encode of the concatenation + one ``add.reduceat``; empty
-    strings are sentinel-padded first (a zero-length reduceat segment
+    strings are sentinel-replaced first (a zero-length reduceat segment
     would return the NEXT segment's first element, not 0)."""
-    flat = [w if w else "\x1f" for w in flat]
+    if not flat:
+        return np.empty(0, dtype=np.uint64)
+    flat = [w if w else _EMPTY_WINDOW_SENTINEL for w in flat]
     joined = "".join(flat)
     cps = np.frombuffer(joined.encode("utf-32-le"),
                         dtype=np.uint32).astype(np.uint64)
@@ -85,6 +96,8 @@ def make_word_shingle_udf(n_tokens: int = 13):
 
     @pandas_udf(ArrayType(LongType()))
     def word_shingles(texts: pd.Series) -> pd.Series:
+        if len(texts) == 0:  # empty Arrow batch (empty partition/stream)
+            return pd.Series([], dtype=object)
         windows_per_row: list[list[str]] = []
         for t in texts.fillna(""):
             toks = [x for x in _WS_SPLIT.split(t) if x]

@@ -772,7 +772,12 @@ def run_pipeline(
     eval-contamination gate; the drop count + parameters land in the
     ``_lineage_decontam`` sidecar.  Per-row-independent like the toxicity
     gate, so it composes with resume/dedup in any order without changing
-    winner sets.
+    winner sets.  Lineage sidecar schemas are ADDITIVE across releases
+    (e.g. r5 added ``ngrams`` to ``_lineage_decontam``): an output
+    directory resumed across an upgrade can hold lineage files with and
+    without a new column, so audits should read sidecars with
+    ``option("mergeSchema", "true")`` -- plain reads infer the schema
+    from an arbitrary file.
 
     Retention guards (reference accept/reject ratios,
     RedactPro.tsx:1337-1349,1390-1398): input rows and masked non-empty

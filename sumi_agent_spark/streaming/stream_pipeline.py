@@ -150,9 +150,11 @@ def decontaminate_stream(
     from ..operators.decontaminate import (
         _shingler, benchmark_shingle_set, make_hit_count_udf)
 
-    bench_hashes = [r["s"] for r in
-                    benchmark_shingle_set(benchmark_df, bench_text_col,
-                                          k, ngrams).collect()]
+    # Arrow-path fetch: ~8 B per hash end to end.  A Row-object collect()
+    # would build 10^6-10^7 Python objects (GBs of driver heap) at the
+    # benchmark sizes the docstring advertises.
+    bench_hashes = benchmark_shingle_set(
+        benchmark_df, bench_text_col, k, ngrams).toPandas()["s"].to_numpy()
     sh = _shingler(k, ngrams)
     hits = make_hit_count_udf(bench_hashes)
     return (stream
