@@ -712,6 +712,25 @@ def _q_decontam_word_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "contaminated")
 
 
+def _q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, benchmark-row) contamination attribution
+    (operators/decontaminate.py::benchmark_overlap_report): same
+    benchmark construction as ``decontam_overlap`` (80-char prefixes of
+    every 20th doc, char 20-grams) but keyed by the benchmark row's
+    source id, so the output names WHICH eval row leaked into which doc
+    with exact shared-gram counts.  Fully live DuckDB twin."""
+    from sumi_agent_spark.operators.decontaminate import (
+        benchmark_overlap_report)
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 20)
+    bench = (docs.filter(F.col("doc_id") % 20 == 0)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.substring("text", 1, 80).alias("text")))
+    return benchmark_overlap_report(
+        docs, "doc_id", "text", bench, "bench_id", k=20) \
+        .select("doc_id", "bench_id",
+                F.col("n_hits").cast("long").alias("n_hits"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_hash": _q_normalize_hash,
@@ -739,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_incremental_near_dup": _q_emb_incremental_near_dup,
         "decontam_overlap": _q_decontam_overlap,
         "decontam_word_overlap": _q_decontam_word_overlap,
+        "decontam_report": _q_decontam_report,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_stats": _q_winnow_stats,
         "scrub_docs": _q_scrub_docs,
@@ -1161,6 +1181,28 @@ def oracle_sql() -> dict[str, str]:
                      AS n_bench_hits,
                    len(list_intersect(s, bl.gs)) >= 1 AS contaminated
             FROM dg, bl
+        """,
+        "decontam_report": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+            bg AS (
+              SELECT DISTINCT bench_id, g
+              FROM (SELECT doc_id AS bench_id,
+                           unnest(list_transform(
+                             range(1, length(btext) - 18),
+                             i -> substr(btext, i, 20))) AS g
+                    FROM (SELECT doc_id, substr(text, 1, 80) AS btext
+                          FROM corpus WHERE doc_id % 20 = 0))),
+            dg AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, length(text) - 18),
+                       i -> substr(text, i, 20)))) AS g
+              FROM corpus)
+            SELECT dg.doc_id, bg.bench_id,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM dg JOIN bg USING (g)
+            GROUP BY dg.doc_id, bg.bench_id
+            HAVING count(*) >= 1
         """,
         "decontam_word_overlap": r"""
             WITH corpus AS (

@@ -228,6 +228,48 @@ def flag_benchmark_overlap(
             .withColumnRenamed("_doc_id", id_col))
 
 
+def benchmark_overlap_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark_df: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str | None = None,
+    k: int = 13,
+    min_hits: int = 1,
+    broadcast: bool = True,
+    ngrams: str = "char",
+) -> DataFrame:
+    """Per-(doc, benchmark-row) attribution: WHICH eval doc leaked where.
+
+    Returns ``(<id_col>, <bench_id_col>, n_hits)`` for every pair with
+    ``n_hits >= min_hits`` shared distinct k-grams -- the audit view
+    behind :func:`flag_benchmark_overlap`'s yes/no verdict (a flag
+    without attribution cannot tell "GSM8K leaked" from "MMLU leaked",
+    which decides what gets re-crawled vs re-split).  Same plan shape as
+    the flag: the benchmark side keeps its row ids but still collapses
+    to (bench_id, shingle) rows and broadcasts; the corpus-side explode
+    probes map-side and the only shuffle carries actual hits, which are
+    rare by construction."""
+    sh_b = _shingler(k, ngrams)
+    bench = (benchmark_df
+             .select(F.col(bench_id_col).alias("_bid"),
+                     F.explode(sh_b(F.col(bench_text_col or text_col)))
+                      .alias("s"))
+             .distinct())
+    if broadcast:
+        bench = F.broadcast(bench)
+    sh = _shingler(k, ngrams)
+    exploded = df.select(F.col(id_col).alias("_doc_id"),
+                         F.explode(sh(F.col(text_col))).alias("s"))
+    return (exploded.join(bench, "s")
+            .groupBy("_doc_id", "_bid")
+            .agg(F.count("*").cast("long").alias("n_hits"))
+            .filter(F.col("n_hits") >= F.lit(int(min_hits)))
+            .withColumnRenamed("_doc_id", id_col)
+            .withColumnRenamed("_bid", bench_id_col))
+
+
 def contaminated_keys(
     df: DataFrame,
     id_col: str,

@@ -721,6 +721,7 @@ def run_pipeline(
     decontam_k: int = 13,
     decontam_min_hits: int = 1,
     decontam_ngrams: str = "char",
+    decontam_scope: str = "turn",
     min_line_ratio: float = 0.5,
     scrub_transform=scrub_transcripts,
     **scrub_kwargs,
@@ -772,7 +773,11 @@ def run_pipeline(
     eval-contamination gate; the drop count + parameters land in the
     ``_lineage_decontam`` sidecar.  Per-row-independent like the toxicity
     gate, so it composes with resume/dedup in any order without changing
-    winner sets.  Lineage sidecar schemas are ADDITIVE across releases
+    winner sets; ``decontam_scope="conversation"`` widens the drop from
+    the flagged turn to its whole conversation (one quoted eval question
+    makes the surrounding dialog eval-correlated -- the document-level
+    rule most pipelines apply; the lineage ``n_dropped`` then counts
+    conversations).  Lineage sidecar schemas are ADDITIVE across releases
     (e.g. r5 added ``ngrams`` to ``_lineage_decontam``): an output
     directory resumed across an upgrade can hold lineage files with and
     without a new column, so audits should read sidecars with
@@ -845,20 +850,37 @@ def run_pipeline(
         # lineage, then one anti-join -- the same drop-set pattern as
         # near-dedup.  Runs before the toxicity filter so contaminated
         # turns never pay the toxicity regex either.
+        if decontam_scope not in ("turn", "conversation"):
+            raise ValueError(
+                f"decontam_scope must be 'turn' or 'conversation', "
+                f"got {decontam_scope!r}")
         from ..operators.decontaminate import contaminated_keys
         bench_df = spark.read.parquet(decontaminate_against)
         keyed = df.withColumn("_ck", F.struct("conv_id", "turn_idx"))
-        dc_drops = contaminated_keys(
+        flagged = contaminated_keys(
             keyed, "_ck", "text", bench_df,
             bench_text_col=decontam_text_col,
             k=int(decontam_k), min_hits=int(decontam_min_hits),
             ngrams=decontam_ngrams)
-        dc_drops.persist()
-        n_contam = dc_drops.count()  # pins the drop set for the write pass
-        df = keyed.join(dc_drops, "_ck", "left_anti").drop("_ck")
+        if decontam_scope == "conversation":
+            # one contaminated turn poisons the whole conversation (a
+            # quoted eval question makes the surrounding dialog eval-
+            # correlated too -- the standard document-level drop rule);
+            # n_dropped then counts CONVERSATIONS, cheap by construction
+            # (no extra full-input scan for a turn recount)
+            dc_drops = flagged.select(F.col("_ck.conv_id").alias(
+                "conv_id")).distinct()
+            dc_drops.persist()
+            n_contam = dc_drops.count()
+            df = keyed.drop("_ck").join(dc_drops, "conv_id", "left_anti")
+        else:
+            dc_drops = flagged
+            dc_drops.persist()
+            n_contam = dc_drops.count()  # pins the drop set for the write
+            df = keyed.join(dc_drops, "_ck", "left_anti").drop("_ck")
         dc_row = {"stage": "decontaminate", "n_dropped": n_contam,
                   "k": int(decontam_k), "min_hits": int(decontam_min_hits),
-                  "ngrams": decontam_ngrams,
+                  "ngrams": decontam_ngrams, "scope": decontam_scope,
                   "benchmark_path": decontaminate_against}
         spark.createDataFrame([dc_row]).write.mode("append").parquet(
             f"{output_path}/_lineage_decontam")
@@ -1096,6 +1118,10 @@ def add_pipeline_args(ap) -> None:
                     choices=("char", "word"),
                     help="k-gram unit: chars (default; right for ja) or "
                     "whitespace tokens (GPT-3-style word n-grams)")
+    ap.add_argument("--decontam-scope", default="turn",
+                    choices=("turn", "conversation"),
+                    help="drop granularity: the flagged turn (default) or "
+                    "its whole conversation (document-level rule)")
 
 
 def pipeline_kwargs(args) -> dict:
@@ -1117,6 +1143,7 @@ def pipeline_kwargs(args) -> dict:
         decontam_k=args.decontam_k,
         decontam_min_hits=args.decontam_min_hits,
         decontam_ngrams=args.decontam_ngrams,
+        decontam_scope=args.decontam_scope,
     )
 
 

@@ -334,3 +334,65 @@ def test_randomized_corpus_parity_both_modes(spark):
         assert int(out_w.loc[doc_id, "n_shingles"]) == len(gw), doc_id
         assert int(out_w.loc[doc_id, "n_bench_hits"]) == \
             len(gw & bench_word), doc_id
+
+
+def test_overlap_report_attribution(spark):
+    """benchmark_overlap_report names WHICH benchmark row leaked into
+    which doc, with brute-force-exact per-pair hit counts."""
+    from sumi_agent_spark.operators.decontaminate import (
+        benchmark_overlap_report)
+
+    k = 13
+    both = DOCS[0][1] + " and also " + BENCH[1][1]  # quotes BOTH rows
+    docs = spark.createDataFrame(DOCS + [(14, both)],
+                                 "doc_id long, text string")
+    rep = benchmark_overlap_report(
+        docs, "doc_id", "text", _bench_df(spark), "bench_id", k=k) \
+        .toPandas()
+    got = {(int(r.doc_id), int(r.bench_id)): int(r.n_hits)
+           for r in rep.itertuples()}
+    bench_grams = {bid: _grams(t, k) for bid, t in BENCH}
+    want = {}
+    for doc_id, text in DOCS + [(14, both)]:
+        g = _grams(text, k)
+        for bid in (0, 1):
+            n = len(g & bench_grams[bid])
+            if n >= 1:
+                want[(doc_id, bid)] = n
+    assert got == want
+    assert (14, 0) in got and (14, 1) in got   # both sources attributed
+    assert (11, 0) not in got                  # paraphrase absent
+
+
+def test_pipeline_decontam_conversation_scope(spark, tmp_path):
+    """scope="conversation": one contaminated turn drops its whole
+    conversation; the lineage count is conversations, not turns."""
+    from sumi_agent_spark.plans.pipeline import run_pipeline
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", DOCS[0][1], "", ts),   # contaminated turn
+        ("c1", 1, "user", DOCS[1][1], "", ts),   # clean sibling -> dropped
+        ("c2", 0, "user", DOCS[2][1], "", ts),   # clean conv survives
+    ]
+    inp = str(tmp_path / "dcs_in.parquet")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").write.parquet(inp)
+    bench_path = str(tmp_path / "bench.parquet")
+    _bench_df(spark).write.parquet(bench_path)
+    out = str(tmp_path / "dcs_out")
+    stats = run_pipeline(spark, inp, out,
+                         decontaminate_against=bench_path,
+                         decontam_scope="conversation")
+    got = spark.read.parquet(out).toPandas()
+    assert set(got["conv_id"]) == {"c2"}
+    assert stats["n_contaminated_dropped"] == 1  # ONE conversation
+    side = spark.read.parquet(out + "/_lineage_decontam").toPandas()
+    assert side.iloc[0]["scope"] == "conversation"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="decontam_scope"):
+        run_pipeline(spark, inp, str(tmp_path / "bad"),
+                     decontaminate_against=bench_path,
+                     decontam_scope="document")
