@@ -728,7 +728,11 @@ def _q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_overlap_report(
         docs, "doc_id", "text", bench, "bench_id", k=20) \
         .select("doc_id", "bench_id",
-                F.col("n_hits").cast("long").alias("n_hits"))
+                F.col("n_hits").cast("long").alias("n_hits"),
+                # PaLM-style containment as exact integer ppm (floor on
+                # both sides -- F.round/DuckDB round half-cases differ)
+                F.floor(F.col("n_hits") * 1e6 / F.col("n_bench_shingles"))
+                 .cast("long").alias("containment_ppm"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1193,14 +1197,19 @@ def oracle_sql() -> dict[str, str]:
                              i -> substr(btext, i, 20))) AS g
                     FROM (SELECT doc_id, substr(text, 1, 80) AS btext
                           FROM corpus WHERE doc_id % 20 = 0))),
+            nb AS (
+              SELECT bench_id, count(*) AS n_bench FROM bg
+              GROUP BY bench_id),
             dg AS (
               SELECT doc_id, unnest(list_distinct(list_transform(
                        range(1, length(text) - 18),
                        i -> substr(text, i, 20)))) AS g
               FROM corpus)
             SELECT dg.doc_id, bg.bench_id,
-                   CAST(count(*) AS BIGINT) AS n_hits
-            FROM dg JOIN bg USING (g)
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(floor(count(*) * 1000000.0 / any_value(nb.n_bench))
+                        AS BIGINT) AS containment_ppm
+            FROM dg JOIN bg USING (g) JOIN nb USING (bench_id)
             GROUP BY dg.doc_id, bg.bench_id
             HAVING count(*) >= 1
         """,

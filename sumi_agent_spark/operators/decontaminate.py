@@ -239,34 +239,53 @@ def benchmark_overlap_report(
     min_hits: int = 1,
     broadcast: bool = True,
     ngrams: str = "char",
+    min_containment: float | None = None,
 ) -> DataFrame:
     """Per-(doc, benchmark-row) attribution: WHICH eval doc leaked where.
 
-    Returns ``(<id_col>, <bench_id_col>, n_hits)`` for every pair with
-    ``n_hits >= min_hits`` shared distinct k-grams -- the audit view
-    behind :func:`flag_benchmark_overlap`'s yes/no verdict (a flag
-    without attribution cannot tell "GSM8K leaked" from "MMLU leaked",
-    which decides what gets re-crawled vs re-split).  Same plan shape as
-    the flag: the benchmark side keeps its row ids but still collapses
-    to (bench_id, shingle) rows and broadcasts; the corpus-side explode
-    probes map-side and the only shuffle carries actual hits, which are
-    rare by construction."""
+    Returns ``(<id_col>, <bench_id_col>, n_hits, n_bench_shingles,
+    containment)`` for every pair with ``n_hits >= min_hits`` shared
+    distinct k-grams -- the audit view behind
+    :func:`flag_benchmark_overlap`'s yes/no verdict (a flag without
+    attribution cannot tell "GSM8K leaked" from "MMLU leaked", which
+    decides what gets re-crawled vs re-split).  ``containment`` is
+    ``n_hits / n_bench_shingles`` -- how much of THAT eval row's k-gram
+    set appears in the doc, the PaLM-style decontamination statistic
+    (asymmetric on purpose: a long training doc quoting a whole short
+    eval question scores 1.0 regardless of how much other text it has);
+    ``min_containment`` (e.g. 0.7) additionally filters on it.  Same
+    plan shape as the flag: the benchmark side keeps its row ids but
+    still collapses to (bench_id, shingle) rows and broadcasts (its
+    per-row gram counts ride the same broadcast); the corpus-side
+    explode probes map-side and the only shuffle carries actual hits,
+    which are rare by construction."""
     sh_b = _shingler(k, ngrams)
     bench = (benchmark_df
              .select(F.col(bench_id_col).alias("_bid"),
                      F.explode(sh_b(F.col(bench_text_col or text_col)))
                       .alias("s"))
              .distinct())
+    from pyspark.sql.window import Window
+    # per-bench-row distinct gram count, computed on the (small) bench
+    # side before the broadcast -- never a second corpus pass
+    bench = bench.withColumn(
+        "_nb", F.count("*").over(Window.partitionBy("_bid")))
     if broadcast:
         bench = F.broadcast(bench)
     sh = _shingler(k, ngrams)
     exploded = df.select(F.col(id_col).alias("_doc_id"),
                          F.explode(sh(F.col(text_col))).alias("s"))
-    return (exploded.join(bench, "s")
-            .groupBy("_doc_id", "_bid")
-            .agg(F.count("*").cast("long").alias("n_hits"))
-            .filter(F.col("n_hits") >= F.lit(int(min_hits)))
-            .withColumnRenamed("_doc_id", id_col)
+    out = (exploded.join(bench, "s")
+           .groupBy("_doc_id", "_bid")
+           .agg(F.count("*").cast("long").alias("n_hits"),
+                F.first("_nb").cast("long").alias("n_bench_shingles"))
+           .filter(F.col("n_hits") >= F.lit(int(min_hits)))
+           .withColumn("containment",
+                       F.col("n_hits") / F.col("n_bench_shingles")))
+    if min_containment is not None:
+        out = out.filter(F.col("containment")
+                         >= F.lit(float(min_containment)))
+    return (out.withColumnRenamed("_doc_id", id_col)
             .withColumnRenamed("_bid", bench_id_col))
 
 

@@ -363,6 +363,26 @@ def test_overlap_report_attribution(spark):
     assert (14, 0) in got and (14, 1) in got   # both sources attributed
     assert (11, 0) not in got                  # paraphrase absent
 
+    # containment = n_hits / that bench row's distinct gram count
+    # (PaLM-style, asymmetric): doc 14 quotes row 1 in FULL -> 1.0
+    cont = {(int(r.doc_id), int(r.bench_id)):
+            (float(r.containment), int(r.n_bench_shingles))
+            for r in rep.itertuples()}
+    for (doc_id, bid), n in want.items():
+        c, nb = cont[(doc_id, bid)]
+        assert nb == len(bench_grams[bid])
+        assert abs(c - n / nb) < 1e-12
+    assert cont[(14, 1)][0] == 1.0
+
+    # min_containment filters pairs below the ratio
+    full_only = benchmark_overlap_report(
+        docs, "doc_id", "text", _bench_df(spark), "bench_id", k=k,
+        min_containment=0.99).toPandas()
+    kept = {(int(r.doc_id), int(r.bench_id))
+            for r in full_only.itertuples()}
+    assert kept == {p for p, (c, _) in cont.items() if c >= 0.99}
+    assert (14, 1) in kept
+
 
 def test_pipeline_decontam_conversation_scope(spark, tmp_path):
     """scope="conversation": one contaminated turn drops its whole
