@@ -722,6 +722,7 @@ def run_pipeline(
     decontam_min_hits: int = 1,
     decontam_ngrams: str = "char",
     decontam_scope: str = "turn",
+    decontam_min_containment: Optional[float] = None,
     min_line_ratio: float = 0.5,
     scrub_transform=scrub_transcripts,
     **scrub_kwargs,
@@ -777,7 +778,12 @@ def run_pipeline(
     the flagged turn to its whole conversation (one quoted eval question
     makes the surrounding dialog eval-correlated -- the document-level
     rule most pipelines apply; the lineage ``n_dropped`` then counts
-    conversations).  Lineage sidecar schemas are ADDITIVE across releases
+    conversations).  ``decontam_min_containment`` (e.g. 0.7) switches
+    the flag rule from global-set hit counting to per-benchmark-row
+    containment (:func:`operators.decontaminate.benchmark_overlap_report`):
+    a turn is contaminated when >= that fraction of any SINGLE eval
+    row's distinct k-grams appear in it, with ``decontam_min_hits`` as
+    an absolute floor.  Lineage sidecar schemas are ADDITIVE across releases
     (e.g. r5 added ``ngrams`` to ``_lineage_decontam``): an output
     directory resumed across an upgrade can hold lineage files with and
     without a new column, so audits should read sidecars with
@@ -854,14 +860,38 @@ def run_pipeline(
             raise ValueError(
                 f"decontam_scope must be 'turn' or 'conversation', "
                 f"got {decontam_scope!r}")
-        from ..operators.decontaminate import contaminated_keys
+        from ..operators.decontaminate import (
+            benchmark_overlap_report, contaminated_keys)
         bench_df = spark.read.parquet(decontaminate_against)
         keyed = df.withColumn("_ck", F.struct("conv_id", "turn_idx"))
-        flagged = contaminated_keys(
-            keyed, "_ck", "text", bench_df,
-            bench_text_col=decontam_text_col,
-            k=int(decontam_k), min_hits=int(decontam_min_hits),
-            ngrams=decontam_ngrams)
+        if decontam_min_containment is not None:
+            # PaLM-style rule: flag a turn when >= this fraction of ANY
+            # single benchmark row's distinct k-grams appear in it --
+            # per-row containment needs the attribution report, not the
+            # global-set hit count (a turn grazing 1 gram from each of
+            # 1000 eval rows is noise; 70% of one row is a quote).
+            # min_hits still applies as a floor (tiny eval rows would
+            # otherwise hit 100% containment on one shared gram).  The
+            # benchmark row id is derived from the row's TEXT (md5):
+            # deterministic under retries, and duplicate benchmark texts
+            # collapsing into one id is exactly right -- their gram sets
+            # are identical.
+            bench_ided = bench_df.withColumn(
+                "_bid", F.md5(F.coalesce(F.col(decontam_text_col),
+                                         F.lit(""))))
+            rep = benchmark_overlap_report(
+                keyed, "_ck", "text", bench_ided, "_bid",
+                bench_text_col=decontam_text_col,
+                k=int(decontam_k), min_hits=int(decontam_min_hits),
+                ngrams=decontam_ngrams,
+                min_containment=float(decontam_min_containment))
+            flagged = rep.select("_ck").distinct()
+        else:
+            flagged = contaminated_keys(
+                keyed, "_ck", "text", bench_df,
+                bench_text_col=decontam_text_col,
+                k=int(decontam_k), min_hits=int(decontam_min_hits),
+                ngrams=decontam_ngrams)
         if decontam_scope == "conversation":
             # one contaminated turn poisons the whole conversation (a
             # quoted eval question makes the surrounding dialog eval-
@@ -881,9 +911,18 @@ def run_pipeline(
         dc_row = {"stage": "decontaminate", "n_dropped": n_contam,
                   "k": int(decontam_k), "min_hits": int(decontam_min_hits),
                   "ngrams": decontam_ngrams, "scope": decontam_scope,
+                  "min_containment": (float(decontam_min_containment)
+                                      if decontam_min_containment
+                                      is not None else None),
                   "benchmark_path": decontaminate_against}
-        spark.createDataFrame([dc_row]).write.mode("append").parquet(
-            f"{output_path}/_lineage_decontam")
+        # explicit schema: min_containment is NULL when the hit-count
+        # rule is active, and inference cannot type an all-None field
+        spark.createDataFrame(
+            [dc_row],
+            schema="stage string, n_dropped long, k long, min_hits long, "
+                   "ngrams string, scope string, min_containment double, "
+                   "benchmark_path string",
+        ).write.mode("append").parquet(f"{output_path}/_lineage_decontam")
     if drop_toxic_above is not None:
         from ..operators.toxicity import toxicity_score_col
         df = df.filter(toxicity_score_col(F.col("text"))
@@ -1122,6 +1161,10 @@ def add_pipeline_args(ap) -> None:
                     choices=("turn", "conversation"),
                     help="drop granularity: the flagged turn (default) or "
                     "its whole conversation (document-level rule)")
+    ap.add_argument("--decontam-min-containment", type=float, default=None,
+                    metavar="C", help="PaLM-style rule: flag when >= C of "
+                    "any single benchmark row's distinct k-grams appear "
+                    "in the turn (default: off = global-set min-hits rule)")
 
 
 def pipeline_kwargs(args) -> dict:
@@ -1144,6 +1187,7 @@ def pipeline_kwargs(args) -> dict:
         decontam_min_hits=args.decontam_min_hits,
         decontam_ngrams=args.decontam_ngrams,
         decontam_scope=args.decontam_scope,
+        decontam_min_containment=args.decontam_min_containment,
     )
 
 

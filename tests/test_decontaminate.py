@@ -416,3 +416,42 @@ def test_pipeline_decontam_conversation_scope(spark, tmp_path):
         run_pipeline(spark, inp, str(tmp_path / "bad"),
                      decontaminate_against=bench_path,
                      decontam_scope="document")
+
+
+def test_pipeline_decontam_min_containment(spark, tmp_path):
+    """The PaLM-style per-benchmark-row containment rule: a turn grazing
+    a couple of grams survives a high containment bar that the
+    global-hit-count rule would have dropped it under; a full quote
+    (containment 1.0) always drops."""
+    from sumi_agent_spark.plans.pipeline import run_pipeline
+
+    ts = datetime.datetime(2025, 1, 1)
+    graze = BENCH[0][1][:16] + " then totally different material follows here"
+    rows = [
+        ("c1", 0, "user", "verbatim: " + BENCH[1][1], "", ts),  # full quote
+        ("c1", 1, "user", graze, "", ts),                       # 16-char graze
+        ("c2", 0, "user", DOCS[1][1], "", ts),                  # clean
+    ]
+    inp = str(tmp_path / "mc_in.parquet")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").write.parquet(inp)
+    bench_path = str(tmp_path / "bench.parquet")
+    _bench_df(spark).write.parquet(bench_path)
+
+    # hit-count rule at min_hits=1: the graze drops too
+    out_h = str(tmp_path / "mc_out_hits")
+    s_h = run_pipeline(spark, inp, out_h, decontaminate_against=bench_path)
+    assert s_h["n_contaminated_dropped"] == 2
+
+    # containment rule at 0.9: only the full quote drops
+    out_c = str(tmp_path / "mc_out_cont")
+    s_c = run_pipeline(spark, inp, out_c,
+                       decontaminate_against=bench_path,
+                       decontam_min_containment=0.9)
+    got = set(zip(spark.read.parquet(out_c).toPandas()["conv_id"],
+                  spark.read.parquet(out_c).toPandas()["turn_idx"]))
+    assert got == {("c1", 1), ("c2", 0)}
+    assert s_c["n_contaminated_dropped"] == 1
+    side = spark.read.parquet(out_c + "/_lineage_decontam").toPandas()
+    assert abs(float(side.iloc[0]["min_containment"]) - 0.9) < 1e-12
