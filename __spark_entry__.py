@@ -735,6 +735,31 @@ def _q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("containment_ppm"))
 
 
+def _q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold sampling
+    (operators/sampling.py::deterministic_sample): keep ~25% of
+    ``documents`` by md5(doc_id, seed) -- membership is a pure function
+    of the key, so the DuckDB twin recomputes the exact member set from
+    the same rule (the threshold string is interpolated from the SAME
+    shared function, never hand-copied).  Zero-shuffle plan (one
+    filter), asserted in tests/test_sampling.py."""
+    from sumi_agent_spark.operators.sampling import deterministic_sample
+    docs = _t(spark, sf_dir, "documents")
+    return (deterministic_sample(docs, ["doc_id"], 0.25, seed=7)
+            .select("doc_id"))
+
+
+def _q_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling
+    (operators/sampling.py::stratified_sample_n): exactly 3 docs per
+    ``lang`` stratum, ranked by the same md5 selection hash -- the
+    balanced-mix primitive, fully SQL-expressible for the live twin."""
+    from sumi_agent_spark.operators.sampling import stratified_sample_n
+    docs = _t(spark, sf_dir, "documents")
+    return (stratified_sample_n(docs, ["lang"], 3, ["doc_id"])
+            .select("lang", "doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_hash": _q_normalize_hash,
@@ -763,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": _q_decontam_overlap,
         "decontam_word_overlap": _q_decontam_word_overlap,
         "decontam_report": _q_decontam_report,
+        "sample_fraction": _q_sample_fraction,
+        "stratified_topn": _q_stratified_topn,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_stats": _q_winnow_stats,
         "scrub_docs": _q_scrub_docs,
@@ -820,6 +847,28 @@ def _pin_sql(pin: dict) -> str:
     vnames = ", ".join(f"v{i}" for i in range(len(cols)))
     return (f"SELECT {sel} FROM (VALUES {', '.join(rendered)}) "
             f"AS t({vnames})")
+
+
+def _sampling_twin_sqls() -> tuple[str, str]:
+    """DuckDB twins of the sampling queries, built from the SAME shared
+    threshold function / hex-digit constant the Spark side uses."""
+    from sumi_agent_spark.operators.sampling import (
+        _HEX_DIGITS, fraction_threshold)
+    thr = fraction_threshold(0.25)
+    h7 = "md5(CAST(doc_id AS VARCHAR) || chr(31) || '7')"
+    h0 = "md5(CAST(doc_id AS VARCHAR) || chr(31) || '0')"
+    frac = f"""
+        SELECT doc_id FROM documents
+        WHERE substr({h7}, 1, {_HEX_DIGITS}) < '{thr}'
+    """
+    topn = f"""
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang ORDER BY {h0}) AS rk
+          FROM documents)
+        WHERE rk <= 3
+    """
+    return frac, topn
 
 
 def _bpe_re_sql() -> str:
@@ -1162,6 +1211,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "toxicity_score": _toxicity_twin_sql(),
+        "sample_fraction": _sampling_twin_sqls()[0],
+        "stratified_topn": _sampling_twin_sqls()[1],
         "decontam_overlap": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents WHERE length(text) >= 20),
