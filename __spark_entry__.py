@@ -851,12 +851,15 @@ def _pin_sql(pin: dict) -> str:
 
 def _sampling_twin_sqls() -> tuple[str, str]:
     """DuckDB twins of the sampling queries, built from the SAME shared
-    threshold function / hex-digit constant the Spark side uses."""
+    threshold function / hex-digit constant the Spark side uses.  Hash
+    input mirrors ``sampling.sample_hash_col``'s length-prefixed
+    encoding ("{len}:{value}" per key part + "{len}:{seed}")."""
     from sumi_agent_spark.operators.sampling import (
         _HEX_DIGITS, fraction_threshold)
     thr = fraction_threshold(0.25)
-    h7 = "md5(CAST(doc_id AS VARCHAR) || chr(31) || '7')"
-    h0 = "md5(CAST(doc_id AS VARCHAR) || chr(31) || '0')"
+    v = "CAST(doc_id AS VARCHAR)"
+    h7 = f"md5(CONCAT(length({v}), ':', {v}, '1:7'))"
+    h0 = f"md5(CONCAT(length({v}), ':', {v}, '1:0'))"
     frac = f"""
         SELECT doc_id FROM documents
         WHERE substr({h7}, 1, {_HEX_DIGITS}) < '{thr}'
@@ -1044,6 +1047,7 @@ def _load_pins() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    _sample_frac_sql, _sample_topn_sql = _sampling_twin_sqls()
     email = _sq(EMAIL_RE)
     url = _sq(URL_RE)
     fw, hw = _sq(FW_CHARS), _sq(HW_CHARS)
@@ -1211,8 +1215,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "toxicity_score": _toxicity_twin_sql(),
-        "sample_fraction": _sampling_twin_sqls()[0],
-        "stratified_topn": _sampling_twin_sqls()[1],
+        "sample_fraction": _sample_frac_sql,
+        "stratified_topn": _sample_topn_sql,
         "decontam_overlap": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents WHERE length(text) >= 20),

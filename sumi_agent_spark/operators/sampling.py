@@ -41,12 +41,28 @@ _HEX_DIGITS = 28  # threshold resolution; md5 has 32 hex digits total
 
 def sample_hash_col(key_cols: list[str], seed: int = 0) -> F.Column:
     """The selection hash: md5 over the key columns + seed, as lowercase
-    hex.  NULL keys coalesce to a sentinel so NULL-keyed rows sample
-    consistently instead of vanishing (md5(NULL) is NULL and every
-    comparison against it would be NULL-false)."""
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
-             for c in key_cols]
-    return F.md5(F.concat_ws("\x1f", *parts, F.lit(str(int(seed)))))
+    hex.
+
+    The hash input is UNAMBIGUOUS by construction: each part is encoded
+    length-prefixed (``{len}:{value}``; NULL becomes the bare tag
+    ``n:``, which no real value can produce since lengths are digits),
+    so distinct multi-column keys can never concatenate to the same
+    message the way bare-separator joins can (``('x<sep>y', 'z')`` vs
+    ``('x', 'y<sep>z')``), and a literal string equal to a NULL sentinel
+    cannot collide with NULL.  NULL keys therefore sample consistently
+    instead of vanishing (md5(NULL) is NULL and every comparison against
+    it would be NULL-false).  The encoding is plain string arithmetic so
+    any SQL engine reproduces it verbatim (the DuckDB contract twin
+    does)."""
+    encoded = []
+    for c in key_cols:
+        s = F.col(c).cast("string")
+        encoded.append(F.when(s.isNull(), F.lit("n:"))
+                        .otherwise(F.concat(F.length(s).cast("string"),
+                                            F.lit(":"), s)))
+    seed_s = str(int(seed))
+    encoded.append(F.lit(f"{len(seed_s)}:{seed_s}"))
+    return F.md5(F.concat(*encoded))
 
 
 def fraction_threshold(fraction: float) -> str:
@@ -92,9 +108,12 @@ def stratified_sample_n(
 ) -> DataFrame:
     """Exactly ``min(n, stratum_size)`` rows per stratum, deterministic.
 
-    Rows rank inside each stratum by the same md5 selection hash (ties
-    broken by the hash's full 32 digits; identical keys rank adjacently
-    and deterministically).  The balanced-mix primitive: n per language,
+    Rows rank inside each stratum by the same md5 selection hash.
+    ``key_cols`` must uniquely identify rows (the same requirement every
+    keyed operator here has): rows DUPLICATING a key hash identically,
+    and when such a tie straddles the rank-n boundary the choice among
+    the duplicates is partitioning-dependent -- run exact dedup first if
+    the key is not unique.  The balanced-mix primitive: n per language,
     n per source, n per topic bucket.  One window over a hash exchange
     on the strata; for a hot stratum, pre-thin with
     :func:`deterministic_sample` (same seed) first -- hash-prefix top-n

@@ -772,13 +772,20 @@ def run_pipeline(
     ``decontam_min_hits`` exact ``decontam_k``-gram shingles with the
     benchmark set (operators/decontaminate.py) -- the standard
     eval-contamination gate; the drop count + parameters land in the
-    ``_lineage_decontam`` sidecar.  Per-row-independent like the toxicity
-    gate, so it composes with resume/dedup in any order without changing
-    winner sets; ``decontam_scope="conversation"`` widens the drop from
-    the flagged turn to its whole conversation (one quoted eval question
-    makes the surrounding dialog eval-correlated -- the document-level
-    rule most pipelines apply; the lineage ``n_dropped`` then counts
-    conversations).  ``decontam_min_containment`` (e.g. 0.7) switches
+    ``_lineage_decontam`` sidecar.  At the default ``turn`` scope the
+    gate is per-row-independent like the toxicity gate, so it composes
+    with resume/dedup in any order without changing winner sets.
+    ``decontam_scope="conversation"`` widens the drop from the flagged
+    turn to its whole conversation (one quoted eval question makes the
+    surrounding dialog eval-correlated -- the document-level rule most
+    pipelines apply; the lineage ``n_dropped`` then counts
+    conversations) -- and is therefore NOT order-independent: the flag
+    runs on the dedup stages' SURVIVORS, so if near-dedup dropped a
+    conversation's only contaminated turn in favor of a near-copy in
+    another conversation, that conversation's remaining turns are kept.
+    Run decontamination on the raw dump (a separate
+    ``run_pipeline`` pass, or ``flag_benchmark_overlap`` directly) when
+    the stricter pre-dedup document rule is required.  ``decontam_min_containment`` (e.g. 0.7) switches
     the flag rule from global-set hit counting to per-benchmark-row
     containment (:func:`operators.decontaminate.benchmark_overlap_report`):
     a turn is contaminated when >= that fraction of any SINGLE eval
@@ -902,7 +909,16 @@ def run_pipeline(
                 "conv_id")).distinct()
             dc_drops.persist()
             n_contam = dc_drops.count()
-            df = keyed.drop("_ck").join(dc_drops, "conv_id", "left_anti")
+            # NULL-SAFE anti-join: a plain equi-join never matches NULL
+            # keys, so a contaminated turn with conv_id=NULL would pass
+            # straight through the supposedly-stricter conversation
+            # scope (the turn-scope struct join is null-safe for
+            # embedded fields already)
+            base_df = keyed.drop("_ck")
+            dc = dc_drops.withColumnRenamed("conv_id", "_dc_conv")
+            df = base_df.join(
+                dc, base_df["conv_id"].eqNullSafe(dc["_dc_conv"]),
+                "left_anti")
         else:
             dc_drops = flagged
             dc_drops.persist()

@@ -455,3 +455,30 @@ def test_pipeline_decontam_min_containment(spark, tmp_path):
     assert s_c["n_contaminated_dropped"] == 1
     side = spark.read.parquet(out_c + "/_lineage_decontam").toPandas()
     assert abs(float(side.iloc[0]["min_containment"]) - 0.9) < 1e-12
+
+
+def test_pipeline_decontam_conversation_scope_null_conv(spark, tmp_path):
+    """A contaminated turn with conv_id=NULL must still drop under
+    conversation scope (plain equi-anti-joins never match NULL keys;
+    the gate uses a null-safe join)."""
+    from sumi_agent_spark.plans.pipeline import run_pipeline
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        (None, 0, "user", DOCS[0][1], "", ts),   # contaminated, NULL conv
+        (None, 1, "user", DOCS[1][1], "", ts),   # clean sibling of NULL conv
+        ("c2", 0, "user", DOCS[2][1], "", ts),   # clean conv survives
+    ]
+    inp = str(tmp_path / "nc_in.parquet")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").write.parquet(inp)
+    bench_path = str(tmp_path / "bench.parquet")
+    _bench_df(spark).write.parquet(bench_path)
+    out = str(tmp_path / "nc_out")
+    stats = run_pipeline(spark, inp, out,
+                         decontaminate_against=bench_path,
+                         decontam_scope="conversation")
+    got = spark.read.parquet(out).toPandas()
+    assert list(got["conv_id"]) == ["c2"]  # the whole NULL conv dropped
+    assert stats["n_contaminated_dropped"] == 1

@@ -21,7 +21,9 @@ def _keys(df):
 
 
 def _brute_member(key, seed, fraction) -> bool:
-    h = hashlib.md5(f"{key}\x1f{seed}".encode()).hexdigest()
+    ks, ss = str(key), str(seed)
+    msg = f"{len(ks)}:{ks}{len(ss)}:{ss}"
+    h = hashlib.md5(msg.encode()).hexdigest()
     return h[:_HEX_DIGITS] < fraction_threshold(fraction)
 
 
@@ -102,3 +104,18 @@ def test_stratified_composes_with_prefilter(spark, table):
     via = stratified_sample_n(thinned, ["stratum"], 5, ["k"], seed=3)
     # 0.2 of ~1430 rows/stratum ~ 286 >> 5, so equality must hold
     assert _keys(direct) == _keys(via)
+
+
+def test_multicolumn_hash_is_unambiguous(spark):
+    """Length-prefixed encoding: keys that would concatenate identically
+    under a bare separator (and NULL vs any literal sentinel) hash
+    differently."""
+    from sumi_agent_spark.operators.sampling import sample_hash_col
+
+    rows = [("x\x1fy", "z"), ("x", "y\x1fz"),     # bare-\x1f ambiguous pair
+            ("x:y", "z"), ("1:x", "2:z"),          # colon-injection pair
+            (None, "z"), ("n:", "z")]              # NULL vs literal tag
+    df = spark.createDataFrame(rows, "a string, b string")
+    hashes = [r["h"] for r in
+              df.select(sample_hash_col(["a", "b"]).alias("h")).collect()]
+    assert len(set(hashes)) == len(rows)
