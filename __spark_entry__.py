@@ -858,8 +858,13 @@ def _sampling_twin_sqls() -> tuple[str, str]:
         _HEX_DIGITS, fraction_threshold)
     thr = fraction_threshold(0.25)
     v = "CAST(doc_id AS VARCHAR)"
-    h7 = f"md5(CONCAT(length({v}), ':', {v}, '1:7'))"
-    h0 = f"md5(CONCAT(length({v}), ':', {v}, '1:0'))"
+    # NULL branch mirrors sample_hash_col exactly: a NULL key encodes as
+    # the bare tag 'n:' (DuckDB's CONCAT silently skips NULL arguments,
+    # which would otherwise desync the twins on NULL keys)
+    enc = (f"CASE WHEN {v} IS NULL THEN 'n:' "
+           f"ELSE CONCAT(length({v}), ':', {v}) END")
+    h7 = f"md5(CONCAT({enc}, '1:7'))"
+    h0 = f"md5(CONCAT({enc}, '1:0'))"
     frac = f"""
         SELECT doc_id FROM documents
         WHERE substr({h7}, 1, {_HEX_DIGITS}) < '{thr}'

@@ -203,8 +203,18 @@ def flag_benchmark_overlap(
     shingles ``k`` whitespace tokens (``make_word_shingle_udf``), the
     GPT-3-appendix unit for space-delimited languages (k=13 tokens
     there).  A paraphrase shares no exact k-gram under either unit and
-    is NOT flagged -- exactness is the contract (use the MinHash
-    operators for fuzzy overlap).
+    is NOT flagged -- exactness is the contract (use
+    :func:`flag_benchmark_near_overlap` for fuzzy/paraphrase overlap).
+
+    ``id_col`` keys must be UNIQUE (the same requirement every keyed
+    operator here has): per-row shingle sets are distinct, but duplicate
+    keys contribute their shared grams once PER ROW, inflating
+    ``n_shingles``/``n_bench_hits`` (and the report's containment) with
+    multiplicity -- the ``contaminated`` verdict at ``min_hits=1`` is
+    unaffected, but ``min_hits > 1`` can overstate.  Deduplicating the
+    exploded ``(id, gram)`` stream would fix the counts but costs a full
+    shuffle of the O(corpus) gram stream, destroying the map-side-probe
+    plan -- run exact dedup first instead.
 
     ``broadcast=True`` (default) broadcasts the benchmark shingle set;
     pass False when the benchmark side is itself corpus-sized."""
@@ -253,7 +263,10 @@ def benchmark_overlap_report(
     set appears in the doc, the PaLM-style decontamination statistic
     (asymmetric on purpose: a long training doc quoting a whole short
     eval question scores 1.0 regardless of how much other text it has);
-    ``min_containment`` (e.g. 0.7) additionally filters on it.  Same
+    ``min_containment`` (e.g. 0.7) additionally filters on it.
+    ``id_col`` keys must be unique, as in :func:`flag_benchmark_overlap`:
+    duplicate keys count shared grams with multiplicity, overstating
+    ``n_hits`` and ``containment``.  Same
     plan shape as the flag: the benchmark side keeps its row ids but
     still collapses to (bench_id, shingle) rows and broadcasts (its
     per-row gram counts ride the same broadcast); the corpus-side

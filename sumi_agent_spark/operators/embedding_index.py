@@ -53,7 +53,32 @@ from .dedup import (
 
 def _read_meta(spark: SparkSession, index_path: str) -> dict:
     row = spark.read.parquet(f"{index_path}/meta").first()
-    return {k: row[k] for k in ("n_planes", "dim", "threshold")}
+    meta = {k: row[k] for k in ("n_planes", "dim", "threshold")}
+    # embedding-model revision pin (absent on pre-pin indexes = None)
+    meta["model_rev"] = row.asDict().get("model_rev")
+    return meta
+
+
+def _check_model_rev(meta: dict, model_rev) -> None:
+    """Refuse to mix embedding spaces across model revisions.
+
+    Cosines between vectors from DIFFERENT embedding model revisions are
+    meaningless, so a slice recomputed with a new model must never append
+    into (or dedup against) an index built with the old one -- the
+    staleness analog of the dim check, but invisible at the vector level
+    (same dim, different space).  ``model_rev=None`` means the caller
+    did not state a revision and the check is skipped (backward
+    compatible); stating one against an index that pins a different one
+    -- or none at all -- raises."""
+    if model_rev is None:
+        return
+    if meta.get("model_rev") != model_rev:
+        raise ValueError(
+            f"embedding index pins model_rev={meta.get('model_rev')!r}; "
+            f"this slice states model_rev={model_rev!r} -- vectors from "
+            f"different embedding model revisions share no geometry; "
+            f"rebuild the index (write_embedding_index) with the new "
+            f"model's vectors instead of appending")
 
 
 def _committed_ids(spark: SparkSession, index_path: str) -> DataFrame:
@@ -111,11 +136,15 @@ def write_embedding_index(
     index_path: str,
     threshold: float = 0.95,
     n_planes: int = 16,
+    model_rev: str | None = None,
 ) -> dict:
     """Create an embedding index from a (deduped) corpus.  Overwrites any
     existing index at the path.  Raises on an empty or mixed-dimension
     corpus (an index needs one well-defined dim).  Duplicate keys
-    collapse to one row (:func:`_unique_vec_rows`)."""
+    collapse to one row (:func:`_unique_vec_rows`).  ``model_rev``
+    (e.g. ``"bge-m3@2026-03"``) pins the embedding model revision the
+    vectors came from; appends stating a different revision are refused
+    (:func:`_check_model_rev`)."""
     spark = df.sparkSession
     base = _unique_vec_rows(_clean_base(df, id_col, vec_col))
     lo, hi = _dim_bounds(base)
@@ -132,14 +161,20 @@ def write_embedding_index(
     base.write.mode("overwrite").parquet(f"{index_path}/vectors")
     (base.select("doc_id", bucket("v").alias("bkt"))
      .write.mode("overwrite").parquet(f"{index_path}/buckets"))
-    meta = {"n_planes": n_planes, "dim": dim, "threshold": float(threshold)}
-    spark.createDataFrame([meta]).write.mode("overwrite").parquet(
-        f"{index_path}/meta")
+    meta = {"n_planes": n_planes, "dim": dim, "threshold": float(threshold),
+            "model_rev": model_rev}
+    # explicit schema: model_rev is usually None and inference cannot
+    # type an all-None field
+    spark.createDataFrame(
+        [meta], schema="n_planes long, dim long, threshold double, "
+                       "model_rev string",
+    ).write.mode("overwrite").parquet(f"{index_path}/meta")
     return meta
 
 
 def append_to_embedding_index(
     new_df: DataFrame, id_col: str, vec_col: str, index_path: str,
+    model_rev: str | None = None,
 ) -> None:
     """Append a slice's vectors + bucket rows, idempotently (per-store
     anti-join of committed keys; vectors first, buckets last).
@@ -149,9 +184,12 @@ def append_to_embedding_index(
     Spark's lazy evaluation would otherwise race the append against the
     read (a post-append ``collect()`` of a pre-append ``pairs`` plan
     reads post-append buckets and anti-joins the whole slice out).
-    Duplicate slice keys collapse to one row (:func:`_unique_vec_rows`)."""
+    Duplicate slice keys collapse to one row (:func:`_unique_vec_rows`).
+    ``model_rev`` (optional) is checked against the index's pinned
+    revision (:func:`_check_model_rev`)."""
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
+    _check_model_rev(meta, model_rev)
     base = _unique_vec_rows(_clean_base(new_df, id_col, vec_col))
     _check_dim(base, meta)
     bucket = make_hyperplane_bucket_udf(meta["n_planes"], meta["dim"])
@@ -173,6 +211,7 @@ def embedding_near_duplicates_incremental(
     max_bucket_size: int = EMB_MAX_BUCKET_SIZE,
     observation=None,
     probe_bits: int = 1,
+    model_rev: str | None = None,
 ) -> DataFrame:
     """Near-identical embedding pairs touching the new slice, against
     index + slice: ``(id_a, id_b, cos, new_a, new_b)`` with ``cos >=``
@@ -201,13 +240,18 @@ def embedding_near_duplicates_incremental(
     ``probe_bits=1`` it is a verified SUPERSET of that -- multi-probe
     only ever ADDS true pairs the single-bucket run missed, since every
     candidate passes the same exact-cosine filter.  Exact
-    alternatives remain ``cosine_pairs_blocked`` (similarity.py)."""
+    alternatives remain ``cosine_pairs_blocked`` (similarity.py).
+    ``model_rev`` (optional) is checked against the index's pinned
+    revision (:func:`_check_model_rev`): deduping a slice embedded with
+    a NEW model revision against an old-revision index compares
+    meaningless cosines."""
     if probe_bits not in (0, 1):
         raise ValueError(
             f"probe_bits must be 0 (exact bucket) or 1 (one-bit "
             f"multi-probe), got {probe_bits}")
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
+    _check_model_rev(meta, model_rev)
     base = _clean_base(new_df, id_col, vec_col)
     _check_dim(base, meta)
     from pyspark.sql.window import Window

@@ -54,6 +54,32 @@ from .dedup import (
 )
 
 
+def _marker_committed(spark: SparkSession, path: str) -> bool:
+    """True iff the parquet directory at ``path`` was fully committed
+    (its ``_SUCCESS`` marker exists).  Uses the Hadoop FileSystem API so
+    the check works on whatever store ``index_path`` lives on."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _delete_stale_epoch_markers(spark: SparkSession, index_path: str) -> None:
+    """Remove leftover ``meta_e*`` marker directories from a PREVIOUS
+    index at this path.  Runs FIRST in every create: the epoch commit
+    markers are append-only (see :func:`_read_meta`), so a fresh index
+    written over an old reindexed one would otherwise inherit the old
+    markers and resolve a live epoch whose ``bands_eN`` dirs belong to
+    the dead index -- silent corruption.  Deleting before any store is
+    written keeps the crash story clean: a crash after the delete leaves
+    no readable meta, so the create simply re-runs."""
+    jvm = spark._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta_e*")
+    fs = glob.getFileSystem(spark._jsc.hadoopConfiguration())
+    for status in fs.globStatus(glob) or []:
+        fs.delete(status.getPath(), True)
+
+
 def _read_meta(spark: SparkSession, index_path: str,
                expect_granularity: str = "doc") -> dict:
     row = spark.read.parquet(f"{index_path}/meta").first()
@@ -66,9 +92,20 @@ def _read_meta(spark: SparkSession, index_path: str,
             f"{granularity!r}; this operator requires "
             f"{expect_granularity!r} (doc-level and group-level indexes "
             f"store different shingle layouts and cannot be mixed)")
-    # live reindex epoch (group indexes only; absent on doc indexes and
-    # pre-epoch group indexes = 0, i.e. only the base stores are live)
-    meta["epoch"] = int(row.asDict().get("epoch", 0) or 0)
+    # Live reindex epoch.  The base ``meta/`` directory is written once at
+    # create and NEVER rewritten (a parquet overwrite is delete-then-write,
+    # so a crash mid-flip would destroy the index's create marker); each
+    # reindex instead commits an APPEND-ONLY marker directory
+    # ``meta_e{N}`` and the live epoch resolves to the highest contiguous
+    # committed marker.  Markers are contiguous by construction (epoch
+    # N+1 is only ever written by a reindex that read live epoch N), so
+    # the probe loop terminates at the first gap.  Pre-marker indexes
+    # that flipped an ``epoch`` field in base meta still resolve
+    # correctly: probing starts from that value.
+    live = int(row.asDict().get("epoch", 0) or 0)
+    while _marker_committed(spark, f"{index_path}/meta_e{live + 1}"):
+        live += 1
+    meta["epoch"] = live
     return meta
 
 
@@ -119,6 +156,7 @@ def write_minhash_index(
     one row (min text per key -- see :func:`_unique_doc_rows`)."""
     bands = resolve_bands(threshold, n_hashes, bands)
     spark = df.sparkSession
+    _delete_stale_epoch_markers(spark, index_path)
     minhash = make_minhash_udf(n_hashes, shingle_k)
     shingles = make_shingle_udf(shingle_k)
     base = _unique_doc_rows(df, id_col, text_col)
@@ -341,13 +379,17 @@ def minhash_index_bucket_audit(
 # by EPOCH-VERSIONED REINDEXING (:func:`reindex_groups`): growing a
 # committed conversation changes its signature, which append-only stores
 # cannot express in place, so the rebuilt groups are written to fresh
-# ``shingles_e{N}/`` + ``bands_e{N}/`` directories and ``meta`` -- flipped
-# LAST, the same commit-marker discipline as everything else here --
-# pins the live epoch N.  Readers union epochs 0..live and keep each
-# group's rows from the HIGHEST epoch that contains it, so a rebuilt
-# group's stale epoch-0 band rows can never generate candidates.  A
-# crash between the epoch writes and the meta flip leaves the old epoch
-# live, and a re-run overwrites the orphaned directories idempotently.
+# ``shingles_e{N}/`` + ``bands_e{N}/`` directories and the epoch is
+# committed LAST by an APPEND-ONLY marker directory ``meta_e{N}`` (the
+# same commit-marker discipline as everything else here, without ever
+# rewriting the base ``meta/`` create marker -- a parquet overwrite is
+# delete-then-write and a crash mid-rewrite would leave the index
+# unreadable).  Readers resolve live = highest contiguous committed
+# marker, union epochs 0..live and keep each group's rows from the
+# HIGHEST epoch that contains it, so a rebuilt group's stale epoch-0
+# band rows can never generate candidates.  A crash between the epoch
+# writes and the marker commit leaves the old epoch live, and a re-run
+# overwrites the orphaned directories idempotently.
 # Cost, stated honestly: an index that has never been reindexed
 # (epoch 0) reads exactly as before -- zero extra shuffles; once epochs
 # exist, readers pay one additional narrow-row shuffle (a per-gid
@@ -424,11 +466,14 @@ def reindex_groups(
     recomputed from scratch for exactly the group ids present, written
     to ``shingles_e{N+1}`` then ``bands_e{N+1}`` (overwrite mode, so a
     crashed attempt's orphan directories are replaced, never appended
-    to), and ``meta`` is flipped to the new epoch LAST -- a crash
-    anywhere before the flip leaves the old epoch live and the whole
-    operation re-runnable.  Groups NOT present in ``grown_df`` are
-    untouched (their latest epoch still wins at read time).  Returns the
-    new meta.  O(touched groups), never O(corpus)."""
+    to), and the epoch is committed LAST by writing the APPEND-ONLY
+    marker directory ``meta_e{N+1}`` -- the base ``meta/`` (the index's
+    create marker and geometry pin) is never rewritten, so there is no
+    crash window in which the index is unreadable: a crash anywhere
+    before the marker's ``_SUCCESS`` lands leaves the old epoch live and
+    the whole operation re-runnable.  Groups NOT present in ``grown_df``
+    are untouched (their latest epoch still wins at read time).  Returns
+    the new meta.  O(touched groups), never O(corpus)."""
     from .dedup import _group_signatures
 
     spark = grown_df.sparkSession
@@ -448,8 +493,11 @@ def reindex_groups(
                 "shingle_k": meta["shingle_k"],
                 "threshold": float(meta["threshold"]),
                 "granularity": "group", "epoch": new_epoch}
+    # epoch commit marker: a fresh directory, never an overwrite of live
+    # state (overwrite mode only matters for a PREVIOUS crashed attempt's
+    # partial marker, which by definition has no _SUCCESS and is not live)
     spark.createDataFrame([meta_new]).write.mode("overwrite").parquet(
-        f"{index_path}/meta")
+        f"{index_path}/meta_e{new_epoch}")
     return meta_new
 
 
@@ -470,6 +518,7 @@ def write_grouped_minhash_index(
 
     bands = resolve_bands(threshold, n_hashes, bands)
     spark = df.sparkSession
+    _delete_stale_epoch_markers(spark, index_path)
     base = df.select(F.col(group_col).alias("gid"),
                      F.col(text_col).alias("text"))
     (_group_shingle_rows(base, "gid", "text", shingle_k)
@@ -674,6 +723,7 @@ def compact_grouped_index(spark: SparkSession, src_path: str,
         raise ValueError(
             "compact_grouped_index writes a NEW index; dst_path must "
             "differ from src_path (in-place parquet swap is not atomic)")
+    _delete_stale_epoch_markers(spark, dst_path)
     meta = _read_meta(spark, src_path, expect_granularity="group")
     live = meta["epoch"]
     (_resolve_latest(_read_epoched(spark, src_path, "shingles", live,

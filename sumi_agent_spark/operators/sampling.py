@@ -105,6 +105,7 @@ def stratified_sample_n(
     n: int,
     key_cols: list[str],
     seed: int = 0,
+    strict: bool = True,
 ) -> DataFrame:
     """Exactly ``min(n, stratum_size)`` rows per stratum, deterministic.
 
@@ -112,10 +113,15 @@ def stratified_sample_n(
     ``key_cols`` must uniquely identify rows (the same requirement every
     keyed operator here has): rows DUPLICATING a key hash identically,
     and when such a tie straddles the rank-n boundary the choice among
-    the duplicates is partitioning-dependent -- run exact dedup first if
-    the key is not unique.  The balanced-mix primitive: n per language,
-    n per source, n per topic bucket.  One window over a hash exchange
-    on the strata; for a hot stratum, pre-thin with
+    the duplicates is partitioning-dependent.  ``strict=True`` (default)
+    verifies uniqueness up front with one cheap aggregate (count vs
+    hash-distinct count over the input) and raises ``ValueError`` on
+    duplicates -- a loud error instead of a silent nondeterminism; the
+    check is an eager Spark job, so callers that have ALREADY deduped
+    and need a lazy plan can pass ``strict=False`` (run exact dedup
+    first if the key is not unique).  The balanced-mix primitive: n per
+    language, n per source, n per topic bucket.  One window over a hash
+    exchange on the strata; for a hot stratum, pre-thin with
     :func:`deterministic_sample` (same seed) first -- hash-prefix top-n
     equals global top-n while the prefix holds >= n rows."""
     from pyspark.sql.window import Window
@@ -123,6 +129,19 @@ def stratified_sample_n(
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
     h = sample_hash_col(key_cols, seed)
+    if strict:
+        # distinct-count the HASH, not the key tuple: count_distinct over
+        # multiple columns skips rows with any NULL part, while the hash
+        # is never NULL (NULLs encode as the 'n:' tag)
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.countDistinct(h).alias("d")).first()
+        if row["n"] != row["d"]:
+            raise ValueError(
+                f"key_cols {key_cols} do not uniquely identify rows "
+                f"({row['n']} rows, {row['d']} distinct keys): duplicate "
+                f"keys hash identically and make the rank-n boundary "
+                f"partitioning-dependent -- run exact dedup first, or "
+                f"pass strict=False to accept the tie nondeterminism")
     w = Window.partitionBy(*strata_cols).orderBy(h.asc())
     return (df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= F.lit(int(n)))

@@ -208,3 +208,30 @@ def test_embedding_incremental_capping_full_bucket(spark, tmp_path):
             slice_df, "vec_id", "embedding", path, max_bucket_size=40)
     assert m["max_bucket_n"] == 60
     assert m["n_capped_rows"] == 60
+
+
+def test_embedding_index_model_rev_pin(spark, emb_fixture, tmp_path):
+    """A slice stating a different embedding-model revision than the
+    index pins must be refused (cosines across revisions are
+    meaningless); unstated revisions skip the check (backward compat)."""
+    corpus, sl = emb_fixture
+    path = str(tmp_path / "eidx_rev")
+    write_embedding_index(corpus, "vec_id", "embedding", path,
+                          model_rev="toy-emb@r1")
+    with pytest.raises(ValueError, match="model_rev"):
+        append_to_embedding_index(sl, "vec_id", "embedding", path,
+                                  model_rev="toy-emb@r2")
+    with pytest.raises(ValueError, match="model_rev"):
+        embedding_near_duplicates_incremental(
+            sl, "vec_id", "embedding", path, model_rev="toy-emb@r2")
+    # matching rev passes; unstated rev passes (check skipped)
+    embedding_near_duplicates_incremental(
+        sl, "vec_id", "embedding", path, model_rev="toy-emb@r1").count()
+    append_to_embedding_index(sl, "vec_id", "embedding", path)
+    # an UNPINNED index refuses a slice that states a revision: the
+    # index cannot confirm it -- rebuild with the pin instead
+    path2 = str(tmp_path / "eidx_norev")
+    write_embedding_index(corpus, "vec_id", "embedding", path2)
+    with pytest.raises(ValueError, match="model_rev"):
+        append_to_embedding_index(sl, "vec_id", "embedding", path2,
+                                  model_rev="toy-emb@r1")

@@ -119,3 +119,21 @@ def test_multicolumn_hash_is_unambiguous(spark):
     hashes = [r["h"] for r in
               df.select(sample_hash_col(["a", "b"]).alias("h")).collect()]
     assert len(set(hashes)) == len(rows)
+
+
+def test_stratified_strict_rejects_duplicate_keys(spark):
+    """strict=True (default) converts the documented tie nondeterminism
+    into a loud error; strict=False accepts it (caller's choice)."""
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (3, "y")], ["k", "stratum"])
+    with pytest.raises(ValueError, match="uniquely identify"):
+        stratified_sample_n(dup, ["stratum"], 2, ["k"])
+    got = stratified_sample_n(dup, ["stratum"], 2, ["k"], strict=False)
+    assert got.count() == 3  # 2 from x (dup ties), 1 from y
+    # NULL keys hash to the 'n:' tag, never NULL: two NULL keys ARE
+    # duplicates and must trip the strict check (count_distinct over the
+    # raw key tuple would silently skip them)
+    nulls = spark.createDataFrame(
+        [(None, "x"), (None, "x")], "k int, stratum string")
+    with pytest.raises(ValueError, match="uniquely identify"):
+        stratified_sample_n(nulls, ["stratum"], 1, ["k"])
