@@ -79,6 +79,17 @@ def fraction_threshold(fraction: float) -> str:
     return format(scaled, f"0{_HEX_DIGITS}x")
 
 
+def sample_keep_condition(key_cols: list[str], fraction: float,
+                          seed: int = 0) -> F.Column:
+    """The boolean keep condition of :func:`deterministic_sample`, as a
+    column -- usable both as a filter predicate and as a countable
+    expression (``sum(cond.cast("long"))``), so a lineage counter and
+    the filter itself share ONE definition and cannot drift."""
+    thr = fraction_threshold(fraction)
+    return (F.substring(sample_hash_col(key_cols, seed), 1, _HEX_DIGITS)
+            < F.lit(thr))
+
+
 def deterministic_sample(
     df: DataFrame,
     key_cols: list[str],
@@ -93,10 +104,7 @@ def deterministic_sample(
     samples; the SAME seed at a larger fraction gives a SUPERSET
     (nested samples for scaling-law curves: the 1% mix is contained in
     the 10% mix by construction).  Zero shuffle: one codegen'd filter."""
-    thr = fraction_threshold(fraction)
-    return df.filter(
-        F.substring(sample_hash_col(key_cols, seed), 1, _HEX_DIGITS)
-        < F.lit(thr))
+    return df.filter(sample_keep_condition(key_cols, fraction, seed))
 
 
 def stratified_sample_n(

@@ -715,6 +715,11 @@ def run_pipeline(
     embedding_index_path: Optional[str] = None,
     embedding_col: str = "embedding",
     embedding_n_planes: int = 16,
+    sample_fraction: Optional[float] = None,
+    sample_seed: int = 0,
+    sample_key_cols: Optional[list] = None,
+    sample_n_per_stratum: Optional[int] = None,
+    sample_strata_cols: Optional[list] = None,
     drop_toxic_above: Optional[float] = None,
     decontaminate_against: Optional[str] = None,
     decontam_text_col: str = "text",
@@ -763,7 +768,19 @@ def run_pipeline(
     index) are dropped keep-first/corpus-wins; counters land in the
     ``_lineage_embdedup`` sidecar.  NULL embeddings never drop.  Both
     dedup families compose: MinHash runs first, the embedding stage sees
-    its survivors.  ``drop_toxic_above`` (e.g. 0.3) drops turns
+    its survivors.
+    ``sample_fraction`` (e.g. 0.1) keeps a deterministic hash sample of
+    the dedup survivors (operators/sampling.py: membership is a pure
+    function of ``sample_key_cols`` + ``sample_seed`` -- rerun-stable,
+    partitioning-invariant, and NESTED across fractions at the same
+    seed, so the 1% mix built through this entry point is a subset of
+    the 10% mix); ``sample_n_per_stratum`` + ``sample_strata_cols``
+    (e.g. 1000 per ``role``) instead/additionally keeps exactly
+    min(n, stratum_size) rows per stratum by the same hash rank
+    (duplicate keys fail loudly -- run with ``dedup=True``).  Both run
+    BEFORE resume_filter (the stratified keep set depends on the full
+    stratum population) and their counts land in the ``_lineage_sample``
+    sidecar.  ``drop_toxic_above`` (e.g. 0.3) drops turns
     whose lexicon toxicity score exceeds the threshold, also pre-scrub so
     toxic turns never pay detection cost (operators/toxicity.py; NULL text
     scores 0 and is never dropped by this gate).
@@ -853,6 +870,79 @@ def run_pipeline(
             embedding_index_path, embedding_col, int(embedding_n_planes))
         spark.createDataFrame([eb_row]).write.mode("append").parquet(
             f"{output_path}/_lineage_embdedup")
+    if sample_fraction is not None or sample_n_per_stratum is not None:
+        # Sampling runs on the dedup survivors and BEFORE resume_filter,
+        # for the same reason the dedup stages do: fraction membership is
+        # a pure per-row function of key + seed (placement-independent),
+        # but the stratified rank-n keep set depends on the full stratum
+        # population -- ranking only the resume-unwritten rows would pick
+        # a different top-n than the uninterrupted run.  Lineage counts
+        # are computed eagerly from the SAME predicate / rank rule as the
+        # filter (one extra narrow agg pass per sub-gate, the price every
+        # counted gate here pays) and land in the _lineage_sample sidecar
+        # before the main write.
+        from ..operators.sampling import (
+            deterministic_sample, sample_keep_condition,
+            stratified_sample_n)
+        sp_keys = (list(sample_key_cols) if sample_key_cols
+                   else ["conv_id", "turn_idx"])
+        sp_rows_in = sp_rows_kept = None
+        if sample_fraction is not None:
+            cond = sample_keep_condition(sp_keys, float(sample_fraction),
+                                         int(sample_seed))
+            srow = df.agg(
+                F.count(F.lit(1)).alias("n_in"),
+                F.coalesce(F.sum(cond.cast("long")), F.lit(0))
+                 .alias("n_kept")).first()
+            sp_rows_in = int(srow["n_in"])
+            sp_rows_kept = int(srow["n_kept"])
+            df = deterministic_sample(df, sp_keys, float(sample_fraction),
+                                      int(sample_seed))
+        if sample_n_per_stratum is not None:
+            if not sample_strata_cols:
+                raise ValueError(
+                    "sample_n_per_stratum requires sample_strata_cols "
+                    "(the columns defining each stratum)")
+            strata = list(sample_strata_cols)
+            # kept count = sum over strata of min(n, stratum_size) --
+            # exact, from one groupBy pass, no second ranked scan
+            srow = (df.groupBy(*strata).agg(F.count(F.lit(1)).alias("c"))
+                    .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_in"),
+                         F.coalesce(
+                             F.sum(F.least(
+                                 F.col("c"),
+                                 F.lit(int(sample_n_per_stratum)))),
+                             F.lit(0)).alias("n_kept"))
+                    .first())
+            if sp_rows_in is None:
+                sp_rows_in = int(srow["n_in"])
+            sp_rows_kept = int(srow["n_kept"])
+            # strict=True: duplicate keys would make the rank-n boundary
+            # partitioning-dependent -- fail loudly, pointing at dedup
+            df = stratified_sample_n(df, strata,
+                                     int(sample_n_per_stratum), sp_keys,
+                                     int(sample_seed), strict=True)
+        sp_row = {"stage": "sample",
+                  "fraction": (float(sample_fraction)
+                               if sample_fraction is not None else None),
+                  "seed": int(sample_seed),
+                  "key_cols": ",".join(sp_keys),
+                  "n_per_stratum": (int(sample_n_per_stratum)
+                                    if sample_n_per_stratum is not None
+                                    else None),
+                  "strata_cols": (",".join(sample_strata_cols)
+                                  if sample_strata_cols else None),
+                  "rows_in": sp_rows_in, "rows_kept": sp_rows_kept,
+                  "n_dropped": sp_rows_in - sp_rows_kept}
+        # explicit schema: fraction / n_per_stratum are None when the
+        # other sub-gate is active, and inference cannot type all-None
+        spark.createDataFrame(
+            [sp_row],
+            schema="stage string, fraction double, seed long, "
+                   "key_cols string, n_per_stratum long, "
+                   "strata_cols string, rows_in long, rows_kept long, "
+                   "n_dropped long",
+        ).write.mode("append").parquet(f"{output_path}/_lineage_sample")
     if resume:
         df = resume_filter(df, output_path)
     dc_drops = None
@@ -1080,6 +1170,8 @@ def run_pipeline(
             eb_row["n_preindexed_rows_dropped"]
     if decontaminate_against is not None:
         stats["n_contaminated_dropped"] = n_contam
+    if sample_fraction is not None or sample_n_per_stratum is not None:
+        stats["n_sample_dropped"] = sp_row["n_dropped"]
     return stats
 
 
@@ -1156,6 +1248,26 @@ def add_pipeline_args(ap) -> None:
     ap.add_argument("--embedding-n-planes", type=int, default=16,
                     help="hyperplanes for the LSH bucketing (default: 16; "
                     "only used when creating a new index)")
+    ap.add_argument("--sample-fraction", type=float, default=None,
+                    metavar="F", help="keep a deterministic hash sample "
+                    "of ~F of the dedup survivors (md5 of key cols + "
+                    "seed; rerun-stable, nested across fractions at the "
+                    "same seed); counts land in the _lineage_sample "
+                    "sidecar")
+    ap.add_argument("--sample-seed", type=int, default=0,
+                    help="sampling seed (default: 0; disjoint seeds give "
+                    "independent samples)")
+    ap.add_argument("--sample-key-cols", default=None, metavar="C1,C2",
+                    help="comma-separated key columns the sampling hash "
+                    "is keyed on (default: conv_id,turn_idx)")
+    ap.add_argument("--sample-n-per-stratum", type=int, default=None,
+                    metavar="N", help="keep exactly min(N, stratum size) "
+                    "rows per stratum, by the same deterministic hash "
+                    "rank (requires --sample-strata-cols; duplicate keys "
+                    "fail loudly -- run with --dedup)")
+    ap.add_argument("--sample-strata-cols", default=None, metavar="C1,C2",
+                    help="comma-separated stratum columns for "
+                    "--sample-n-per-stratum (e.g. role)")
     ap.add_argument("--drop-toxic-above", type=float, default=None,
                     metavar="T", help="drop turns with toxicity score > T")
     ap.add_argument("--decontaminate-against", default=None, metavar="PATH",
@@ -1196,6 +1308,13 @@ def pipeline_kwargs(args) -> dict:
         embedding_index_path=args.embedding_index,
         embedding_col=args.embedding_col,
         embedding_n_planes=args.embedding_n_planes,
+        sample_fraction=args.sample_fraction,
+        sample_seed=args.sample_seed,
+        sample_key_cols=(args.sample_key_cols.split(",")
+                         if args.sample_key_cols else None),
+        sample_n_per_stratum=args.sample_n_per_stratum,
+        sample_strata_cols=(args.sample_strata_cols.split(",")
+                            if args.sample_strata_cols else None),
         drop_toxic_above=args.drop_toxic_above,
         decontaminate_against=args.decontaminate_against,
         decontam_text_col=args.decontam_text_col,

@@ -863,3 +863,66 @@ def test_near_dedup_idempotent_under_resume(spark, tmp_path):
     final = spark.read.parquet(out).toPandas()
     assert set(final["conv_id"]) == {"a"}  # B dropped, not resumed in
     assert stats["rows"] == 0
+
+
+def test_run_pipeline_sampling_gate(spark, fixture_pdf, tmp_path):
+    """The deterministic-sampling gate: nested fractions through the
+    entry point, resume-stable membership, lineage sidecar counts, and
+    the stratified per-stratum cap (strict on duplicate keys)."""
+    inp = str(tmp_path / "in.parquet")
+    fixture_pdf.head(200).to_parquet(inp, index=False)
+
+    out_lo = str(tmp_path / "out_lo")
+    st_lo = run_pipeline(spark, inp, out_lo, sample_fraction=0.2,
+                         sample_seed=5)
+    out_hi = str(tmp_path / "out_hi")
+    st_hi = run_pipeline(spark, inp, out_hi, sample_fraction=0.6,
+                         sample_seed=5)
+    keys = lambda p: {(r.conv_id, r.turn_idx) for r in  # noqa: E731
+                      spark.read.parquet(p)
+                      .select("conv_id", "turn_idx").collect()}
+    lo, hi = keys(out_lo), keys(out_hi)
+    assert 0 < len(lo) < len(hi) < 200
+    assert lo <= hi  # nested: same seed, larger fraction is a superset
+    # lineage sidecar: counts derive from the same predicate
+    sl = spark.read.parquet(f"{out_lo}/_lineage_sample").toPandas()
+    assert int(sl["rows_in"].iloc[0]) == 200
+    assert int(sl["rows_kept"].iloc[0]) == len(lo)
+    assert int(sl["n_dropped"].iloc[0]) == 200 - len(lo)
+    assert st_lo["n_sample_dropped"] == 200 - len(lo)
+
+    # resume: membership is a pure key function, so a resumed run over a
+    # grown input writes exactly the sampled new keys -- the final output
+    # equals a single uninterrupted sampled run over the full input
+    fixture_pdf.head(300).to_parquet(inp, index=False)
+    run_pipeline(spark, inp, out_lo, resume=True, sample_fraction=0.2,
+                 sample_seed=5)
+    out_full = str(tmp_path / "out_full")
+    run_pipeline(spark, inp, out_full, sample_fraction=0.2, sample_seed=5)
+    assert keys(out_lo) == keys(out_full)
+
+    # stratified cap: exactly min(n, stratum size) per role
+    out_st = str(tmp_path / "out_st")
+    run_pipeline(spark, inp, out_st, sample_n_per_stratum=7,
+                 sample_strata_cols=["role"])
+    got = (spark.read.parquet(out_st).groupBy("role").count().collect())
+    import pyspark.sql.functions as SF
+    pop = {r["role"]: r["count"] for r in
+           spark.read.parquet(inp).groupBy("role").count().collect()}
+    for r in got:
+        assert r["count"] == min(7, pop[r["role"]])
+    sl2 = spark.read.parquet(f"{out_st}/_lineage_sample").toPandas()
+    assert int(sl2["rows_kept"].iloc[0]) == sum(
+        min(7, c) for c in pop.values())
+
+    # duplicate keys + stratified cap = loud error (strict guard)
+    dup = pd.concat([fixture_pdf.head(20)] * 2)
+    dup_in = str(tmp_path / "dup.parquet")
+    dup.to_parquet(dup_in, index=False)
+    with pytest.raises(ValueError, match="uniquely identify"):
+        run_pipeline(spark, dup_in, str(tmp_path / "out_dup"),
+                     sample_n_per_stratum=3, sample_strata_cols=["role"])
+    # strata cols without n -> no stratified gate; n without cols -> error
+    with pytest.raises(ValueError, match="sample_strata_cols"):
+        run_pipeline(spark, dup_in, str(tmp_path / "out_dup2"),
+                     sample_n_per_stratum=3)
