@@ -129,6 +129,34 @@ def _check_dim(base: DataFrame, meta: dict) -> None:
             f"bucketed together")
 
 
+def changed_preindexed_ids(
+    new_df: DataFrame, id_col: str, vec_col: str, index_path: str,
+) -> DataFrame:
+    """Committed slice keys whose CURRENT vector differs from the stored
+    one -- re-exports whose embedding was recomputed (upstream text edit,
+    embedding-model change caught late).  The embedding analog of
+    ``minhash_index.changed_preindexed_ids``: the incremental path drops
+    any already-committed key as a corpus re-export, which silently
+    freezes a changed vector's index entry; this probe compares the
+    preindexed slice vectors against the vector store (exact float
+    equality -- an identical re-export is byte-identical) and returns the
+    changed keys as a one-column (``doc_id``) DataFrame.  The store scan
+    is semi-join-restricted to the preindexed keys, never O(corpus).
+    There is no embedding epoch-reindex yet: a changed vector means
+    rebuild the index from the current corpus (or re-embed consistently
+    upstream) -- this counter makes the need visible."""
+    spark = new_df.sparkSession
+    base = _unique_vec_rows(_clean_base(new_df, id_col, vec_col))
+    pre = base.join(_committed_ids(spark, index_path), "doc_id",
+                    "left_semi")
+    stored = (spark.read.parquet(f"{index_path}/vectors")
+              .join(pre.select("doc_id"), "doc_id", "left_semi")
+              .withColumnRenamed("v", "v_old"))
+    return (pre.join(stored, "doc_id")
+            .filter(F.col("v") != F.col("v_old"))
+            .select("doc_id"))
+
+
 def write_embedding_index(
     df: DataFrame,
     id_col: str,

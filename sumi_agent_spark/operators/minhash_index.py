@@ -81,12 +81,13 @@ def _delete_stale_epoch_markers(spark: SparkSession, index_path: str) -> None:
 
 
 def _read_meta(spark: SparkSession, index_path: str,
-               expect_granularity: str = "doc") -> dict:
+               expect_granularity: Optional[str] = "doc") -> dict:
     row = spark.read.parquet(f"{index_path}/meta").first()
     meta = {k: row[k] for k in
             ("n_hashes", "bands", "shingle_k", "threshold")}
     granularity = row.asDict().get("granularity", "doc")
-    if granularity != expect_granularity:
+    meta["granularity"] = granularity
+    if expect_granularity is not None and granularity != expect_granularity:
         raise ValueError(
             f"minhash index at {index_path} has granularity "
             f"{granularity!r}; this operator requires "
@@ -109,14 +110,18 @@ def _read_meta(spark: SparkSession, index_path: str,
     return meta
 
 
-def _committed_doc_ids(spark: SparkSession, index_path: str) -> DataFrame:
-    """One-column (``doc_id``) DataFrame of docs COMMITTED to the index.
+def _committed_doc_ids(spark: SparkSession, index_path: str,
+                       live: Optional[int] = None) -> DataFrame:
+    """One-column (``doc_id``) DataFrame of docs COMMITTED to the index
+    at ANY live epoch.
 
-    Reads the ``bands/`` store, which every write path writes LAST -- so a
+    Reads the ``bands`` stores, which every write path writes LAST -- so a
     doc listed here is guaranteed to have its shingle rows present too,
     and a doc whose append crashed half-way (shingles written, bands not)
     correctly reads as absent.  Column-pruned scan of one key column."""
-    return (spark.read.parquet(f"{index_path}/bands")
+    if live is None:
+        live = _read_meta(spark, index_path)["epoch"]
+    return (_read_epoched(spark, index_path, "bands", live, ["doc_id"])
             .select("doc_id").distinct())
 
 
@@ -188,18 +193,23 @@ def append_to_minhash_index(
     pair computation must see the index in its pre-slice state; Spark's
     lazy evaluation would otherwise race the append against the read).
     Geometry comes from the index meta, so appends can never drift.
-    Duplicate slice keys collapse to one row (:func:`_unique_doc_rows`)."""
+    Duplicate slice keys collapse to one row (:func:`_unique_doc_rows`).
+    Membership spans ALL live epochs (a doc can exist only in a reindex
+    epoch); new docs append into the BASE stores -- per-doc max-epoch
+    resolution at read time makes that correct regardless of live epoch."""
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
+    live = meta["epoch"]
     minhash = make_minhash_udf(meta["n_hashes"], meta["shingle_k"])
     shingles = make_shingle_udf(meta["shingle_k"])
     base = _unique_doc_rows(new_df, id_col, text_col)
-    sh_existing = (spark.read.parquet(f"{index_path}/shingles")
+    sh_existing = (_read_epoched(spark, index_path, "shingles", live,
+                                 ["doc_id"])
                    .select("doc_id").distinct())
     (base.join(sh_existing, "doc_id", "left_anti")
      .select("doc_id", shingles("text").alias("sh"))
      .write.mode("append").parquet(f"{index_path}/shingles"))
-    bd_existing = _committed_doc_ids(spark, index_path)
+    bd_existing = _committed_doc_ids(spark, index_path, live)
     sig = (base.join(bd_existing, "doc_id", "left_anti")
            .select("doc_id", minhash("text").alias("sig")))
     (_banded(sig, "doc_id", meta["bands"])
@@ -245,19 +255,25 @@ def minhash_near_duplicates_incremental(
     per-run cost is O(slice + matched buckets), not O(corpus)."""
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
+    live = meta["epoch"]
     minhash = make_minhash_udf(meta["n_hashes"], meta["shingle_k"])
     shingles = make_shingle_udf(meta["shingle_k"])
     threshold = meta["threshold"]
 
     base = (new_df.select(F.col(id_col).alias("doc_id"),
                           F.col(text_col).alias("text"))
-            .join(_committed_doc_ids(spark, index_path), "doc_id",
+            .join(_committed_doc_ids(spark, index_path, live), "doc_id",
                   "left_anti"))
     sig = base.select("doc_id", minhash("text").alias("sig"))
     new_banded = _banded(sig, "doc_id", meta["bands"]) \
         .withColumn("is_new", F.lit(True))
-    old_banded = (spark.read.parquet(f"{index_path}/bands")
-                  .select("doc_id", "band", "band_key")
+    # epoch resolution BEFORE the capping window: a reindexed doc's stale
+    # epoch-0 band rows must neither inflate bucket sizes nor generate
+    # candidates (free at epoch 0 -- see _resolve_latest)
+    old_banded = (_resolve_latest(
+                      _read_epoched(spark, index_path, "bands", live,
+                                    ["doc_id", "band", "band_key"]),
+                      "doc_id", live)
                   .withColumn("is_new", F.lit(False)))
     # the capping window shuffles index band rows on (band, band_key) --
     # the SAME partitioning the candidate self-join needs, so the exchange
@@ -310,8 +326,13 @@ def minhash_near_duplicates_incremental(
     # have left slice docs' shingle arrays in the store without their
     # bands (phantoms).  Values would survive (the phantom array equals
     # the fresh one), but each affected pair would emit twice.
-    old_sh = (spark.read.parquet(f"{index_path}/shingles")
-              .join(cand, "doc_id", "left_semi")
+    # candidate-restrict FIRST, then resolve epochs: the per-doc window
+    # runs over candidate rows only, never the O(corpus) store
+    old_sh = (_resolve_latest(
+                  _read_epoched(spark, index_path, "shingles", live,
+                                ["doc_id", "sh"])
+                  .join(cand, "doc_id", "left_semi"),
+                  "doc_id", live)
               .join(base.select("doc_id"), "doc_id", "left_anti"))
     all_sh = old_sh.unionByName(new_sh)
     sa = all_sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -340,20 +361,108 @@ def minhash_index_bucket_audit(
     scan of slice + index -- an audit tool, not the hot path."""
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
+    live = meta["epoch"]
     minhash = make_minhash_udf(meta["n_hashes"], meta["shingle_k"])
     # same already-committed filter as the pair computation, so the audit
     # recounts exactly the buckets that run saw
     sig = (new_df.select(F.col(id_col).alias("doc_id"),
                          F.col(text_col).alias("text"))
-           .join(_committed_doc_ids(spark, index_path), "doc_id",
+           .join(_committed_doc_ids(spark, index_path, live), "doc_id",
                  "left_anti")
            .select("doc_id", minhash("text").alias("sig")))
     new_banded = _banded(sig, "doc_id", meta["bands"])
-    old_banded = (spark.read.parquet(f"{index_path}/bands")
-                  .select("doc_id", "band", "band_key"))
+    old_banded = _resolve_latest(
+        _read_epoched(spark, index_path, "bands", live,
+                      ["doc_id", "band", "band_key"]),
+        "doc_id", live)
     sizes = (old_banded.unionByName(new_banded)
              .groupBy("band", "band_key").agg(F.count("*").alias("n")))
     return bucket_cap_stats(sizes, max_bucket_size)
+
+
+def reindex_docs(
+    changed_df: DataFrame, id_col: str, text_col: str, index_path: str,
+) -> dict:
+    """Rebuild CHANGED docs of a doc-granularity index into a fresh epoch.
+
+    The doc analog of :func:`reindex_groups`, for re-exports whose TEXT
+    changed (a re-crawl replaced the page, a transcript turn was
+    redacted upstream): append-only stores cannot update a committed
+    doc's signature in place, so without this the stale signature
+    anchors all future near-dedup and the NEW content escapes it
+    silently (the pipeline's ``n_preindexed_changed`` counter makes the
+    case visible; this operator fixes it).  ``changed_df`` carries the
+    changed docs' CURRENT text, one row per key (duplicates collapse,
+    :func:`_unique_doc_rows`); shingle arrays and band rows are
+    recomputed for exactly those ids, written to ``shingles_e{N+1}``
+    then ``bands_e{N+1}`` (overwrite mode -- a crashed attempt's orphan
+    dirs are replaced), and the epoch is committed LAST by the
+    append-only ``meta_e{N+1}`` marker.  Readers resolve per-doc
+    latest-epoch exactly like the grouped index (free at epoch 0).
+    Note this updates the INDEX only: replacing the doc's already-written
+    pipeline OUTPUT rows is the caller's upsert (Iceberg MERGE in the
+    nominal deployment).  O(changed docs), never O(corpus)."""
+    spark = changed_df.sparkSession
+    meta = _read_meta(spark, index_path)
+    new_epoch = meta["epoch"] + 1
+    minhash = make_minhash_udf(meta["n_hashes"], meta["shingle_k"])
+    shingles = make_shingle_udf(meta["shingle_k"])
+    base = _unique_doc_rows(changed_df, id_col, text_col)
+    (base.select("doc_id", shingles("text").alias("sh"))
+     .write.mode("overwrite")
+     .parquet(_epoch_path(index_path, "shingles", new_epoch)))
+    sig = base.select("doc_id", minhash("text").alias("sig"))
+    (_banded(sig, "doc_id", meta["bands"])
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(_epoch_path(index_path, "bands", new_epoch)))
+    meta_new = {"n_hashes": meta["n_hashes"], "bands": meta["bands"],
+                "shingle_k": meta["shingle_k"],
+                "threshold": float(meta["threshold"]),
+                "granularity": "doc", "epoch": new_epoch}
+    spark.createDataFrame([meta_new]).write.mode("overwrite").parquet(
+        f"{index_path}/meta_e{new_epoch}")
+    return meta_new
+
+
+def changed_preindexed_ids(
+    new_df: DataFrame, id_col: str, text_col: str, index_path: str,
+) -> DataFrame:
+    """Committed slice keys whose CURRENT text differs from what the index
+    signed -- the re-exports that need :func:`reindex_docs`.
+
+    The incremental read path treats any already-committed key as corpus
+    and drops it from the slice; that is correct for identical re-exports
+    (a completed slice re-run) but SILENT for changed ones (a re-crawl
+    replaced the page): the stale signature keeps anchoring near-dedup
+    while the new content escapes it.  This probe makes the distinction
+    visible: it re-shingles exactly the preindexed slice rows and compares
+    against the stored shingle arrays (both sides are sorted unique hash
+    arrays from the same UDF, so array equality IS text-set equality up to
+    61-bit hash collisions).  Returns a one-column (``doc_id``) DataFrame.
+    Cost: O(preindexed rows) -- the store scan is semi-join-restricted to
+    the preindexed keys, never O(corpus).
+
+    Implementation note shared with :func:`changed_preindexed_gids`: the
+    comparison is a JOIN, never a union of two ``exceptAll`` branches --
+    Spark's plan deduplication mis-rewrites
+    ``a.exceptAll(b).union(b.exceptAll(a))`` when the branches share
+    subplans (observed: each branch alone counts 0, the union counts
+    hundreds), while self-join attribute dedup is well-trodden."""
+    spark = new_df.sparkSession
+    meta = _read_meta(spark, index_path)
+    live = meta["epoch"]
+    shingles = make_shingle_udf(meta["shingle_k"])
+    base = _unique_doc_rows(new_df, id_col, text_col)
+    pre = base.join(_committed_doc_ids(spark, index_path, live),
+                    "doc_id", "left_semi")
+    fresh = pre.select("doc_id", shingles("text").alias("sh_new"))
+    stored = _resolve_latest(
+        _read_epoched(spark, index_path, "shingles", live, ["doc_id", "sh"])
+        .join(pre.select("doc_id"), "doc_id", "left_semi"),
+        "doc_id", live)
+    return (fresh.join(stored, "doc_id")
+            .filter(F.col("sh_new") != F.col("sh"))
+            .select("doc_id"))
 
 
 # ─── Group-granularity (conversation) index ───
@@ -499,6 +608,46 @@ def reindex_groups(
     spark.createDataFrame([meta_new]).write.mode("overwrite").parquet(
         f"{index_path}/meta_e{new_epoch}")
     return meta_new
+
+
+def changed_preindexed_gids(
+    new_df: DataFrame, group_col: str, text_col: str, index_path: str,
+) -> DataFrame:
+    """Committed slice group ids whose CURRENT member rows' shingle set
+    differs from the indexed one -- the grown/changed conversations that
+    need :func:`reindex_groups`.  Group analog of
+    :func:`changed_preindexed_ids`: the grouped store holds exploded
+    ``(gid, sh)`` rows, so "changed" is a nonempty symmetric difference
+    between the fresh and stored row sets, computed as a full-outer join
+    on ``(gid, sh)`` (both sides are distinct rows; any row missing a
+    side marks its gid changed -- see the implementation note on
+    :func:`changed_preindexed_ids` for why this is NOT two ``exceptAll``
+    branches unioned).  Only the preindexed gids are compared
+    (semi-join-restricted both sides, never O(corpus)).  Returns a
+    one-column (``gid``) DataFrame."""
+    spark = new_df.sparkSession
+    meta = _read_meta(spark, index_path, expect_granularity="group")
+    live = meta["epoch"]
+    base = new_df.select(F.col(group_col).alias("gid"),
+                         F.col(text_col).alias("text"))
+    pre_gids = (base.select("gid").distinct()
+                .join(committed_group_ids(spark, index_path, live),
+                      "gid", "left_semi"))
+    fresh = (_group_shingle_rows(base.join(pre_gids, "gid", "left_semi"),
+                                 "gid", "text", meta["shingle_k"])
+             .withColumnRenamed("doc_id", "gid"))
+    stored = (_resolve_latest(
+                  _read_epoched(spark, index_path, "shingles", live,
+                                ["doc_id", "sh"])
+                  .join(pre_gids.withColumnRenamed("gid", "doc_id"),
+                        "doc_id", "left_semi"),
+                  "doc_id", live)
+              .withColumnRenamed("doc_id", "gid"))
+    f = fresh.withColumn("_f", F.lit(1))
+    s = stored.withColumn("_s", F.lit(1))
+    return (f.join(s, ["gid", "sh"], "full_outer")
+            .filter(F.col("_f").isNull() | F.col("_s").isNull())
+            .select("gid").distinct())
 
 
 def write_grouped_minhash_index(

@@ -378,6 +378,7 @@ def _near_dedup_full_stage(spark, df, threshold, output_path, resume,
                     df = df.join(done, key_cols, "left_anti")
                 nd_row = {"stage": stage_name, "n_dropped": n_nd,
                           "n_preindexed_rows_dropped": 0,
+                          "n_preindexed_changed": 0,
                           "n_capped_rows": int(meta["n_capped_rows"]),
                           "n_capped_buckets": int(meta["n_capped_buckets"]),
                           "max_bucket_n": int(meta["max_bucket_n"]),
@@ -413,6 +414,7 @@ def _near_dedup_full_stage(spark, df, threshold, output_path, resume,
                 "_nk", "text", threshold=threshold)
     nd_row = {"stage": stage_name, "n_dropped": n_nd,
               "n_preindexed_rows_dropped": 0,
+              "n_preindexed_changed": 0,
               "n_capped_rows": m["n_capped_rows"],
               "n_capped_buckets": m["n_capped_buckets"],
               "max_bucket_n": m["max_bucket_n"],
@@ -492,6 +494,7 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
                     "_nk", "text", threshold=threshold)
         nd_row = {"stage": "near_dedup_bootstrap", "n_dropped": n_nd,
                   "n_preindexed_rows_dropped": 0,
+                  "n_preindexed_changed": 0,
                   "n_capped_rows": m["n_capped_rows"],
                   "n_capped_buckets": m["n_capped_buckets"],
                   "max_bucket_n": m["max_bucket_n"],
@@ -519,12 +522,17 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
     # operators' committed filter only excludes them from pair
     # computation; without this gate they would pass straight to output).
     from ..operators.minhash_index import (
-        _committed_doc_ids, committed_group_ids)
+        _committed_doc_ids, changed_preindexed_gids, changed_preindexed_ids,
+        committed_group_ids)
     nd_obs = Observation("near_dedup_capping")
+    n_pre_changed = 0
     if conv_scope:
         committed = (committed_group_ids(spark, index_path)
                      .withColumnRenamed("gid", "conv_id"))
         n_pre = df.join(committed, "conv_id", "left_semi").count()
+        if n_pre:  # split identical vs CHANGED re-exports (reindex needed)
+            n_pre_changed = changed_preindexed_gids(
+                df, "conv_id", "text", index_path).count()
         pairs = minhash_near_duplicates_grouped_incremental(
             df, "conv_id", "text", index_path, observation=nd_obs)
         drops = (incremental_drop_keys(pairs)
@@ -543,6 +551,9 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
         committed = (_committed_doc_ids(spark, index_path)
                      .withColumnRenamed("doc_id", "_nk"))
         n_pre = keyed.join(committed, "_nk", "left_semi").count()
+        if n_pre:  # split identical vs CHANGED re-exports (reindex needed)
+            n_pre_changed = changed_preindexed_ids(
+                keyed, "_nk", "text", index_path).count()
         pairs = minhash_near_duplicates_incremental(
             keyed, "_nk", "text", index_path, observation=nd_obs)
         drops = (incremental_drop_keys(pairs)
@@ -557,6 +568,7 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
                    .join(committed, "_nk", "left_anti").drop("_nk"))
     nd_row = {"stage": "near_dedup_incremental", "n_dropped": n_nd,
               "n_preindexed_rows_dropped": n_pre,
+              "n_preindexed_changed": n_pre_changed,
               "n_capped_rows": m["n_capped_rows"],
               "n_capped_buckets": m["n_capped_buckets"],
               "max_bucket_n": m["max_bucket_n"],
@@ -607,7 +619,8 @@ def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
                  else "embedding_dedup")
         if nonnull.isEmpty():  # batch op's dim probe would crash
             nd_row = {"stage": stage, "n_dropped": 0,
-                      "n_preindexed_rows_dropped": 0, "n_capped_rows": 0,
+                      "n_preindexed_rows_dropped": 0,
+                      "n_preindexed_changed": 0, "n_capped_rows": 0,
                       "n_capped_buckets": 0, "max_bucket_n": 0,
                       "metrics_observed": False}
             clean = keyed.drop("_ek")
@@ -638,6 +651,7 @@ def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
         deduped = keyed.join(drops, "_ek", "left_anti").drop("_ek")
         nd_row = {"stage": stage, "n_dropped": n_nd,
                   "n_preindexed_rows_dropped": 0,
+                  "n_preindexed_changed": 0,
                   "n_capped_rows": m["n_capped_rows"],
                   "n_capped_buckets": m["n_capped_buckets"],
                   "max_bucket_n": m["max_bucket_n"],
@@ -653,6 +667,11 @@ def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
     committed = (_committed_ids(spark, index_path)
                  .withColumnRenamed("doc_id", "_ek"))
     n_pre = keyed.join(committed, "_ek", "left_semi").count()
+    n_pre_changed = 0
+    if n_pre:  # split identical vs CHANGED re-exports (rebuild needed)
+        from ..operators.embedding_index import changed_preindexed_ids
+        n_pre_changed = changed_preindexed_ids(
+            keyed, "_ek", vec_col, index_path).count()
     obs = Observation("embedding_dedup_capping")
     pairs = embedding_near_duplicates_incremental(
         keyed, "_ek", vec_col, index_path, observation=obs)
@@ -668,6 +687,7 @@ def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
                .join(committed, "_ek", "left_anti").drop("_ek"))
     nd_row = {"stage": "embedding_dedup_incremental", "n_dropped": n_nd,
               "n_preindexed_rows_dropped": n_pre,
+              "n_preindexed_changed": n_pre_changed,
               "n_capped_rows": m["n_capped_rows"],
               "n_capped_buckets": m["n_capped_buckets"],
               "max_bucket_n": m["max_bucket_n"],
@@ -1164,10 +1184,12 @@ def run_pipeline(
         stats["n_capped_buckets"] = nd_row["n_capped_buckets"]
         stats["n_preindexed_rows_dropped"] = \
             nd_row["n_preindexed_rows_dropped"]
+        stats["n_preindexed_changed"] = nd_row["n_preindexed_changed"]
     if embedding_dedup_threshold is not None:
         stats["n_embedding_dup_dropped"] = eb_row["n_dropped"]
         stats["n_emb_preindexed_rows_dropped"] = \
             eb_row["n_preindexed_rows_dropped"]
+        stats["n_emb_preindexed_changed"] = eb_row["n_preindexed_changed"]
     if decontaminate_against is not None:
         stats["n_contaminated_dropped"] = n_contam
     if sample_fraction is not None or sample_n_per_stratum is not None:

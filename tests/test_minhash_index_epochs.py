@@ -221,3 +221,28 @@ def test_epoch0_read_path_has_no_resolution_window(spark, tmp_path):
         _slice(spark), "conv_id", "text", path)
         ._jdf.queryExecution().optimizedPlan().toString())
     assert "_emax" in plan1  # epochs exist: resolution window active
+
+
+def test_changed_preindexed_gids_splits_identical_from_grown(
+        spark, tmp_path):
+    """Only the conversation whose member rows changed/grew is reported;
+    an identical re-export and a novel conversation are not -- and a
+    reindex clears the report."""
+    from sumi_agent_spark.operators.minhash_index import (
+        changed_preindexed_gids)
+
+    path = str(tmp_path / "gidx")
+    write_grouped_minhash_index(_old(spark), "conv_id", "text", path,
+                                threshold=0.6)
+    reexport = _df(spark, [
+        ("g100", 0, T0), ("g100", 1, T1),            # grown re-export...
+        ("g100", 2, T2), ("g100", 3, T3),            # ...two new turns
+        ("g101", 0, ALT),                            # identical re-export
+        ("g9", 0, "a novel conversation not in the index")])
+    got = {r.gid for r in changed_preindexed_gids(
+        reexport, "conv_id", "text", path).collect()}
+    assert got == {"g100"}
+    reindex_groups(_grown(spark), "conv_id", "text", path)
+    got2 = {r.gid for r in changed_preindexed_gids(
+        reexport, "conv_id", "text", path).collect()}
+    assert got2 == set()

@@ -143,9 +143,36 @@ def test_embedding_index_preindexed_rows_dropped(spark, tmp_path):
                       embedding_dedup_threshold=0.95,
                       embedding_index_path=idx)
     assert s2["n_emb_preindexed_rows_dropped"] == 2
+    assert s2["n_emb_preindexed_changed"] == 0  # verbatim re-export
     assert s2["rows"] == 0
     # double-append added nothing
     assert spark.read.parquet(f"{idx}/buckets").count() == 2
+
+
+def test_embedding_index_changed_preindexed_counted(spark, tmp_path):
+    """A committed key re-exported with a DIFFERENT vector (re-embedded
+    after an upstream edit) still drops -- the index cannot update it in
+    place -- but the lineage splits it out as n_preindexed_changed."""
+    from sumi_agent_spark.plans.pipeline import run_pipeline
+
+    idx = str(tmp_path / "emb_index")
+    _write(spark, [_turn("a", 0, V_BASE), _turn("c", 0, V_ALT)],
+           str(tmp_path / "s1.parquet"))
+    run_pipeline(spark, str(tmp_path / "s1.parquet"),
+                 str(tmp_path / "out1"),
+                 embedding_dedup_threshold=0.95, embedding_index_path=idx)
+    # a0 re-exported with a recomputed vector; c0 verbatim
+    _write(spark, [_turn("a", 0, V_NOVEL), _turn("c", 0, V_ALT)],
+           str(tmp_path / "s2.parquet"))
+    s2 = run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                      str(tmp_path / "out2"),
+                      embedding_dedup_threshold=0.95,
+                      embedding_index_path=idx)
+    assert s2["n_emb_preindexed_rows_dropped"] == 2
+    assert s2["n_emb_preindexed_changed"] == 1
+    side = spark.read.parquet(
+        str(tmp_path / "out2") + "/_lineage_embdedup").toPandas()
+    assert int(side.iloc[0]["n_preindexed_changed"]) == 1
 
 
 def test_embedding_dedup_composes_with_minhash(spark, tmp_path):

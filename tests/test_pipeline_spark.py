@@ -768,6 +768,38 @@ def test_incremental_rerun_of_completed_slice_drops_preindexed(
     assert set(got["conv_id"]) == {"x"}
     nd = spark.read.parquet(f"{tmp_path}/out2/_lineage_neardup").toPandas()
     assert nd.iloc[0]["n_preindexed_rows_dropped"] == 1
+    assert nd.iloc[0]["n_preindexed_changed"] == 0  # verbatim re-export
+
+
+def test_incremental_rerun_counts_changed_preindexed(spark, tmp_path):
+    """A re-export whose key is committed but whose TEXT changed is still
+    dropped (corpus wins on keys), but the lineage row splits it out as
+    n_preindexed_changed -- the operator cannot fix it in place (that is
+    reindex_docs), but it must never be silent."""
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the distant mountains and rivers flow")
+    idx = str(tmp_path / "mh_index")
+    _write_turns([_turn("a", 0, base)], str(tmp_path / "s1.parquet"))
+    run_pipeline(spark, str(tmp_path / "s1.parquet"),
+                 str(tmp_path / "out1"), near_dedup_threshold=0.6,
+                 near_dedup_index_path=idx)
+
+    # day-2 export: conv a's turn came back REWRITTEN + one verbatim-less
+    # new conv; the changed re-export is dropped but counted separately
+    _write_turns([_turn("a", 0, "this turn was completely rewritten "
+                                "upstream after a redaction pass"),
+                  _turn("x", 0, "a brand new conversation about bucketed "
+                                "joins and adaptive query execution")],
+                 str(tmp_path / "s2.parquet"))
+    s2 = run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                      str(tmp_path / "out2"), near_dedup_threshold=0.6,
+                      near_dedup_index_path=idx)
+    assert s2["n_preindexed_rows_dropped"] == 1
+    assert s2["n_preindexed_changed"] == 1
+    got = spark.read.parquet(f"{tmp_path}/out2").toPandas()
+    assert set(got["conv_id"]) == {"x"}
+    nd = spark.read.parquet(f"{tmp_path}/out2/_lineage_neardup").toPandas()
+    assert nd.iloc[0]["n_preindexed_changed"] == 1
 
 
 def test_incremental_index_crash_before_append_resumes_clean(
