@@ -735,6 +735,44 @@ def _q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("containment_ppm"))
 
 
+def _q_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination
+    (operators/decontaminate.py::flag_benchmark_near_overlap): the
+    benchmark is a LIGHTLY PARAPHRASED 140-char slice of every 25th doc
+    (every ``" table "`` rewritten to ``" desk "`` -- killing every
+    exact gram crossing it, which is precisely what the exact-gram
+    operators cannot see), the corpus is all documents, and a doc is
+    reported when >= 40% of a bench row's distinct char-14-grams appear
+    in it.  The Spark side runs the full production path -- windowed
+    MinHash-LSH candidates (280-char windows, stride 70, 64 bands x 2
+    rows) + exact containment verify; the DuckDB twin computes brute
+    recall-1 containment over all pairs, so the live hash match also
+    certifies LSH recall 1.0 at this geometry/scale (deterministic:
+    fixed-seed hash family).  k=14 because the template-generated
+    fixture shares short boilerplate across docs (same reason
+    ``decontam_overlap`` uses k=20): at the 0.4 threshold the fixture
+    separates cleanly -- true pairs (seeds + genuine near-copies) sit
+    >= 0.55, noise <= 0.19."""
+    from sumi_agent_spark.operators.decontaminate import (
+        flag_benchmark_near_overlap)
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.length("text") >= 60).select("doc_id", "text"))
+    bench = (docs.filter(F.col("doc_id") % 25 == 0)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.replace(F.substring("text", 21, 140),
+                               F.lit(" table "),
+                               F.lit(" desk ")).alias("text")))
+    return (flag_benchmark_near_overlap(
+                docs, "doc_id", "text", bench, "bench_id",
+                threshold=0.4, shingle_k=14, n_hashes=128, bands=64,
+                window_chars=280, stride=70)
+            .select("doc_id", "bench_id",
+                    F.col("n_hits").cast("long").alias("n_hits"),
+                    F.floor(F.col("n_hits") * 1e6
+                            / F.col("n_bench_shingles"))
+                     .cast("long").alias("containment_ppm")))
+
+
 def _q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-threshold sampling
     (operators/sampling.py::deterministic_sample): keep ~25% of
@@ -788,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": _q_decontam_overlap,
         "decontam_word_overlap": _q_decontam_word_overlap,
         "decontam_report": _q_decontam_report,
+        "decontam_fuzzy": _q_decontam_fuzzy,
         "sample_fraction": _q_sample_fraction,
         "stratified_topn": _q_stratified_topn,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -1272,6 +1311,35 @@ def oracle_sql() -> dict[str, str]:
             FROM dg JOIN bg USING (g) JOIN nb USING (bench_id)
             GROUP BY dg.doc_id, bg.bench_id
             HAVING count(*) >= 1
+        """,
+        "decontam_fuzzy": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE length(text) >= 60),
+            bench AS (
+              SELECT doc_id AS bench_id,
+                     replace(substr(text, 21, 140),
+                             ' table ', ' desk ') AS btext
+              FROM corpus WHERE doc_id % 25 = 0),
+            bg AS (
+              SELECT bench_id, unnest(list_distinct(list_transform(
+                       range(1, length(btext) - 12),
+                       i -> substr(btext, i, 14)))) AS g
+              FROM bench WHERE length(btext) >= 14),
+            nb AS (SELECT bench_id, count(*) AS n FROM bg
+                   GROUP BY bench_id),
+            dg AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, length(text) - 12),
+                       i -> substr(text, i, 14)))) AS g
+              FROM corpus)
+            SELECT dg.doc_id, bg.bench_id,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(floor(count(*) * 1000000.0
+                              / any_value(nb.n)) AS BIGINT)
+                     AS containment_ppm
+            FROM dg JOIN bg USING (g) JOIN nb USING (bench_id)
+            GROUP BY dg.doc_id, bg.bench_id
+            HAVING count(*) * 1.0 / any_value(nb.n) >= 0.4
         """,
         "decontam_word_overlap": r"""
             WITH corpus AS (

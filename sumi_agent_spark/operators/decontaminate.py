@@ -322,3 +322,170 @@ def contaminated_keys(
                                    bench_text_col, k, min_hits, broadcast,
                                    ngrams)
     return flags.filter("contaminated").select(id_col)
+
+
+def _window_texts(df: DataFrame, id_col: str, text_col: str,
+                  window_chars: int, stride: int) -> DataFrame:
+    """Explode each doc into overlapping char windows, JVM-side.
+
+    ``(_did, _wtext)`` rows: window starts are ``1, 1+stride, ...`` up to
+    ``len - window + 1``, plus that exact tail start (``array_distinct``
+    collapses the overlap) so the final characters are always covered by
+    one FULL window -- a benchmark quote at the very end of a doc must
+    not see only a truncated window.  ``sequence``/``substr`` are
+    whole-stage-codegen expressions; no Python runs here, and window text
+    is materialized only inside the signature UDF's Arrow batches, never
+    shuffled (the banded rows that leave the stage are narrow)."""
+    n = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    last = F.greatest(n - F.lit(window_chars) + F.lit(1), F.lit(1))
+    starts = F.array_distinct(F.concat(
+        F.sequence(F.lit(1), last, F.lit(stride)), F.array(last)))
+    return (df.select(F.col(id_col).alias("_did"),
+                      F.explode(starts).alias("_pos"),
+                      F.col(text_col).alias("_t"))
+            .select("_did",
+                    F.col("_t").substr(F.col("_pos"),
+                                       F.lit(window_chars)).alias("_wtext")))
+
+
+def flag_benchmark_near_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark_df: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str | None = None,
+    threshold: float = 0.5,
+    shingle_k: int = 7,
+    n_hashes: int = 128,
+    band_threshold: float = 0.25,
+    bands: int | None = None,
+    window_chars: int = 400,
+    stride: int | None = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """FUZZY decontamination: per-(doc, benchmark-row) shingle
+    containment via windowed MinHash-LSH candidates + exact verify.
+
+    Closes the paraphrase hole :func:`flag_benchmark_overlap` documents:
+    exact long-gram matching misses a lightly reworded eval row (one
+    changed word kills every k-gram crossing it), while SHORT shingles
+    (default 7 chars) mostly survive a light paraphrase -- but a short
+    gram is too common to probe as a broadcast hash set (most docs share
+    many 7-grams with any same-language benchmark, so the "hit stream is
+    rare" property that makes the exact probe map-side collapses).  The
+    fix is LSH candidate generation first, containment verify second:
+
+    1. each benchmark row is MinHash-signed and banded; the banded rows
+       BROADCAST (eval suites are MBs);
+    2. each corpus doc explodes into overlapping ``window_chars`` char
+       windows (stride default ``window_chars // 4``; see
+       :func:`_window_texts`) and each WINDOW is signed with the same
+       geometry.  Windows, not whole docs, because LSH banding is
+       jaccard-shaped: a short eval row quoted inside a long doc has
+       tiny doc-level jaccard no matter how completely it is contained,
+       but window-level jaccard ~ ``L / (W + L)``-scaled survival, which
+       the band geometry can catch.  An eval row of length
+       ``L <= window_chars - stride`` is fully inside at least one
+       window;
+    3. window bands probe the broadcast bench bands map-side (no corpus
+       shuffle); the only shuffled rows are DISTINCT candidate
+       ``(doc, bench-row)`` id pairs, rare by construction;
+    4. exact verify on candidates only: ``containment =
+       |shingles(bench-row) ∩ shingles(doc)| / |shingles(bench-row)|``
+       over the FULL doc's shingle set (PaLM-style asymmetric statistic,
+       same convention as :func:`benchmark_overlap_report`), keeping
+       pairs ``>= threshold``.
+
+    Returns ``(<id_col>, <bench_id_col>, n_hits, n_bench_shingles,
+    containment)``.  Recall is the LSH S-curve over window jaccard
+    compounded across the covering windows -- for a quote with gram
+    survival ``c`` (1.0 = verbatim) in a ``window_chars = 2L`` window,
+    window jaccard is roughly ``c / (3 - c)``; size ``bands`` (default:
+    ``resolve_bands(band_threshold, n_hashes)``; explicit ``bands=64``
+    with 128 hashes = 2-row bands) so that value sits right of the
+    S-curve midpoint.  :func:`benchmark_containment_brute` is the
+    recall-1 oracle to validate a geometry against on a sample.
+    ``id_col``/``bench_id_col`` keys must be unique (shared requirement
+    of every keyed operator here)."""
+    from .dedup import _banded, make_minhash_udf, resolve_bands
+
+    bench_text_col = bench_text_col or text_col
+    stride = stride or max(window_chars // 4, 1)
+    bands = resolve_bands(band_threshold, n_hashes, bands)
+    sig = make_minhash_udf(n_hashes, shingle_k)
+    shingle = make_shingle_udf(shingle_k)
+
+    bench = benchmark_df.select(F.col(bench_id_col).alias("_bid"),
+                                F.col(bench_text_col).alias("_btext"))
+    bench_banded = (_banded(bench.select(F.col("_bid").alias("doc_id"),
+                                         sig("_btext").alias("sig")),
+                            "doc_id", bands)
+                    .withColumnRenamed("doc_id", "_bid"))
+    if broadcast:
+        bench_banded = F.broadcast(bench_banded)
+
+    windows = _window_texts(df, id_col, text_col, window_chars, stride)
+    wbanded = _banded(windows.select(F.col("_did").alias("doc_id"),
+                                     sig("_wtext").alias("sig")),
+                      "doc_id", bands)
+    cand = (wbanded.join(bench_banded, ["band", "band_key"])
+            .select(F.col("doc_id").alias("_did"), "_bid")
+            .distinct())
+
+    doc_sh = (df.select(F.col(id_col).alias("_did"),
+                        F.col(text_col).alias("_t"))
+              .join(cand.select("_did").distinct(), "_did", "left_semi")
+              .select("_did", shingle("_t").alias("_dsh")))
+    bench_sh = bench.select("_bid", shingle("_btext").alias("_bsh"))
+    if broadcast:
+        bench_sh = F.broadcast(bench_sh)
+    inter = F.size(F.array_intersect("_dsh", "_bsh"))
+    return (cand.join(doc_sh, "_did").join(bench_sh, "_bid")
+            .select("_did", "_bid",
+                    inter.cast("long").alias("n_hits"),
+                    F.size("_bsh").cast("long").alias("n_bench_shingles"))
+            .withColumn("containment",
+                        F.col("n_hits") / F.col("n_bench_shingles"))
+            .filter(F.col("containment") >= F.lit(float(threshold)))
+            .withColumnRenamed("_did", id_col)
+            .withColumnRenamed("_bid", bench_id_col))
+
+
+def benchmark_containment_brute(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark_df: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str | None = None,
+    threshold: float = 0.5,
+    shingle_k: int = 7,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Recall-1 oracle for :func:`flag_benchmark_near_overlap`: the same
+    exact-containment verify over EVERY (doc, benchmark-row) pair, no
+    candidate generation.  O(|df| x |benchmark|) array intersections --
+    fine for tests, geometry validation on a sample, or a small corpus;
+    NOT the 100 TB path (that is the windowed-LSH operator).  Same
+    output schema and values: on any input where the LSH pass achieves
+    full recall the two results are identical."""
+    bench_text_col = bench_text_col or text_col
+    shingle = make_shingle_udf(shingle_k)
+    doc_sh = df.select(F.col(id_col).alias("_did"),
+                       shingle(F.col(text_col)).alias("_dsh"))
+    bench_sh = benchmark_df.select(
+        F.col(bench_id_col).alias("_bid"),
+        shingle(F.col(bench_text_col)).alias("_bsh"))
+    if broadcast:
+        bench_sh = F.broadcast(bench_sh)
+    inter = F.size(F.array_intersect("_dsh", "_bsh"))
+    return (doc_sh.crossJoin(bench_sh)
+            .select("_did", "_bid",
+                    inter.cast("long").alias("n_hits"),
+                    F.size("_bsh").cast("long").alias("n_bench_shingles"))
+            .withColumn("containment",
+                        F.col("n_hits") / F.col("n_bench_shingles"))
+            .filter(F.col("containment") >= F.lit(float(threshold)))
+            .withColumnRenamed("_did", id_col)
+            .withColumnRenamed("_bid", bench_id_col))

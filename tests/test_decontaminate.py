@@ -482,3 +482,91 @@ def test_pipeline_decontam_conversation_scope_null_conv(spark, tmp_path):
     got = spark.read.parquet(out).toPandas()
     assert list(got["conv_id"]) == ["c2"]  # the whole NULL conv dropped
     assert stats["n_contaminated_dropped"] == 1
+
+
+# ─── fuzzy (windowed-LSH + containment) decontamination ───
+
+EVAL_Q = ("a farmer has seventeen sheep and all but nine of them wander "
+          "away through the broken fence one stormy evening so how many "
+          "sheep does the farmer still have grazing in the muddy field")
+
+
+def _fuzzy_fixture(spark):
+    """One doc quoting a lightly PARAPHRASED eval row mid-text, one
+    unrelated doc, one doc quoting a different eval row verbatim."""
+    para = (EVAL_Q.replace("sheep", "goats").replace("wander", "stray")
+            .replace("evening", "night").replace("field", "meadow"))
+    d1 = ("intro text about agricultural word problems follows here "
+          + para + " and then a long trailing discussion of the answer "
+          "with worked arithmetic steps explained for students")
+    d2 = ("a completely unrelated page about distributed query engines, "
+          "shuffle partitioning, broadcast joins and adaptive execution "
+          "with no farm animals anywhere in the running text at all")
+    q2 = ("what is the capital city of the ancient kingdom described in "
+          "the previous passage and in which century was it founded")
+    d3 = "quiz dump: " + q2 + " answer key follows below the fold"
+    docs = spark.createDataFrame(
+        [("d1", d1), ("d2", d2), ("d3", d3)], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [("q1", EVAL_Q), ("q2", q2)], ["bench_id", "text"])
+    return docs, bench
+
+
+def test_fuzzy_flags_paraphrase_not_unrelated(spark):
+    """At the SAME containment-0.6 decontam rule, exact 13-grams miss
+    the four-word-reworded quote (each changed word kills every long
+    gram crossing it) while 7-gram fuzzy containment degrades gracefully
+    and flags it -- and the unrelated doc stays clean under both."""
+    from sumi_agent_spark.operators.decontaminate import (
+        benchmark_overlap_report, flag_benchmark_near_overlap)
+
+    docs, bench = _fuzzy_fixture(spark)
+    exact = {(r.doc_id, r.bench_id) for r in benchmark_overlap_report(
+        docs, "doc_id", "text", bench, "bench_id", k=13,
+        min_containment=0.6).collect()}
+    assert ("d1", "q1") not in exact  # the paraphrase hole, demonstrated
+    assert ("d3", "q2") in exact      # verbatim quote: exact still works
+
+    got = flag_benchmark_near_overlap(
+        docs, "doc_id", "text", bench, "bench_id",
+        threshold=0.6, shingle_k=7, window_chars=240, stride=60)
+    pairs = {(r.doc_id, r.bench_id): r.containment for r in got.collect()}
+    assert ("d1", "q1") in pairs and pairs[("d1", "q1")] >= 0.6
+    assert ("d3", "q2") in pairs and pairs[("d3", "q2")] >= 0.9
+    assert not any(d == "d2" for d, _ in pairs)
+
+
+def test_fuzzy_matches_brute_oracle(spark):
+    """On the fixture the LSH pass has full recall: result == the
+    recall-1 brute kernel, schema and values."""
+    from sumi_agent_spark.operators.decontaminate import (
+        benchmark_containment_brute, flag_benchmark_near_overlap)
+
+    docs, bench = _fuzzy_fixture(spark)
+    kw = dict(threshold=0.5, shingle_k=7)
+    lsh = flag_benchmark_near_overlap(
+        docs, "doc_id", "text", bench, "bench_id",
+        window_chars=240, stride=60, **kw)
+    brute = benchmark_containment_brute(
+        docs, "doc_id", "text", bench, "bench_id", **kw)
+    as_set = lambda df: {(r.doc_id, r.bench_id, r.n_hits,  # noqa: E731
+                          r.n_bench_shingles) for r in df.collect()}
+    assert as_set(lsh) == as_set(brute)
+    assert lsh.columns == brute.columns
+
+
+def test_fuzzy_quote_at_tail_is_covered(spark):
+    """A quote ending exactly at the doc's last character is caught: the
+    explicit tail window start guarantees one FULL window covers it."""
+    from sumi_agent_spark.operators.decontaminate import (
+        flag_benchmark_near_overlap)
+
+    doc = ("a very long preamble of entirely unrelated prose that rambles "
+           "about storage engines and columnar formats for a while before "
+           "the quote arrives " * 3) + EVAL_Q  # quote flush at the end
+    docs = spark.createDataFrame([("d1", doc)], ["doc_id", "text"])
+    bench = spark.createDataFrame([("q1", EVAL_Q)], ["bench_id", "text"])
+    got = flag_benchmark_near_overlap(
+        docs, "doc_id", "text", bench, "bench_id",
+        threshold=0.9, shingle_k=7, window_chars=240, stride=60)
+    assert [(r.doc_id, r.bench_id) for r in got.collect()] == [("d1", "q1")]
