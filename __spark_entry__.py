@@ -798,6 +798,30 @@ def _q_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "doc_id"))
 
 
+# token-budget mixture: shares shared verbatim by the Spark query and the
+# DuckDB twin builder (one definition, zero drift)
+TOKEN_MIX_SHARES = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125,
+                    "zh": 0.125}
+TOKEN_MIX_SEED = 5
+
+
+def _q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling
+    (operators/sampling.py::token_budget_sample): sample ``documents``
+    toward a target per-language TOKEN mix (n_chars as the token proxy)
+    at the max feasible budget -- per-stratum keep fractions derived
+    from one token aggregate, selection by the shared md5 hash compared
+    NUMERICALLY on a 60-bit prefix so the DuckDB twin recomputes the
+    exact thresholds from the same aggregate (floats: one multiply, one
+    divide, one floor -- bit-identical IEEE steps in both engines)."""
+    from sumi_agent_spark.operators.sampling import token_budget_sample
+    docs = _t(spark, sf_dir, "documents")
+    out, _ = token_budget_sample(
+        docs, "lang", TOKEN_MIX_SHARES, ["doc_id"], "n_chars",
+        total_tokens=None, seed=TOKEN_MIX_SEED)
+    return out.select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_hash": _q_normalize_hash,
@@ -829,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_fuzzy": _q_decontam_fuzzy,
         "sample_fraction": _q_sample_fraction,
         "stratified_topn": _q_stratified_topn,
+        "token_budget_mix": _q_token_budget_mix,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_stats": _q_winnow_stats,
         "scrub_docs": _q_scrub_docs,
@@ -1090,6 +1115,42 @@ def _load_pins() -> dict[str, str]:
             if not name.startswith("_")}
 
 
+def _token_budget_twin_sql() -> str:
+    """DuckDB twin of the token-budget mixture: recomputes the
+    per-language thresholds from the SAME aggregate with the SAME float
+    steps (int-exact sums cast to double; one multiply, one divide, one
+    floor against the 60-bit prefix space -- IEEE-identical to the
+    operator's Python), then compares the md5 prefix NUMERICALLY via
+    DuckDB's hex-string cast.  Shares come from ``normalize_shares``
+    over the shared ``TOKEN_MIX_SHARES`` constant -- the twin can never
+    drift from the Spark side's normalization."""
+    from sumi_agent_spark.operators.sampling import (
+        _PREFIX_DIGITS, _PREFIX_SPACE, normalize_shares)
+    norm = normalize_shares(TOKEN_MIX_SHARES)
+    vals = ", ".join(f"('{k}', {v!r})" for k, v in norm.items() if v > 0)
+    seed_s = str(TOKEN_MIX_SEED)
+    v = "CAST(doc_id AS VARCHAR)"
+    enc = (f"CASE WHEN {v} IS NULL THEN 'n:' "
+           f"ELSE CONCAT(length({v}), ':', {v}) END")
+    h = f"md5(CONCAT({enc}, '{len(seed_s)}:{seed_s}'))"
+    return f"""
+        WITH sh(lang, s) AS (VALUES {vals}),
+        avail AS (
+          SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS a
+          FROM documents GROUP BY lang),
+        b AS (SELECT min(a / s) AS budget
+              FROM avail JOIN sh USING (lang)),
+        thr AS (
+          SELECT lang,
+                 CAST(floor(least(1.0, (b.budget * s) / a)
+                            * {float(_PREFIX_SPACE)!r}) AS BIGINT) AS t
+          FROM avail JOIN sh USING (lang), b)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN thr USING (lang)
+        WHERE ('0x' || substr({h}, 1, {_PREFIX_DIGITS}))::BIGINT < thr.t
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     _sample_frac_sql, _sample_topn_sql = _sampling_twin_sqls()
     email = _sq(EMAIL_RE)
@@ -1261,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "toxicity_score": _toxicity_twin_sql(),
         "sample_fraction": _sample_frac_sql,
         "stratified_topn": _sample_topn_sql,
+        "token_budget_mix": _token_budget_twin_sql(),
         "decontam_overlap": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents WHERE length(text) >= 20),

@@ -154,3 +154,116 @@ def stratified_sample_n(
     return (df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= F.lit(int(n)))
             .drop("_rk"))
+
+
+_PREFIX_DIGITS = 15   # 60-bit numeric prefix: fits BIGINT in every engine
+_PREFIX_SPACE = 16 ** _PREFIX_DIGITS
+
+
+def normalize_shares(shares: dict) -> dict:
+    """Validate + normalize a ``{stratum: share}`` dict to sum 1.0.
+
+    Exposed (rather than inlined in :func:`token_budget_sample`) because
+    an auditing twin must reproduce the exact same float division when
+    recomputing thresholds -- one shared definition, zero drift."""
+    if not shares:
+        raise ValueError("shares must be a non-empty {stratum: share} dict")
+    if any(v < 0 for v in shares.values()):
+        raise ValueError(f"shares must be non-negative, got {shares}")
+    tot = float(sum(shares.values()))
+    if tot <= 0:
+        raise ValueError(f"shares must sum to a positive value: {shares}")
+    return {k: float(v) / tot for k, v in shares.items()}
+
+
+def token_budget_sample(
+    df: DataFrame,
+    stratum_col: str,
+    shares: dict,
+    key_cols: list[str],
+    token_col: str,
+    total_tokens: int | None = None,
+    seed: int = 0,
+) -> tuple[DataFrame, dict]:
+    """Sample toward a TARGET TOKEN MIXTURE: ``shares`` maps stratum
+    value (e.g. source name) to its desired share of the output token
+    mass.  Row-fraction sampling approximates a token mix badly when doc
+    lengths differ by source (a 10%-of-rows sample of a long-doc source
+    is not 10% of its tokens); this derives per-stratum keep FRACTIONS
+    from token totals instead.
+
+    Two passes: (1) one small aggregate computes each stratum's
+    available tokens ``a_i`` (driver receives one row per stratum --
+    bounded metadata, like every other lineage probe here); (2) the data
+    path applies :func:`deterministic_sample`'s hash rule per stratum
+    with fraction ``f_i = min(1, T*s_i / a_i)`` -- a single codegen'd
+    filter, ZERO shuffle.  ``T`` is ``total_tokens``, or when ``None``
+    the largest feasible budget: ``min_i(a_i / s_i)``, the point where
+    the scarcest stratum is consumed whole (PaLM/Llama mixtures
+    oversample scarce high-quality sources exactly this way).
+    ``shares`` are normalized to sum 1.  Expected realized tokens per
+    stratum are ``f_i * a_i ~= T * s_i``; the error is binomial over
+    docs, so the realized MIX tightens as strata grow -- at training
+    scale it is exact for all practical purposes.
+
+    Selection rule: the first ``_PREFIX_DIGITS`` hex digits of the
+    shared md5 selection hash, READ AS AN INTEGER, must fall below
+    ``floor(f_i * 16^15)`` -- numeric, not the 28-hex-string compare of
+    :func:`deterministic_sample`, because here fractions are
+    data-dependent and an auditing engine must recompute the exact
+    thresholds from the same aggregate; integer-vs-integer comparison
+    over a 60-bit prefix is expressible in any SQL dialect
+    (``('0x' || substr(md5, 1, 15))::BIGINT`` in DuckDB -- the driver
+    twin does exactly this), while cross-engine hex FORMATTING of a
+    112-bit threshold is not.  60-bit resolution (~9e-19) is far below
+    binomial noise.  Same hash, same monotone rule => samples are
+    NESTED across budgets at one seed, and membership is
+    partitioning/rerun/engine-invariant as everywhere in this module.
+
+    Rows whose stratum is missing from ``shares`` (or NULL) are NOT
+    part of the requested mixture and are dropped.  A stratum requested
+    with a positive share but absent from ``df`` raises (the mixture is
+    unsatisfiable -- deciding to ship a skewed mix anyway should be an
+    explicit caller edit, not a silent renormalization).
+
+    Returns ``(sampled_df, info)`` where ``info`` carries the budget
+    and per-stratum ``{available_tokens, fraction, threshold}`` for
+    lineage sidecars."""
+    import math
+
+    norm = normalize_shares(shares)
+
+    avail_rows = (df.groupBy(stratum_col)
+                  .agg(F.sum(F.col(token_col)).alias("_a")).collect())
+    avail = {r[stratum_col]: int(r["_a"] or 0) for r in avail_rows}
+    missing = [k for k, s in norm.items()
+               if s > 0 and avail.get(k, 0) <= 0]
+    if missing:
+        raise ValueError(
+            f"strata {missing} have a positive share but no tokens in the "
+            f"input -- the requested mixture is unsatisfiable (drop them "
+            f"from shares to proceed)")
+
+    if total_tokens is None:
+        budget = min(avail[k] / s for k, s in norm.items() if s > 0)
+    else:
+        budget = float(total_tokens)
+
+    strata_info, cond = {}, None
+    prefix = F.conv(
+        F.substring(sample_hash_col(key_cols, seed), 1, _PREFIX_DIGITS),
+        16, 10).cast("long")
+    for k, s in norm.items():
+        if s <= 0:
+            continue
+        # one multiply then one divide, floored against the 60-bit space:
+        # plain IEEE double steps an auditing engine reproduces bit-exactly
+        f = min(1.0, (budget * s) / avail[k])
+        thr = int(math.floor(f * _PREFIX_SPACE))
+        strata_info[k] = {"available_tokens": avail[k], "fraction": f,
+                          "threshold": thr}
+        this = (F.col(stratum_col) == F.lit(k)) & (prefix < F.lit(thr))
+        cond = this if cond is None else (cond | this)
+    info = {"budget_tokens": budget, "seed": int(seed),
+            "strata": strata_info}
+    return df.filter(cond), info

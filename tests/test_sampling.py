@@ -137,3 +137,91 @@ def test_stratified_strict_rejects_duplicate_keys(spark):
         [(None, "x"), (None, "x")], "k int, stratum string")
     with pytest.raises(ValueError, match="uniquely identify"):
         stratified_sample_n(nulls, ["stratum"], 1, ["k"])
+
+
+# ─── token-budget mixture sampling ───
+
+@pytest.fixture(scope="module")
+def mix_table(spark):
+    """Three sources with very different doc lengths: a row-fraction
+    sample would skew the TOKEN mix, which is the point of the op.
+    web: 6000 docs x 100 tok; books: 600 x 2000; code: 1200 x 500."""
+    web = spark.range(6000).select(
+        F.concat(F.lit("w"), F.col("id")).alias("k"),
+        F.lit("web").alias("src"), F.lit(100).alias("toks"))
+    books = spark.range(600).select(
+        F.concat(F.lit("b"), F.col("id")).alias("k"),
+        F.lit("books").alias("src"), F.lit(2000).alias("toks"))
+    code = spark.range(1200).select(
+        F.concat(F.lit("c"), F.col("id")).alias("k"),
+        F.lit("code").alias("src"), F.lit(500).alias("toks"))
+    return web.unionByName(books).unionByName(code)
+
+
+def test_token_budget_realized_shares(spark, mix_table):
+    """Realized token mass per source lands near T*share, even though
+    the per-source ROW fractions differ wildly (that is the operator's
+    reason to exist)."""
+    from sumi_agent_spark.operators.sampling import token_budget_sample
+
+    shares = {"web": 0.5, "books": 0.3, "code": 0.2}
+    out, info = token_budget_sample(
+        mix_table, "src", shares, ["k"], "toks",
+        total_tokens=600_000, seed=3)
+    got = {r["src"]: r["t"] for r in
+           out.groupBy("src").agg(F.sum("toks").alias("t")).collect()}
+    for src, s in shares.items():
+        target = 600_000 * s
+        assert abs(got[src] - target) / target < 0.25, (src, got[src])
+    # fractions genuinely differ per stratum
+    f = {k: v["fraction"] for k, v in info["strata"].items()}
+    assert f["web"] == pytest.approx(300_000 / 600_000)
+    assert f["books"] == pytest.approx(180_000 / 1_200_000)
+    assert f["code"] == pytest.approx(120_000 / 600_000)
+
+
+def test_token_budget_max_feasible_and_nesting(spark, mix_table):
+    """budget=None consumes the scarcest stratum whole; a smaller budget
+    at the same seed selects a SUBSET (nested scaling-law mixes)."""
+    from sumi_agent_spark.operators.sampling import token_budget_sample
+
+    shares = {"web": 0.5, "books": 0.3, "code": 0.2}
+    full, info = token_budget_sample(
+        mix_table, "src", shares, ["k"], "toks", seed=3)
+    # books is scarcest relative to its share: a=1.2M, a/s = 4M vs
+    # web 600k/0.5=1.2M -> web binds: T = 1.2M
+    assert info["budget_tokens"] == pytest.approx(1_200_000)
+    assert info["strata"]["web"]["fraction"] == 1.0
+    small, _ = token_budget_sample(
+        mix_table, "src", shares, ["k"], "toks",
+        total_tokens=300_000, seed=3)
+    assert _keys(small) <= _keys(full)
+
+
+def test_token_budget_determinism_and_unlisted_strata(spark, mix_table):
+    """Membership is partitioning-invariant; rows of a source not in
+    shares are not part of the mixture; an unsatisfiable share raises."""
+    from sumi_agent_spark.operators.sampling import token_budget_sample
+
+    shares = {"web": 0.7, "books": 0.3}
+    a, _ = token_budget_sample(mix_table, "src", shares, ["k"], "toks",
+                               total_tokens=400_000, seed=1)
+    b, _ = token_budget_sample(mix_table.repartition(13), "src", shares,
+                               ["k"], "toks", total_tokens=400_000, seed=1)
+    assert _keys(a) == _keys(b)
+    assert not [r for r in a.select("src").distinct().collect()
+                if r["src"] == "code"]
+    with pytest.raises(ValueError, match="unsatisfiable"):
+        token_budget_sample(mix_table, "src",
+                            {"web": 0.5, "papers": 0.5}, ["k"], "toks")
+
+
+def test_token_budget_data_path_has_no_shuffle(spark, mix_table):
+    """The aggregate pass is a separate job; the returned data path is
+    one codegen'd filter -- no Exchange."""
+    from sumi_agent_spark.operators.sampling import token_budget_sample
+
+    out, _ = token_budget_sample(mix_table, "src", {"web": 1.0}, ["k"],
+                                 "toks", total_tokens=100_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
