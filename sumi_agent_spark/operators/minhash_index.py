@@ -854,6 +854,37 @@ def minhash_grouped_index_bucket_audit(
     return bucket_cap_stats(sizes, max_bucket_size)
 
 
+def _compact_index(spark: SparkSession, src_path: str, dst_path: str,
+                   granularity: str) -> dict:
+    """Shared compaction body: rewrite an index's RESOLVED state
+    (per-key latest epoch) as a fresh epoch-0 index at ``dst_path``.
+    The doc and group layouts resolve identically -- the shingle store
+    is ``(doc_id, sh)`` rows either way (``sh`` an array for docs, a
+    scalar for groups), and resolution is a per-key max-epoch filter."""
+    if dst_path.rstrip("/") == src_path.rstrip("/"):
+        raise ValueError(
+            "compaction writes a NEW index; dst_path must differ from "
+            "src_path (in-place parquet swap is not atomic)")
+    _delete_stale_epoch_markers(spark, dst_path)
+    meta = _read_meta(spark, src_path, expect_granularity=granularity)
+    live = meta["epoch"]
+    (_resolve_latest(_read_epoched(spark, src_path, "shingles", live,
+                                   ["doc_id", "sh"]), "doc_id", live)
+     .write.mode("overwrite").parquet(f"{dst_path}/shingles"))
+    (_resolve_latest(_read_epoched(spark, src_path, "bands", live,
+                                   ["doc_id", "band", "band_key"]),
+                     "doc_id", live)
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(f"{dst_path}/bands"))
+    meta_new = {"n_hashes": meta["n_hashes"], "bands": meta["bands"],
+                "shingle_k": meta["shingle_k"],
+                "threshold": float(meta["threshold"]),
+                "granularity": granularity, "epoch": 0}
+    spark.createDataFrame([meta_new]).write.mode("overwrite").parquet(
+        f"{dst_path}/meta")
+    return meta_new
+
+
 def compact_grouped_index(spark: SparkSession, src_path: str,
                           dst_path: str) -> dict:
     """Rewrite a grouped index's RESOLVED state (per-group latest epoch)
@@ -868,28 +899,16 @@ def compact_grouped_index(spark: SparkSession, src_path: str,
     directories cannot be atomically swapped in place, so the caller
     flips whatever pointer names the live index (and deletes the old
     tree) once this returns."""
-    if dst_path.rstrip("/") == src_path.rstrip("/"):
-        raise ValueError(
-            "compact_grouped_index writes a NEW index; dst_path must "
-            "differ from src_path (in-place parquet swap is not atomic)")
-    _delete_stale_epoch_markers(spark, dst_path)
-    meta = _read_meta(spark, src_path, expect_granularity="group")
-    live = meta["epoch"]
-    (_resolve_latest(_read_epoched(spark, src_path, "shingles", live,
-                                   ["doc_id", "sh"]), "doc_id", live)
-     .write.mode("overwrite").parquet(f"{dst_path}/shingles"))
-    (_resolve_latest(_read_epoched(spark, src_path, "bands", live,
-                                   ["doc_id", "band", "band_key"]),
-                     "doc_id", live)
-     .write.mode("overwrite").partitionBy("band")
-     .parquet(f"{dst_path}/bands"))
-    meta_new = {"n_hashes": meta["n_hashes"], "bands": meta["bands"],
-                "shingle_k": meta["shingle_k"],
-                "threshold": float(meta["threshold"]),
-                "granularity": "group", "epoch": 0}
-    spark.createDataFrame([meta_new]).write.mode("overwrite").parquet(
-        f"{dst_path}/meta")
-    return meta_new
+    return _compact_index(spark, src_path, dst_path, "group")
+
+
+def compact_doc_index(spark: SparkSession, src_path: str,
+                      dst_path: str) -> dict:
+    """Doc-granularity compaction: the :func:`compact_grouped_index`
+    analog for indexes reindexed via :func:`reindex_docs` (same resolved
+    copy-shaped rewrite, same commit discipline, same
+    must-be-a-new-path rule)."""
+    return _compact_index(spark, src_path, dst_path, "doc")
 
 
 def incremental_drop_keys(pairs: DataFrame) -> DataFrame:

@@ -748,6 +748,7 @@ def run_pipeline(
     decontam_ngrams: str = "char",
     decontam_scope: str = "turn",
     decontam_min_containment: Optional[float] = None,
+    decontam_mode: str = "exact",
     min_line_ratio: float = 0.5,
     scrub_transform=scrub_transcripts,
     **scrub_kwargs,
@@ -827,7 +828,12 @@ def run_pipeline(
     containment (:func:`operators.decontaminate.benchmark_overlap_report`):
     a turn is contaminated when >= that fraction of any SINGLE eval
     row's distinct k-grams appear in it, with ``decontam_min_hits`` as
-    an absolute floor.  Lineage sidecar schemas are ADDITIVE across releases
+    an absolute floor.  ``decontam_mode="fuzzy"`` swaps the exact-gram
+    flag for the paraphrase-tolerant windowed-LSH containment rule
+    (:func:`operators.decontaminate.flag_benchmark_near_overlap`):
+    ``decontam_min_containment`` becomes the required verify threshold
+    and ``decontam_k`` the SHORT shingle size (e.g. 7 -- short grams
+    survive a light rewording).  Lineage sidecar schemas are ADDITIVE across releases
     (e.g. r5 added ``ngrams`` to ``_lineage_decontam``): an output
     directory resumed across an upgrade can hold lineage files with and
     without a new column, so audits should read sidecars with
@@ -977,11 +983,42 @@ def run_pipeline(
             raise ValueError(
                 f"decontam_scope must be 'turn' or 'conversation', "
                 f"got {decontam_scope!r}")
+        if decontam_mode not in ("exact", "fuzzy"):
+            raise ValueError(
+                f"decontam_mode must be 'exact' or 'fuzzy', "
+                f"got {decontam_mode!r}")
         from ..operators.decontaminate import (
-            benchmark_overlap_report, contaminated_keys)
+            benchmark_overlap_report, contaminated_keys,
+            flag_benchmark_near_overlap)
         bench_df = spark.read.parquet(decontaminate_against)
         keyed = df.withColumn("_ck", F.struct("conv_id", "turn_idx"))
-        if decontam_min_containment is not None:
+        if decontam_mode == "fuzzy":
+            # paraphrase-tolerant rule: windowed MinHash-LSH candidates +
+            # short-shingle containment verify (flag_benchmark_near_
+            # overlap).  decontam_k is the SHINGLE size here -- keep it
+            # SHORT (operator default 7): short grams survive a light
+            # rewording, which is the whole point; decontam_min_
+            # containment is the required verify threshold.  Word grams
+            # have no fuzzy variant (the windowing is char-positional).
+            if decontam_min_containment is None:
+                raise ValueError(
+                    "decontam_mode='fuzzy' requires "
+                    "decontam_min_containment (the containment verify "
+                    "threshold)")
+            if decontam_ngrams != "char":
+                raise ValueError(
+                    "decontam_mode='fuzzy' supports char shingles only "
+                    f"(got ngrams={decontam_ngrams!r})")
+            bench_ided = bench_df.withColumn(
+                "_bid", F.md5(F.coalesce(F.col(decontam_text_col),
+                                         F.lit(""))))
+            rep = flag_benchmark_near_overlap(
+                keyed, "_ck", "text", bench_ided, "_bid",
+                bench_text_col=decontam_text_col,
+                threshold=float(decontam_min_containment),
+                shingle_k=int(decontam_k))
+            flagged = rep.select("_ck").distinct()
+        elif decontam_min_containment is not None:
             # PaLM-style rule: flag a turn when >= this fraction of ANY
             # single benchmark row's distinct k-grams appear in it --
             # per-row containment needs the attribution report, not the
@@ -1040,6 +1077,7 @@ def run_pipeline(
                   "min_containment": (float(decontam_min_containment)
                                       if decontam_min_containment
                                       is not None else None),
+                  "mode": decontam_mode,
                   "benchmark_path": decontaminate_against}
         # explicit schema: min_containment is NULL when the hit-count
         # rule is active, and inference cannot type an all-None field
@@ -1047,7 +1085,7 @@ def run_pipeline(
             [dc_row],
             schema="stage string, n_dropped long, k long, min_hits long, "
                    "ngrams string, scope string, min_containment double, "
-                   "benchmark_path string",
+                   "mode string, benchmark_path string",
         ).write.mode("append").parquet(f"{output_path}/_lineage_decontam")
     if drop_toxic_above is not None:
         from ..operators.toxicity import toxicity_score_col
@@ -1315,6 +1353,13 @@ def add_pipeline_args(ap) -> None:
                     metavar="C", help="PaLM-style rule: flag when >= C of "
                     "any single benchmark row's distinct k-grams appear "
                     "in the turn (default: off = global-set min-hits rule)")
+    ap.add_argument("--decontam-mode", default="exact",
+                    choices=("exact", "fuzzy"),
+                    help="exact k-gram matching (default) or fuzzy: "
+                    "windowed MinHash-LSH + short-shingle containment, "
+                    "catching lightly paraphrased eval rows (requires "
+                    "--decontam-min-containment; --decontam-k is the "
+                    "shingle size then -- keep it small, e.g. 7)")
 
 
 def pipeline_kwargs(args) -> dict:
@@ -1345,6 +1390,7 @@ def pipeline_kwargs(args) -> dict:
         decontam_ngrams=args.decontam_ngrams,
         decontam_scope=args.decontam_scope,
         decontam_min_containment=args.decontam_min_containment,
+        decontam_mode=args.decontam_mode,
     )
 
 

@@ -570,3 +570,57 @@ def test_fuzzy_quote_at_tail_is_covered(spark):
         docs, "doc_id", "text", bench, "bench_id",
         threshold=0.9, shingle_k=7, window_chars=240, stride=60)
     assert [(r.doc_id, r.bench_id) for r in got.collect()] == [("d1", "q1")]
+
+
+def test_pipeline_decontam_fuzzy_mode(spark, tmp_path):
+    """decontam_mode='fuzzy': a turn quoting a lightly PARAPHRASED eval
+    row drops (the exact-mode gate keeps it at the same containment
+    bar), a clean turn survives, and the lineage row records the mode."""
+    import datetime as _dt
+
+    from sumi_agent_spark.plans.pipeline import run_pipeline
+
+    ts = _dt.datetime(2025, 1, 1)
+    para = (EVAL_Q.replace("sheep", "goats").replace("wander", "stray")
+            .replace("evening", "night").replace("field", "meadow"))
+    rows = [
+        ("c1", 0, "user", "context before the quote " + para + " and a "
+                          "short trailing remark about the answer", "", ts),
+        ("c2", 0, "user", "a completely unrelated turn about broadcast "
+                          "joins, shuffle partitioning and adaptive "
+                          "query execution in columnar engines", "", ts),
+    ]
+    inp = str(tmp_path / "fz_in.parquet")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").write.parquet(inp)
+    bench_path = str(tmp_path / "fz_bench.parquet")
+    spark.createDataFrame([(EVAL_Q,)], ["text"]).write.parquet(bench_path)
+
+    # exact mode at the same containment bar misses the paraphrase
+    out_e = str(tmp_path / "fz_out_exact")
+    se = run_pipeline(spark, inp, out_e,
+                      decontaminate_against=bench_path,
+                      decontam_k=13, decontam_min_containment=0.6)
+    assert se["n_contaminated_dropped"] == 0
+
+    out = str(tmp_path / "fz_out")
+    stats = run_pipeline(spark, inp, out,
+                         decontaminate_against=bench_path,
+                         decontam_mode="fuzzy", decontam_k=7,
+                         decontam_min_containment=0.6)
+    got = spark.read.parquet(out).toPandas()
+    assert set(got["conv_id"]) == {"c2"}
+    assert stats["n_contaminated_dropped"] == 1
+    side = spark.read.parquet(out + "/_lineage_decontam").toPandas()
+    assert side.iloc[0]["mode"] == "fuzzy"
+
+    with pytest.raises(ValueError, match="min_containment"):
+        run_pipeline(spark, inp, str(tmp_path / "fz_bad"),
+                     decontaminate_against=bench_path,
+                     decontam_mode="fuzzy")
+    with pytest.raises(ValueError, match="char"):
+        run_pipeline(spark, inp, str(tmp_path / "fz_bad2"),
+                     decontaminate_against=bench_path,
+                     decontam_mode="fuzzy", decontam_ngrams="word",
+                     decontam_min_containment=0.6)

@@ -193,3 +193,38 @@ def test_epoch0_doc_read_path_has_no_resolution_window(spark, tmp_path):
         _slice(spark), "doc_id", "text", path)
         ._jdf.queryExecution().optimizedPlan().toString())
     assert "_emax" in plan1
+
+
+def test_compact_doc_index(spark, tmp_path):
+    """Compaction rewrites the resolved doc-index state as a fresh
+    epoch-0 index with identical incremental pairs, drops the reindexed
+    doc's stale epoch-0 rows, and refuses in-place."""
+    from sumi_agent_spark.operators.minhash_index import compact_doc_index
+
+    src = str(tmp_path / "didx")
+    write_minhash_index(_old(spark), "doc_id", "text", src, threshold=0.6)
+    reindex_docs(_changed(spark), "doc_id", "text", src)
+    want = _pairs(minhash_near_duplicates_incremental(
+        _slice(spark), "doc_id", "text", src))
+    assert ("d1", "d100") in want
+
+    dst = str(tmp_path / "didx_compact")
+    meta = compact_doc_index(spark, src, dst)
+    assert meta["epoch"] == 0 and meta["granularity"] == "doc"
+    got = _pairs(minhash_near_duplicates_incremental(
+        _slice(spark), "doc_id", "text", dst))
+    assert got == want
+    # exactly one shingle row per doc survives compaction
+    sh = spark.read.parquet(f"{dst}/shingles").groupBy("doc_id").count()
+    assert {r["count"] for r in sh.collect()} == {1}
+
+    with pytest.raises(ValueError, match="differ"):
+        compact_doc_index(spark, src, src)
+    # granularity guard: doc compaction refuses a grouped index
+    from sumi_agent_spark.operators.minhash_index import (
+        write_grouped_minhash_index)
+    gsrc = str(tmp_path / "gidx")
+    write_grouped_minhash_index(
+        _df(spark, [("g1", T_OLD)]), "doc_id", "text", gsrc, threshold=0.6)
+    with pytest.raises(ValueError, match="granularity"):
+        compact_doc_index(spark, gsrc, str(tmp_path / "gidx_compact"))
