@@ -433,9 +433,15 @@ def flag_benchmark_near_overlap(
             .select(F.col("doc_id").alias("_did"), "_bid")
             .distinct())
 
+    # broadcast the candidate id set: a shuffled semi-join would exchange
+    # the O(corpus) (id, text) stream just to keep the rare flagged docs,
+    # while candidates are small by construction (and the broadcast hint
+    # also sidesteps Spark's zip-partitions assertion when a semi-join
+    # build side shares the signature-UDF subtree with its probe side)
     doc_sh = (df.select(F.col(id_col).alias("_did"),
                         F.col(text_col).alias("_t"))
-              .join(cand.select("_did").distinct(), "_did", "left_semi")
+              .join(F.broadcast(cand.select("_did").distinct()),
+                    "_did", "left_semi")
               .select("_did", shingle("_t").alias("_dsh")))
     bench_sh = bench.select("_bid", shingle("_btext").alias("_bsh"))
     if broadcast:
