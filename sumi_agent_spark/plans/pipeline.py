@@ -740,6 +740,10 @@ def run_pipeline(
     sample_key_cols: Optional[list] = None,
     sample_n_per_stratum: Optional[int] = None,
     sample_strata_cols: Optional[list] = None,
+    sample_token_shares: Optional[dict] = None,
+    sample_token_stratum_col: Optional[str] = None,
+    sample_token_budget: Optional[int] = None,
+    sample_token_col: Optional[str] = None,
     drop_toxic_above: Optional[float] = None,
     decontaminate_against: Optional[str] = None,
     decontam_text_col: str = "text",
@@ -801,7 +805,17 @@ def run_pipeline(
     (duplicate keys fail loudly -- run with ``dedup=True``).  Both run
     BEFORE resume_filter (the stratified keep set depends on the full
     stratum population) and their counts land in the ``_lineage_sample``
-    sidecar.  ``drop_toxic_above`` (e.g. 0.3) drops turns
+    sidecar.  ``sample_token_shares`` + ``sample_token_stratum_col``
+    (e.g. ``{"user": 0.7, "assistant": 0.3}`` over ``role``) sample
+    toward a target per-stratum TOKEN mix instead
+    (operators/sampling.py::token_budget_sample): per-stratum keep
+    fractions derive from one token aggregate at ``sample_token_budget``
+    total tokens (``None`` = max feasible); ``sample_token_col`` names a
+    precomputed token-count column, default = ``length(text)`` as the
+    char proxy.  Runs BEFORE resume_filter too -- the fractions are an
+    aggregate of the FULL input, so a resumed run recomputes the same
+    thresholds and the same membership; counts land in the
+    ``_lineage_token_mix`` sidecar.  ``drop_toxic_above`` (e.g. 0.3) drops turns
     whose lexicon toxicity score exceeds the threshold, also pre-scrub so
     toxic turns never pay detection cost (operators/toxicity.py; NULL text
     scores 0 and is never dropped by this gate).
@@ -969,6 +983,49 @@ def run_pipeline(
                    "strata_cols string, rows_in long, rows_kept long, "
                    "n_dropped long",
         ).write.mode("append").parquet(f"{output_path}/_lineage_sample")
+    if sample_token_shares is not None:
+        # token-budget mixture gate: like the row-sampling gate it sits
+        # BEFORE resume_filter -- the per-stratum fractions are an
+        # aggregate of the FULL input, so a resumed run derives the same
+        # thresholds and membership stays a pure function of key + seed
+        if not sample_token_stratum_col:
+            raise ValueError(
+                "sample_token_shares requires sample_token_stratum_col "
+                "(the column whose values the shares key on)")
+        import json as _json
+
+        from ..operators.sampling import token_budget_sample
+        tok = (F.col(sample_token_col) if sample_token_col
+               else F.length(F.coalesce(F.col("text"), F.lit(""))))
+        keyed_tok = df.withColumn("_tok", tok)
+        sp_keys = (list(sample_key_cols) if sample_key_cols
+                   else ["conv_id", "turn_idx"])
+        tm_in = keyed_tok.count()
+        sampled, tm_info = token_budget_sample(
+            keyed_tok, sample_token_stratum_col, sample_token_shares,
+            sp_keys, "_tok", total_tokens=sample_token_budget,
+            seed=int(sample_seed))
+        df = sampled.drop("_tok")
+        tm_kept = df.count()
+        tm_row = {"stage": "sample_token_mix",
+                  "stratum_col": sample_token_stratum_col,
+                  "shares": _json.dumps(sample_token_shares,
+                                        sort_keys=True),
+                  "budget_tokens": float(tm_info["budget_tokens"]),
+                  "seed": int(sample_seed),
+                  "key_cols": ",".join(sp_keys),
+                  "token_col": sample_token_col,
+                  "strata": _json.dumps(tm_info["strata"],
+                                        sort_keys=True),
+                  "rows_in": tm_in, "rows_kept": tm_kept,
+                  "n_dropped": tm_in - tm_kept}
+        spark.createDataFrame(
+            [tm_row],
+            schema="stage string, stratum_col string, shares string, "
+                   "budget_tokens double, seed long, key_cols string, "
+                   "token_col string, strata string, rows_in long, "
+                   "rows_kept long, n_dropped long",
+        ).write.mode("append").parquet(f"{output_path}/_lineage_token_mix")
     if resume:
         df = resume_filter(df, output_path)
     dc_drops = None
@@ -1232,6 +1289,9 @@ def run_pipeline(
         stats["n_contaminated_dropped"] = n_contam
     if sample_fraction is not None or sample_n_per_stratum is not None:
         stats["n_sample_dropped"] = sp_row["n_dropped"]
+    if sample_token_shares is not None:
+        stats["n_token_mix_dropped"] = tm_row["n_dropped"]
+        stats["token_mix_budget"] = tm_row["budget_tokens"]
     return stats
 
 
@@ -1353,6 +1413,19 @@ def add_pipeline_args(ap) -> None:
                     metavar="C", help="PaLM-style rule: flag when >= C of "
                     "any single benchmark row's distinct k-grams appear "
                     "in the turn (default: off = global-set min-hits rule)")
+    ap.add_argument("--sample-token-shares", default=None, metavar="JSON",
+                    help="token-budget mixture gate: JSON dict of "
+                    "{stratum value: target token share} (requires "
+                    "--sample-token-stratum-col)")
+    ap.add_argument("--sample-token-stratum-col", default=None,
+                    help="column whose values --sample-token-shares keys "
+                    "on (e.g. role)")
+    ap.add_argument("--sample-token-budget", type=int, default=None,
+                    metavar="N", help="total token budget for the mixture "
+                    "(default: largest feasible)")
+    ap.add_argument("--sample-token-col", default=None,
+                    help="precomputed token-count column (default: "
+                    "length(text) as the char proxy)")
     ap.add_argument("--decontam-mode", default="exact",
                     choices=("exact", "fuzzy"),
                     help="exact k-gram matching (default) or fuzzy: "
@@ -1391,6 +1464,12 @@ def pipeline_kwargs(args) -> dict:
         decontam_scope=args.decontam_scope,
         decontam_min_containment=args.decontam_min_containment,
         decontam_mode=args.decontam_mode,
+        sample_token_shares=(__import__("json").loads(
+            args.sample_token_shares) if args.sample_token_shares
+            else None),
+        sample_token_stratum_col=args.sample_token_stratum_col,
+        sample_token_budget=args.sample_token_budget,
+        sample_token_col=args.sample_token_col,
     )
 
 

@@ -225,3 +225,54 @@ def test_token_budget_data_path_has_no_shuffle(spark, mix_table):
                                  "toks", total_tokens=100_000)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pipeline_token_mix_gate(spark, tmp_path):
+    """run_pipeline(sample_token_shares=...): realized per-role token
+    mass tracks the requested mix, membership is resume-stable (the
+    fractions aggregate the FULL input, before resume_filter), and the
+    _lineage_token_mix sidecar records budget + per-stratum fractions."""
+    import datetime
+    import json
+
+    from sumi_agent_spark.plans.pipeline import run_pipeline
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = []
+    for i in range(300):   # user turns: short
+        rows.append((f"c{i}", 0, "user", "short question " + str(i), "", ts))
+    for i in range(300):   # assistant turns: 10x longer
+        rows.append((f"c{i}", 1, "assistant",
+                     ("a long detailed answer full of text " * 10) + str(i),
+                     "", ts))
+    inp = str(tmp_path / "tm_in.parquet")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").write.parquet(inp)
+
+    out = str(tmp_path / "tm_out")
+    shares = {"user": 0.5, "assistant": 0.5}
+    stats = run_pipeline(spark, inp, out, sample_token_shares=shares,
+                         sample_token_stratum_col="role", sample_seed=11)
+    got = spark.read.parquet(out)
+    # max-feasible budget: user tokens are scarce relative to the 50%
+    # share -> every user turn kept, assistant thinned to user-token mass
+    tok = {r["role"]: r["t"] for r in got.groupBy("role").agg(
+        F.sum(F.length("text")).alias("t")).collect()}
+    assert abs(tok["assistant"] - tok["user"]) / tok["user"] < 0.35
+    side = spark.read.parquet(out + "/_lineage_token_mix").toPandas()
+    assert side.iloc[0]["stage"] == "sample_token_mix"
+    strata = json.loads(side.iloc[0]["strata"])
+    assert strata["user"]["fraction"] == 1.0
+    assert strata["assistant"]["fraction"] < 0.2
+    assert stats["n_token_mix_dropped"] > 0
+
+    # resume writes nothing new: same fractions, same membership
+    s2 = run_pipeline(spark, inp, out, resume=True,
+                      sample_token_shares=shares,
+                      sample_token_stratum_col="role", sample_seed=11)
+    assert s2["rows"] == 0
+
+    with pytest.raises(ValueError, match="stratum_col"):
+        run_pipeline(spark, inp, str(tmp_path / "tm_bad"),
+                     sample_token_shares=shares)
