@@ -57,25 +57,62 @@ from .dedup import (
 def _marker_committed(spark: SparkSession, path: str) -> bool:
     """True iff the parquet directory at ``path`` was fully committed
     (its ``_SUCCESS`` marker exists).  Uses the Hadoop FileSystem API so
-    the check works on whatever store ``index_path`` lives on."""
+    the check works on whatever store ``index_path`` lives on.
+
+    DEPLOYMENT REQUIREMENT: epoch commits are defined by ``_SUCCESS``,
+    so index paths must keep
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=true`` (the
+    default).  A deployment that disables success markers (some
+    object-store committer setups) would make every committed reindex
+    epoch resolve as absent -- readers would silently serve stale
+    epoch-0 signatures, the exact failure the epoch machinery exists to
+    prevent.  :func:`_assert_marker_visible` turns that misconfiguration
+    into a loud error at reindex time; falling back to
+    directory-existence here is NOT an option (a half-written marker
+    directory would then count as committed, reopening the crash
+    window)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(p))
 
 
+def _assert_marker_visible(spark: SparkSession, index_path: str,
+                           epoch: int) -> None:
+    """Post-commit guard run by every reindex: the marker it just wrote
+    must be visible through :func:`_marker_committed`, or the deployment
+    has success markers disabled and every epoch would silently resolve
+    as absent (readers serving stale signatures forever).  One FS check,
+    turning a configuration hazard into an immediate loud error."""
+    if not _marker_committed(spark, f"{index_path}/meta_e{epoch}"):
+        raise RuntimeError(
+            f"epoch marker {index_path}/meta_e{epoch} was written but its "
+            f"_SUCCESS file is not visible -- this store/committer has "
+            f"success markers disabled "
+            f"(mapreduce.fileoutputcommitter.marksuccessfuljobs=false?), "
+            f"which would make every reindex epoch invisible to readers; "
+            f"re-enable success markers for index paths")
+
+
 def _delete_stale_epoch_markers(spark: SparkSession, index_path: str) -> None:
-    """Remove leftover ``meta_e*`` marker directories from a PREVIOUS
-    index at this path.  Runs FIRST in every create: the epoch commit
-    markers are append-only (see :func:`_read_meta`), so a fresh index
-    written over an old reindexed one would otherwise inherit the old
-    markers and resolve a live epoch whose ``bands_eN`` dirs belong to
-    the dead index -- silent corruption.  Deleting before any store is
-    written keeps the crash story clean: a crash after the delete leaves
-    no readable meta, so the create simply re-runs."""
+    """Remove a PREVIOUS index's commit state at this path -- the base
+    ``meta/`` create marker FIRST, then the leftover ``meta_e*`` epoch
+    markers.  Runs first in every create: the epoch markers are
+    append-only (see :func:`_read_meta`), so a fresh index written over
+    an old reindexed one would otherwise inherit the old markers and
+    resolve a live epoch whose ``bands_eN`` dirs belong to the dead
+    index -- silent corruption.  Deletion ORDER is load-bearing: base
+    meta goes first so that a crash anywhere inside the create leaves
+    the old index either fully intact (crash before any delete) or
+    LOUDLY unreadable (meta gone -> ``_read_meta`` raises and the create
+    re-runs) -- never readable-but-silently-reverted to its stale
+    epoch-0 signatures, which is what deleting only the markers first
+    would produce."""
     jvm = spark._jvm
+    fs = (jvm.org.apache.hadoop.fs.Path(index_path)
+          .getFileSystem(spark._jsc.hadoopConfiguration()))
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta"), True)
     glob = jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta_e*")
-    fs = glob.getFileSystem(spark._jsc.hadoopConfiguration())
     for status in fs.globStatus(glob) or []:
         fs.delete(status.getPath(), True)
 
@@ -421,6 +458,7 @@ def reindex_docs(
                 "granularity": "doc", "epoch": new_epoch}
     spark.createDataFrame([meta_new]).write.mode("overwrite").parquet(
         f"{index_path}/meta_e{new_epoch}")
+    _assert_marker_visible(spark, index_path, new_epoch)
     return meta_new
 
 
@@ -607,6 +645,7 @@ def reindex_groups(
     # partial marker, which by definition has no _SUCCESS and is not live)
     spark.createDataFrame([meta_new]).write.mode("overwrite").parquet(
         f"{index_path}/meta_e{new_epoch}")
+    _assert_marker_visible(spark, index_path, new_epoch)
     return meta_new
 
 

@@ -184,6 +184,7 @@ def token_budget_sample(
     token_col: str,
     total_tokens: int | None = None,
     seed: int = 0,
+    allow_short: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Sample toward a TARGET TOKEN MIXTURE: ``shares`` maps stratum
     value (e.g. source name) to its desired share of the output token
@@ -226,16 +227,25 @@ def token_budget_sample(
     unsatisfiable -- deciding to ship a skewed mix anyway should be an
     explicit caller edit, not a silent renormalization).
 
-    Returns ``(sampled_df, info)`` where ``info`` carries the budget
-    and per-stratum ``{available_tokens, fraction, threshold}`` for
-    lineage sidecars."""
+    An EXPLICIT ``total_tokens`` that some stratum cannot fill raises
+    (the realized mix would be silently skewed -- same explicitness
+    policy as the missing-stratum check); ``allow_short=True`` opts
+    into capping that stratum's fraction at 1.0 instead.
+
+    Returns ``(sampled_df, info)`` where ``info`` carries the budget,
+    total ``rows_in``, and per-stratum ``{available_tokens, n_rows,
+    fraction, threshold}`` for lineage sidecars;
+    :func:`token_budget_keep_condition` rebuilds the exact keep
+    predicate from ``info["strata"]`` for counters."""
     import math
 
     norm = normalize_shares(shares)
 
     avail_rows = (df.groupBy(stratum_col)
-                  .agg(F.sum(F.col(token_col)).alias("_a")).collect())
+                  .agg(F.sum(F.col(token_col)).alias("_a"),
+                       F.count(F.lit(1)).alias("_n")).collect())
     avail = {r[stratum_col]: int(r["_a"] or 0) for r in avail_rows}
+    nrows = {r[stratum_col]: int(r["_n"]) for r in avail_rows}
     missing = [k for k, s in norm.items()
                if s > 0 and avail.get(k, 0) <= 0]
     if missing:
@@ -248,11 +258,27 @@ def token_budget_sample(
         budget = min(avail[k] / s for k, s in norm.items() if s > 0)
     else:
         budget = float(total_tokens)
+        # an explicit budget a stratum cannot fill would silently cap its
+        # fraction at 1.0 and ship a SKEWED mix (the scarce source
+        # under-delivers while the others fill their shares) -- the same
+        # explicitness policy as the missing-stratum check above: raise,
+        # unless the caller opts into the skew with allow_short=True.
+        # Tolerance absorbs the float wobble of a budget derived from
+        # min(a/s) round-tripping through the fraction formula.
+        short = {k: round(budget * sv, 1) for k, sv in norm.items()
+                 if sv > 0 and (budget * sv) / avail[k] > 1.0 + 1e-9}
+        if short and not allow_short:
+            raise ValueError(
+                f"total_tokens={total_tokens} is infeasible: strata "
+                f"{sorted(short)} cannot supply their target token mass "
+                f"(targets {short}, available "
+                f"{ {k: avail[k] for k in sorted(short)} }) -- the "
+                f"realized mix would be silently skewed.  Lower the "
+                f"budget (or pass total_tokens=None for the max feasible "
+                f"one), adjust shares, or pass allow_short=True to "
+                f"accept the skew")
 
-    strata_info, cond = {}, None
-    prefix = F.conv(
-        F.substring(sample_hash_col(key_cols, seed), 1, _PREFIX_DIGITS),
-        16, 10).cast("long")
+    strata_info = {}
     for k, s in norm.items():
         if s <= 0:
             continue
@@ -260,10 +286,31 @@ def token_budget_sample(
         # plain IEEE double steps an auditing engine reproduces bit-exactly
         f = min(1.0, (budget * s) / avail[k])
         thr = int(math.floor(f * _PREFIX_SPACE))
-        strata_info[k] = {"available_tokens": avail[k], "fraction": f,
-                          "threshold": thr}
-        this = (F.col(stratum_col) == F.lit(k)) & (prefix < F.lit(thr))
-        cond = this if cond is None else (cond | this)
+        strata_info[k] = {"available_tokens": avail[k],
+                          "n_rows": nrows.get(k, 0),
+                          "fraction": f, "threshold": thr}
     info = {"budget_tokens": budget, "seed": int(seed),
-            "strata": strata_info}
+            "rows_in": sum(nrows.values()), "strata": strata_info}
+    cond = token_budget_keep_condition(stratum_col, strata_info,
+                                       key_cols, seed)
     return df.filter(cond), info
+
+
+def token_budget_keep_condition(stratum_col: str, strata_info: dict,
+                                key_cols: list[str],
+                                seed: int = 0) -> F.Column:
+    """The boolean keep condition of :func:`token_budget_sample`,
+    reconstructable from its ``info["strata"]`` -- shared by the filter
+    and any lineage counter (``sum(cond.cast("long"))``), the same
+    one-definition discipline as :func:`sample_keep_condition`."""
+    if not strata_info:
+        raise ValueError("strata_info is empty")
+    prefix = F.conv(
+        F.substring(sample_hash_col(key_cols, seed), 1, _PREFIX_DIGITS),
+        16, 10).cast("long")
+    cond = None
+    for k, si in strata_info.items():
+        this = ((F.col(stratum_col) == F.lit(k))
+                & (prefix < F.lit(int(si["threshold"]))))
+        cond = this if cond is None else (cond | this)
+    return cond

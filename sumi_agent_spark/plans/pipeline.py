@@ -531,8 +531,14 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
                      .withColumnRenamed("gid", "conv_id"))
         n_pre = df.join(committed, "conv_id", "left_semi").count()
         if n_pre:  # split identical vs CHANGED re-exports (reindex needed)
-            n_pre_changed = changed_preindexed_gids(
-                df, "conv_id", "text", index_path).count()
+            # counted in TURN ROWS like its n_preindexed_rows_dropped
+            # sibling (one lineage column, one unit) -- the changed-gid
+            # set itself is tiny, the join is a broadcast-sized semi
+            changed_gids = (changed_preindexed_gids(
+                df, "conv_id", "text", index_path)
+                .withColumnRenamed("gid", "conv_id"))
+            n_pre_changed = df.join(F.broadcast(changed_gids), "conv_id",
+                                    "left_semi").count()
         pairs = minhash_near_duplicates_grouped_incremental(
             df, "conv_id", "text", index_path, observation=nd_obs)
         drops = (incremental_drop_keys(pairs)
@@ -805,7 +811,11 @@ def run_pipeline(
     (duplicate keys fail loudly -- run with ``dedup=True``).  Both run
     BEFORE resume_filter (the stratified keep set depends on the full
     stratum population) and their counts land in the ``_lineage_sample``
-    sidecar.  ``sample_token_shares`` + ``sample_token_stratum_col``
+    sidecar.  The fraction gate is resume-stable on ANY input
+    (membership is per-row); the exact-n gate is resume-stable only on
+    IDENTICAL input, so a resume whose input size differs from the
+    original run's (recorded in the sidecar) is refused -- appending a
+    re-ranked top-n over grown input would exceed n per stratum.  ``sample_token_shares`` + ``sample_token_stratum_col``
     (e.g. ``{"user": 0.7, "assistant": 0.3}`` over ``role``) sample
     toward a target per-stratum TOKEN mix instead
     (operators/sampling.py::token_budget_sample): per-stratum keep
@@ -957,6 +967,31 @@ def run_pipeline(
             if sp_rows_in is None:
                 sp_rows_in = int(srow["n_in"])
             sp_rows_kept = int(srow["n_kept"])
+            if resume:
+                # exact-n is a RANK over the full stratum population, so
+                # it is resume-stable only on identical input: on a GROWN
+                # input a resumed run re-ranks, newly-top-n rows are
+                # written while previously-written rows that fell out
+                # stay -- the output would silently exceed n per stratum.
+                # The sidecar already records each run's input size;
+                # refuse the resume when it changed.
+                try:
+                    prior = (spark.read.option("mergeSchema", "true")
+                             .parquet(f"{output_path}/_lineage_sample")
+                             .filter(F.col("n_per_stratum").isNotNull())
+                             .select("rows_in").collect())
+                except Exception:
+                    prior = []
+                bad = [int(r["rows_in"]) for r in prior
+                       if int(r["rows_in"]) != sp_rows_in]
+                if bad:
+                    raise ValueError(
+                        f"sample_n_per_stratum under resume=True requires "
+                        f"the SAME input as the original run (prior run "
+                        f"saw {bad[0]} rows, this run sees {sp_rows_in}): "
+                        f"the rank-n keep set changes on grown input and "
+                        f"the appended output would exceed n per stratum "
+                        f"-- write to a fresh output instead")
             # strict=True: duplicate keys would make the rank-n boundary
             # partitioning-dependent -- fail loudly, pointing at dedup
             df = stratified_sample_n(df, strata,
@@ -994,19 +1029,28 @@ def run_pipeline(
                 "(the column whose values the shares key on)")
         import json as _json
 
-        from ..operators.sampling import token_budget_sample
+        from ..operators.sampling import (
+            token_budget_keep_condition, token_budget_sample)
         tok = (F.col(sample_token_col) if sample_token_col
                else F.length(F.coalesce(F.col("text"), F.lit(""))))
         keyed_tok = df.withColumn("_tok", tok)
         sp_keys = (list(sample_key_cols) if sample_key_cols
                    else ["conv_id", "turn_idx"])
-        tm_in = keyed_tok.count()
         sampled, tm_info = token_budget_sample(
             keyed_tok, sample_token_stratum_col, sample_token_shares,
             sp_keys, "_tok", total_tokens=sample_token_budget,
             seed=int(sample_seed))
         df = sampled.drop("_tok")
-        tm_kept = df.count()
+        # rows_in rides the operator's own stratum aggregate; rows_kept
+        # is one agg over the SAME keep condition the filter uses (the
+        # fraction gate's single-definition pattern) -- no extra full
+        # count passes
+        tm_in = int(tm_info["rows_in"])
+        cond = token_budget_keep_condition(
+            sample_token_stratum_col, tm_info["strata"], sp_keys,
+            int(sample_seed))
+        tm_kept = int(keyed_tok.agg(
+            F.coalesce(F.sum(cond.cast("long")), F.lit(0))).first()[0])
         tm_row = {"stage": "sample_token_mix",
                   "stratum_col": sample_token_stratum_col,
                   "shares": _json.dumps(sample_token_shares,
@@ -1049,6 +1093,11 @@ def run_pipeline(
             flag_benchmark_near_overlap)
         bench_df = spark.read.parquet(decontaminate_against)
         keyed = df.withColumn("_ck", F.struct("conv_id", "turn_idx"))
+        # shared by both per-bench-row branches (fuzzy + containment):
+        # one definition, the two modes cannot drift
+        _bench_ided = bench_df.withColumn(
+            "_bid", F.md5(F.coalesce(F.col(decontam_text_col),
+                                     F.lit(""))))
         if decontam_mode == "fuzzy":
             # paraphrase-tolerant rule: windowed MinHash-LSH candidates +
             # short-shingle containment verify (flag_benchmark_near_
@@ -1066,15 +1115,17 @@ def run_pipeline(
                 raise ValueError(
                     "decontam_mode='fuzzy' supports char shingles only "
                     f"(got ngrams={decontam_ngrams!r})")
-            bench_ided = bench_df.withColumn(
-                "_bid", F.md5(F.coalesce(F.col(decontam_text_col),
-                                         F.lit(""))))
             rep = flag_benchmark_near_overlap(
-                keyed, "_ck", "text", bench_ided, "_bid",
+                keyed, "_ck", "text", _bench_ided, "_bid",
                 bench_text_col=decontam_text_col,
                 threshold=float(decontam_min_containment),
                 shingle_k=int(decontam_k))
-            flagged = rep.select("_ck").distinct()
+            # min_hits applies as an absolute floor exactly as in the
+            # exact containment branch: a tiny eval row hits 100%
+            # containment on a handful of shared short grams otherwise
+            flagged = (rep.filter(F.col("n_hits")
+                                  >= F.lit(int(decontam_min_hits)))
+                       .select("_ck").distinct())
         elif decontam_min_containment is not None:
             # PaLM-style rule: flag a turn when >= this fraction of ANY
             # single benchmark row's distinct k-grams appear in it --
@@ -1087,11 +1138,8 @@ def run_pipeline(
             # deterministic under retries, and duplicate benchmark texts
             # collapsing into one id is exactly right -- their gram sets
             # are identical.
-            bench_ided = bench_df.withColumn(
-                "_bid", F.md5(F.coalesce(F.col(decontam_text_col),
-                                         F.lit(""))))
             rep = benchmark_overlap_report(
-                keyed, "_ck", "text", bench_ided, "_bid",
+                keyed, "_ck", "text", _bench_ided, "_bid",
                 bench_text_col=decontam_text_col,
                 k=int(decontam_k), min_hits=int(decontam_min_hits),
                 ngrams=decontam_ngrams,

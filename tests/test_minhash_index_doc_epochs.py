@@ -228,3 +228,32 @@ def test_compact_doc_index(spark, tmp_path):
         _df(spark, [("g1", T_OLD)]), "doc_id", "text", gsrc, threshold=0.6)
     with pytest.raises(ValueError, match="granularity"):
         compact_doc_index(spark, gsrc, str(tmp_path / "gidx_compact"))
+
+
+def test_recreate_over_reindexed_index_is_clean_or_loud(spark, tmp_path):
+    """Rebuilding an index over a previously-reindexed path must not
+    inherit the dead index's epoch markers (silent corruption), and a
+    create that crashed after clearing commit state must leave the path
+    LOUDLY unreadable -- never readable-but-reverted to stale epoch 0."""
+    from sumi_agent_spark.operators.minhash_index import (
+        _delete_stale_epoch_markers, _read_meta)
+
+    path = str(tmp_path / "didx")
+    write_minhash_index(_old(spark), "doc_id", "text", path, threshold=0.6)
+    reindex_docs(_changed(spark), "doc_id", "text", path)
+    assert _read_meta(spark, path)["epoch"] == 1
+
+    # completed re-create: fresh epoch-0 index, old markers gone
+    fresh = _df(spark, [("n1", ALT)])
+    write_minhash_index(fresh, "doc_id", "text", path, threshold=0.6)
+    meta = _read_meta(spark, path)
+    assert meta["epoch"] == 0
+    assert {r.doc_id for r in
+            _committed_doc_ids(spark, path).collect()} == {"n1"}
+
+    # crash window: commit state cleared, stores not yet rewritten --
+    # the index must fail to read (create re-runs), NOT resolve stale
+    reindex_docs(_df(spark, [("n1", T_NEW)]), "doc_id", "text", path)
+    _delete_stale_epoch_markers(spark, path)  # = crash right after this
+    with pytest.raises(Exception):
+        _read_meta(spark, path)

@@ -276,3 +276,51 @@ def test_pipeline_token_mix_gate(spark, tmp_path):
     with pytest.raises(ValueError, match="stratum_col"):
         run_pipeline(spark, inp, str(tmp_path / "tm_bad"),
                      sample_token_shares=shares)
+
+
+def test_token_budget_infeasible_budget_raises(spark, mix_table):
+    """An explicit budget a stratum cannot fill raises instead of
+    silently shipping a skewed mix; allow_short=True opts into the cap."""
+    from sumi_agent_spark.operators.sampling import token_budget_sample
+
+    shares = {"web": 0.5, "books": 0.5}   # web has only 600k tokens
+    with pytest.raises(ValueError, match="infeasible"):
+        token_budget_sample(mix_table, "src", shares, ["k"], "toks",
+                            total_tokens=2_000_000)
+    out, info = token_budget_sample(mix_table, "src", shares, ["k"],
+                                    "toks", total_tokens=2_000_000,
+                                    allow_short=True)
+    assert info["strata"]["web"]["fraction"] == 1.0
+    assert _keys(out) >= {f"w{i}" for i in range(5)}  # all web rows kept
+
+
+def test_pipeline_stratified_resume_refuses_grown_input(spark, tmp_path):
+    """Exact-n stratified sampling re-ranks over the full population, so
+    a resume over GROWN input would silently exceed n per stratum --
+    the gate refuses it; same-input resume still works."""
+    import datetime
+
+    from sumi_agent_spark.plans.pipeline import run_pipeline
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [(f"c{i}", 0, "user", f"turn number {i}", "", ts)
+            for i in range(40)]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    inp = str(tmp_path / "sg_in.parquet")
+    spark.createDataFrame(rows, schema).write.parquet(inp)
+    out = str(tmp_path / "sg_out")
+    run_pipeline(spark, inp, out, sample_n_per_stratum=5,
+                 sample_strata_cols=["role"])
+    # same-input resume: nothing new to write, no complaint
+    s2 = run_pipeline(spark, inp, out, resume=True,
+                      sample_n_per_stratum=5, sample_strata_cols=["role"])
+    assert s2["rows"] == 0
+    # grown input under resume: refused
+    grown = rows + [(f"d{i}", 0, "user", f"new turn {i}", "", ts)
+                    for i in range(10)]
+    inp2 = str(tmp_path / "sg_in2.parquet")
+    spark.createDataFrame(grown, schema).write.parquet(inp2)
+    with pytest.raises(ValueError, match="SAME input"):
+        run_pipeline(spark, inp2, out, resume=True,
+                     sample_n_per_stratum=5, sample_strata_cols=["role"])
