@@ -324,3 +324,32 @@ def test_pipeline_stratified_resume_refuses_grown_input(spark, tmp_path):
     with pytest.raises(ValueError, match="SAME input"):
         run_pipeline(spark, inp2, out, resume=True,
                      sample_n_per_stratum=5, sample_strata_cols=["role"])
+
+
+def test_token_budget_membership_matches_python_md5(spark, mix_table):
+    """The 60-bit numeric prefix rule is replicable in plain Python --
+    the exact property the DuckDB twin relies on."""
+    import hashlib
+    import math
+
+    from sumi_agent_spark.operators.sampling import (
+        _PREFIX_DIGITS, _PREFIX_SPACE, token_budget_sample)
+
+    shares = {"web": 0.5, "books": 0.3, "code": 0.2}
+    out, info = token_budget_sample(mix_table, "src", shares, ["k"],
+                                    "toks", total_tokens=600_000, seed=3)
+    got = _keys(out)
+    avail = {"web": 600_000, "books": 1_200_000, "code": 600_000}
+    want = set()
+    for src, n, prefix_chr in (("web", 6000, "w"), ("books", 600, "b"),
+                               ("code", 1200, "c")):
+        f = min(1.0, (600_000.0 * (shares[src] / 1.0)) / avail[src])
+        thr = int(math.floor(f * _PREFIX_SPACE))
+        assert info["strata"][src]["threshold"] == thr
+        for i in range(n):
+            key = f"{prefix_chr}{i}"
+            msg = f"{len(key)}:{key}1:3"
+            h = hashlib.md5(msg.encode()).hexdigest()
+            if int(h[:_PREFIX_DIGITS], 16) < thr:
+                want.add(key)
+    assert got == want
