@@ -495,3 +495,129 @@ def benchmark_containment_brute(
             .filter(F.col("containment") >= F.lit(float(threshold)))
             .withColumnRenamed("_did", id_col)
             .withColumnRenamed("_bid", bench_id_col))
+
+
+def make_fuzzy_flag_udf(
+    benchmark_df: DataFrame,
+    bench_text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 7,
+    n_hashes: int = 128,
+    bands: int = 64,
+    window_chars: int = 400,
+    stride: int | None = None,
+    min_hits: int = 1,
+):
+    """Series[str] -> bool "fuzzy-contaminated" flag, self-contained for
+    STREAMING: the whole benchmark side (per-row sorted gram arrays +
+    banded window-LSH probe table) is computed ONCE at definition time
+    and rides in the UDF closure, so each micro-batch pays pure numpy --
+    no join, no state, no shuffle (the stateless pattern of
+    ``make_hit_count_udf``, extended to the windowed-LSH + containment
+    semantics of :func:`flag_benchmark_near_overlap`).
+
+    Inside the UDF each row explodes into the SAME overlapping char
+    windows as the batch operator (:func:`_window_texts` replicated in
+    Python: starts ``0, stride, ...`` plus the exact tail start), window
+    signatures come from the SAME fixed-seed hash family
+    (``dedup._hash_family``), and band membership is equality of the
+    same signature slices -- the probe table keys them by a cheap
+    integer mix instead of the batch side's md5 string, which can only
+    ADD candidates on a key collision, and candidates get the identical
+    exact-containment verify, so flag decisions match the batch
+    operator's (same recall characteristics, same verify).  Benchmark
+    size bound: per-row gram arrays + probe dict, ~tens of MB for an
+    eval-suite-sized benchmark -- the same class as a broadcast."""
+    import numpy as np
+
+    from .dedup import _batch_shingles, _hash_family
+
+    stride = stride or max(window_chars // 4, 1)
+    rows_per_band = n_hashes // bands
+    a_f, b_f = _hash_family(n_hashes)
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _signatures(texts: list[str]) -> np.ndarray:
+        """(n_texts, n_hashes) uint64 signature matrix."""
+        vals, row_starts = _batch_shingles(texts, shingle_k)
+        n = len(texts)
+        sig = np.empty((n_hashes, n), dtype=np.uint64)
+        starts = row_starts[:-1]
+        for i in range(n_hashes):
+            sig[i] = np.minimum.reduceat(a_f[i] * vals + b_f[i], starts)
+        return sig.T
+
+    def _band_keys(sig: np.ndarray) -> np.ndarray:
+        """(n_texts, bands) integer band keys: a multiplicative mix of
+        each band's signature slice (equal slices -> equal keys)."""
+        n = sig.shape[0]
+        keys = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(bands):
+            acc = np.full(n, np.uint64(j + 1), dtype=np.uint64)
+            for r in range(rows_per_band):
+                acc = acc * _MIX + sig[:, j * rows_per_band + r]
+            keys[:, j] = acc
+        return keys
+
+    def _windows(text: str) -> list[str]:
+        n = len(text)
+        last = max(n - window_chars, 0)
+        starts = list(range(0, last + 1, stride))
+        if starts[-1] != last:
+            starts.append(last)  # exact tail window, like _window_texts
+        return [text[p:p + window_chars] for p in starts]
+
+    # ── definition-time benchmark side (bounded, like a broadcast) ──
+    btexts = [t if t is not None else ""
+              for t in benchmark_df.select(
+                  F.col(bench_text_col).alias("t")).toPandas()["t"]]
+    probe: dict = {}
+    bench_grams: list = []
+    if btexts:  # an empty benchmark flags nothing
+        bvals, bstarts = _batch_shingles(btexts, shingle_k)
+        bench_grams = [bvals[s:e]
+                       for s, e in zip(bstarts[:-1], bstarts[1:])]
+        bkeys = _band_keys(_signatures(btexts))
+        for bid in range(len(btexts)):
+            for j in range(bands):
+                probe.setdefault((j, int(bkeys[bid, j])), []).append(bid)
+
+    thr = float(threshold)
+    mh = int(min_hits)
+
+    @pandas_udf("boolean")
+    def fuzzy_contaminated(texts: pd.Series) -> pd.Series:
+        tl = texts.fillna("").tolist()
+        if not tl:
+            return pd.Series([], dtype=bool)
+        wtexts, row_of = [], []
+        for i, t in enumerate(tl):
+            ws = _windows(t)
+            wtexts.extend(ws)
+            row_of.extend([i] * len(ws))
+        wkeys = _band_keys(_signatures(wtexts))
+        cands: list[set] = [set() for _ in tl]
+        for w in range(len(wtexts)):
+            r = row_of[w]
+            for j in range(bands):
+                hit = probe.get((j, int(wkeys[w, j])))
+                if hit:
+                    cands[r].update(hit)
+        out = np.zeros(len(tl), dtype=bool)
+        need = [i for i, c in enumerate(cands) if c]
+        if need:
+            gvals, gstarts = _batch_shingles([tl[i] for i in need],
+                                             shingle_k)
+            for pos, i in enumerate(need):
+                dg = gvals[gstarts[pos]:gstarts[pos + 1]]
+                for bid in cands[i]:
+                    bg = bench_grams[bid]
+                    if len(bg) == 0:
+                        continue
+                    hits = len(np.intersect1d(dg, bg, assume_unique=True))
+                    if hits >= mh and hits / len(bg) >= thr:
+                        out[i] = True
+                        break
+        return pd.Series(out)
+
+    return fuzzy_contaminated

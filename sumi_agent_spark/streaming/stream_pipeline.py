@@ -163,6 +163,44 @@ def decontaminate_stream(
             .drop("_n_hits"))
 
 
+def decontaminate_stream_fuzzy(
+    stream: DataFrame,
+    benchmark_df: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 7,
+    n_hashes: int = 128,
+    bands: int = 64,
+    window_chars: int = 400,
+    stride: int | None = None,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop stream rows whose short-shingle containment vs ANY benchmark
+    row reaches ``threshold`` -- the paraphrase-tolerant
+    (``flag_benchmark_near_overlap``) semantics, online.
+
+    Like :func:`decontaminate_stream` this is STATELESS: the benchmark
+    side (per-row gram arrays + the windowed-LSH probe table, same
+    fixed-seed geometry as the batch operator) is computed once at query
+    definition and rides in the flag UDF's closure
+    (``decontaminate.make_fuzzy_flag_udf``), so each micro-batch pays
+    one numpy window-signature pass + dictionary probes + exact verify
+    on the rare candidates -- no join, no watermark, no state store.
+    Flag decisions match the batch operator's (same windows, same hash
+    family, same exact verify; the closure probe's integer band keys can
+    only ADD candidates vs the batch side's md5 keys, which the exact
+    verify then filters identically).  ``benchmark_df`` must be a BATCH
+    DataFrame; re-create the query to pick up a benchmark update."""
+    from ..operators.decontaminate import make_fuzzy_flag_udf
+
+    flag = make_fuzzy_flag_udf(
+        benchmark_df, bench_text_col=bench_text_col, threshold=threshold,
+        shingle_k=shingle_k, n_hashes=n_hashes, bands=bands,
+        window_chars=window_chars, stride=stride, min_hits=min_hits)
+    return stream.filter(~flag(F.col(text_col)))
+
+
 def windowed_conversation_counts(
     scrubbed: DataFrame,
     watermark: str = "10 minutes",

@@ -396,3 +396,58 @@ def test_stream_decontaminate_word_mode(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out_dir).toPandas()
     assert set(zip(got["conv_id"], got["turn_idx"])) == {("c1", 1)}
+
+
+def test_stream_decontaminate_fuzzy(spark, tmp_path):
+    """Streaming FUZZY decontamination: a lightly paraphrased quote of an
+    eval row drops (the exact streaming gate keeps it), clean rows pass,
+    and flag decisions equal the batch windowed-LSH operator's --
+    stateless, immediate emission."""
+    import datetime
+
+    from sumi_agent_spark.operators.decontaminate import (
+        flag_benchmark_near_overlap)
+    from sumi_agent_spark.streaming.stream_pipeline import (
+        TRANSCRIPT_SCHEMA, decontaminate_stream_fuzzy,
+        read_transcript_stream)
+
+    eval_q = ("a farmer has seventeen sheep and all but nine of them "
+              "wander away through the broken fence one stormy evening "
+              "so how many sheep does the farmer still have grazing")
+    para = (eval_q.replace("sheep", "goats").replace("wander", "stray")
+            .replace("evening", "night"))
+    bench = spark.createDataFrame([(0, eval_q)],
+                                  "bench_id long, text string")
+    ts = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "context before the quote " + para + " and a "
+                          "trailing remark", "", ts),     # fuzzy drop
+        ("c1", 1, "user", "a completely unrelated turn about broadcast "
+                          "joins, shuffle partitioning and adaptive "
+                          "execution in columnar engines", "", ts),
+        ("c2", 0, "user", None, "", ts),                  # NULL passes
+    ]
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(in_dir)
+
+    kw = dict(threshold=0.6, shingle_k=7, window_chars=240, stride=60)
+    stream = read_transcript_stream(spark, in_dir)
+    q = (decontaminate_stream_fuzzy(stream, bench, **kw).writeStream
+         .format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    keys = set(zip(got["conv_id"], got["turn_idx"]))
+    assert keys == {("c1", 1), ("c2", 0)}
+
+    # batch-parity: the batch windowed-LSH operator flags the same rows
+    batch = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA) \
+        .withColumn("_k", __import__("pyspark").sql.functions.struct(
+            "conv_id", "turn_idx"))
+    rep = flag_benchmark_near_overlap(
+        batch, "_k", "text", bench, "bench_id", **kw).toPandas()
+    flagged = {(r["_k"]["conv_id"], r["_k"]["turn_idx"])
+               for _, r in rep.iterrows()}
+    assert flagged == {("c1", 0)}
