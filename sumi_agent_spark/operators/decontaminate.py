@@ -503,7 +503,8 @@ def make_fuzzy_flag_udf(
     threshold: float = 0.5,
     shingle_k: int = 7,
     n_hashes: int = 128,
-    bands: int = 64,
+    band_threshold: float = 0.25,
+    bands: int | None = None,
     window_chars: int = 400,
     stride: int | None = None,
     min_hits: int = 1,
@@ -530,22 +531,22 @@ def make_fuzzy_flag_udf(
     eval-suite-sized benchmark -- the same class as a broadcast."""
     import numpy as np
 
-    from .dedup import _batch_shingles, _hash_family
+    from .dedup import (
+        _batch_shingles, _hash_family, resolve_bands, signature_matrix)
 
     stride = stride or max(window_chars // 4, 1)
+    # same derive-or-validate geometry rule as every batch MinHash
+    # operator (bands > n_hashes raises, unsafe explicit bands warn);
+    # the default derives from band_threshold exactly like
+    # flag_benchmark_near_overlap, so stream and batch share geometry at
+    # every n_hashes, not just the 128-hash default
+    bands = resolve_bands(band_threshold, n_hashes, bands)
     rows_per_band = n_hashes // bands
     a_f, b_f = _hash_family(n_hashes)
     _MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def _signatures(texts: list[str]) -> np.ndarray:
-        """(n_texts, n_hashes) uint64 signature matrix."""
-        vals, row_starts = _batch_shingles(texts, shingle_k)
-        n = len(texts)
-        sig = np.empty((n_hashes, n), dtype=np.uint64)
-        starts = row_starts[:-1]
-        for i in range(n_hashes):
-            sig[i] = np.minimum.reduceat(a_f[i] * vals + b_f[i], starts)
-        return sig.T
+        return signature_matrix(texts, shingle_k, n_hashes, a_f, b_f)
 
     def _band_keys(sig: np.ndarray) -> np.ndarray:
         """(n_texts, bands) integer band keys: a multiplicative mix of
@@ -571,16 +572,22 @@ def make_fuzzy_flag_udf(
     btexts = [t if t is not None else ""
               for t in benchmark_df.select(
                   F.col(bench_text_col).alias("t")).toPandas()["t"]]
-    probe: dict = {}
+    # per-band probe tables (sorted key array + aligned id lists): the
+    # per-batch probe becomes one vectorized searchsorted per band over
+    # ALL windows, instead of windows x bands Python dict lookups
+    band_probe: list = []
     bench_grams: list = []
     if btexts:  # an empty benchmark flags nothing
         bvals, bstarts = _batch_shingles(btexts, shingle_k)
         bench_grams = [bvals[s:e]
                        for s, e in zip(bstarts[:-1], bstarts[1:])]
         bkeys = _band_keys(_signatures(btexts))
-        for bid in range(len(btexts)):
-            for j in range(bands):
-                probe.setdefault((j, int(bkeys[bid, j])), []).append(bid)
+        for j in range(bands):
+            d: dict = {}
+            for bid in range(len(btexts)):
+                d.setdefault(int(bkeys[bid, j]), []).append(bid)
+            ks = np.array(sorted(d), dtype=np.uint64)
+            band_probe.append((ks, [d[int(k)] for k in ks]))
 
     thr = float(threshold)
     mh = int(min_hits)
@@ -597,12 +604,16 @@ def make_fuzzy_flag_udf(
             row_of.extend([i] * len(ws))
         wkeys = _band_keys(_signatures(wtexts))
         cands: list[set] = [set() for _ in tl]
-        for w in range(len(wtexts)):
-            r = row_of[w]
-            for j in range(bands):
-                hit = probe.get((j, int(wkeys[w, j])))
-                if hit:
-                    cands[r].update(hit)
+        row_of_a = np.asarray(row_of, dtype=np.int64)
+        for j, (ks, ids) in enumerate(band_probe):
+            if len(ks) == 0:
+                continue
+            col = wkeys[:, j]
+            idx = np.searchsorted(ks, col)
+            m = (idx < len(ks)) & (ks[np.minimum(idx, len(ks) - 1)]
+                                   == col)
+            for w in np.nonzero(m)[0]:  # rare: only matching windows
+                cands[row_of_a[w]].update(ids[idx[w]])
         out = np.zeros(len(tl), dtype=bool)
         need = [i for i, c in enumerate(cands) if c]
         if need:

@@ -90,6 +90,25 @@ def _hash_family(n: int) -> tuple[np.ndarray, np.ndarray]:
     return a | np.uint64(1), b  # odd multiplier -> bijection mod 2^64
 
 
+def signature_matrix(texts: list, shingle_k: int, n_hashes: int,
+                     a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """``(n_texts, n_hashes)`` uint64 MinHash signature matrix for a
+    batch of texts -- the shared numpy core of :func:`make_minhash_udf`
+    and the streaming fuzzy decontamination UDF
+    (``decontaminate.make_fuzzy_flag_udf``).  One definition: a change
+    to the signature computation cannot silently desynchronize the
+    batch and streaming sides."""
+    vals, row_starts = _batch_shingles(texts, shingle_k)
+    n = len(texts)
+    if n == 0:
+        return np.empty((0, n_hashes), dtype=np.uint64)
+    starts = row_starts[:-1]
+    sig = np.empty((n_hashes, n), dtype=np.uint64)
+    for i in range(n_hashes):  # each pass is one fused vector chain
+        sig[i] = np.minimum.reduceat(a[i] * vals + b[i], starts)
+    return np.ascontiguousarray(sig.T)
+
+
 def make_minhash_udf(n_hashes: int = 128, shingle_k: int = 5):
     """Series[str] -> array<long> MinHash signature, batch-vectorized.
 
@@ -97,20 +116,16 @@ def make_minhash_udf(n_hashes: int = 128, shingle_k: int = 5):
     on the shingle-hash space, so min-of-image is a valid min-wise sketch
     (recall is empirically gated in tests).  Signatures are computed as
     ``n_hashes`` vectorized ``minimum.reduceat`` passes over the batch's
-    flattened shingle array: no per-row Python, no per-row temporaries."""
+    flattened shingle array (:func:`signature_matrix`): no per-row
+    Python, no per-row temporaries."""
     a, b = _hash_family(n_hashes)
 
     @pandas_udf(ArrayType(LongType()))
     def minhash(texts: pd.Series) -> pd.Series:
-        vals, row_starts = _batch_shingles(texts.fillna("").tolist(), shingle_k)
-        n = len(texts)
-        if n == 0:
+        if len(texts) == 0:
             return pd.Series([], dtype=object)
-        starts = row_starts[:-1]
-        sig = np.empty((n_hashes, n), dtype=np.uint64)
-        for i in range(n_hashes):  # each pass is one fused vector chain
-            sig[i] = np.minimum.reduceat(a[i] * vals + b[i], starts)
-        rows = np.ascontiguousarray(sig.T).view(np.int64)
+        rows = signature_matrix(texts.fillna("").tolist(), shingle_k,
+                                n_hashes, a, b).view(np.int64)
         return pd.Series(list(rows))
 
     return minhash

@@ -750,6 +750,7 @@ def run_pipeline(
     sample_token_stratum_col: Optional[str] = None,
     sample_token_budget: Optional[int] = None,
     sample_token_col: Optional[str] = None,
+    sample_token_allow_short: bool = False,
     drop_toxic_above: Optional[float] = None,
     decontaminate_against: Optional[str] = None,
     decontam_text_col: str = "text",
@@ -969,29 +970,45 @@ def run_pipeline(
             sp_rows_kept = int(srow["n_kept"])
             if resume:
                 # exact-n is a RANK over the full stratum population, so
-                # it is resume-stable only on identical input: on a GROWN
-                # input a resumed run re-ranks, newly-top-n rows are
-                # written while previously-written rows that fell out
-                # stay -- the output would silently exceed n per stratum.
-                # The sidecar already records each run's input size;
-                # refuse the resume when it changed.
+                # it is resume-stable only when the rank inputs are
+                # identical: on a grown/changed input (or with a changed
+                # seed / n / strata) a resumed run re-ranks, newly-top-n
+                # rows are written while previously-written rows that
+                # fell out stay -- the output would silently exceed n
+                # per stratum.  The sidecar records each run's full rank
+                # parameters; a mismatch is fatal only if the resume
+                # would actually APPEND rows (a completed prior run
+                # whose rows were all already written -- e.g. an
+                # upstream preindexed-drop gate emptied this re-run's
+                # slice -- is a harmless no-op and passes).
+                from pyspark.errors import AnalysisException
+                this_run = (sp_rows_in, int(sample_seed),
+                            int(sample_n_per_stratum), ",".join(sp_keys),
+                            ",".join(strata))
                 try:
                     prior = (spark.read.option("mergeSchema", "true")
                              .parquet(f"{output_path}/_lineage_sample")
                              .filter(F.col("n_per_stratum").isNotNull())
-                             .select("rows_in").collect())
-                except Exception:
-                    prior = []
-                bad = [int(r["rows_in"]) for r in prior
-                       if int(r["rows_in"]) != sp_rows_in]
-                if bad:
+                             .select("rows_in", "seed", "n_per_stratum",
+                                     "key_cols", "strata_cols").collect())
+                except AnalysisException:
+                    prior = []  # first run: no sidecar yet
+                mismatch = [r for r in prior
+                            if (int(r["rows_in"]), int(r["seed"]),
+                                int(r["n_per_stratum"]), r["key_cols"],
+                                r["strata_cols"]) != this_run]
+                if mismatch and not resume_filter(
+                        df, output_path).isEmpty():
+                    r = mismatch[0]
                     raise ValueError(
                         f"sample_n_per_stratum under resume=True requires "
-                        f"the SAME input as the original run (prior run "
-                        f"saw {bad[0]} rows, this run sees {sp_rows_in}): "
-                        f"the rank-n keep set changes on grown input and "
-                        f"the appended output would exceed n per stratum "
-                        f"-- write to a fresh output instead")
+                        f"the SAME input and rank parameters as the "
+                        f"original run (prior: rows_in={r['rows_in']}, "
+                        f"seed={r['seed']}, n={r['n_per_stratum']}, "
+                        f"keys={r['key_cols']}, strata={r['strata_cols']};"
+                        f" this run: {this_run}): the rank-n keep set "
+                        f"changes and the appended output would exceed n "
+                        f"per stratum -- write to a fresh output instead")
             # strict=True: duplicate keys would make the rank-n boundary
             # partitioning-dependent -- fail loudly, pointing at dedup
             df = stratified_sample_n(df, strata,
@@ -1039,7 +1056,8 @@ def run_pipeline(
         sampled, tm_info = token_budget_sample(
             keyed_tok, sample_token_stratum_col, sample_token_shares,
             sp_keys, "_tok", total_tokens=sample_token_budget,
-            seed=int(sample_seed))
+            seed=int(sample_seed),
+            allow_short=bool(sample_token_allow_short))
         df = sampled.drop("_tok")
         # rows_in rides the operator's own stratum aggregate; rows_kept
         # is one agg over the SAME keep condition the filter uses (the
@@ -1474,6 +1492,9 @@ def add_pipeline_args(ap) -> None:
     ap.add_argument("--sample-token-col", default=None,
                     help="precomputed token-count column (default: "
                     "length(text) as the char proxy)")
+    ap.add_argument("--sample-token-allow-short", action="store_true",
+                    help="accept a skewed mix when --sample-token-budget "
+                    "exceeds what a stratum can supply (default: refuse)")
     ap.add_argument("--decontam-mode", default="exact",
                     choices=("exact", "fuzzy"),
                     help="exact k-gram matching (default) or fuzzy: "
@@ -1518,6 +1539,7 @@ def pipeline_kwargs(args) -> dict:
         sample_token_stratum_col=args.sample_token_stratum_col,
         sample_token_budget=args.sample_token_budget,
         sample_token_col=args.sample_token_col,
+        sample_token_allow_short=args.sample_token_allow_short,
     )
 
 

@@ -353,3 +353,26 @@ def test_token_budget_membership_matches_python_md5(spark, mix_table):
             if int(h[:_PREFIX_DIGITS], 16) < thr:
                 want.add(key)
     assert got == want
+
+
+def test_pipeline_stratified_resume_refuses_changed_params(spark, tmp_path):
+    """The resume guard compares the full rank parameters, not just the
+    input size: a changed seed re-ranks and would overflow n."""
+    import datetime
+
+    from sumi_agent_spark.plans.pipeline import run_pipeline
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [(f"c{i}", 0, "user", f"turn number {i}", "", ts)
+            for i in range(40)]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    inp = str(tmp_path / "sp_in.parquet")
+    spark.createDataFrame(rows, schema).write.parquet(inp)
+    out = str(tmp_path / "sp_out")
+    run_pipeline(spark, inp, out, sample_n_per_stratum=5,
+                 sample_strata_cols=["role"], sample_seed=0)
+    with pytest.raises(ValueError, match="rank parameters"):
+        run_pipeline(spark, inp, out, resume=True,
+                     sample_n_per_stratum=5, sample_strata_cols=["role"],
+                     sample_seed=1)
