@@ -49,6 +49,17 @@ from .dedup import (
     cosine_cols,
     make_hyperplane_bucket_udf,
 )
+# epoch machinery shared with the MinHash index: same marker-commit
+# discipline (append-only meta_eN directories, base meta deleted first on
+# re-create, per-key latest-epoch resolution), one implementation
+from .minhash_index import (
+    _assert_marker_visible,
+    _delete_stale_epoch_markers,
+    _epoch_path,
+    _marker_committed,
+    _read_epoched,
+    _resolve_latest,
+)
 
 
 def _read_meta(spark: SparkSession, index_path: str) -> dict:
@@ -56,6 +67,12 @@ def _read_meta(spark: SparkSession, index_path: str) -> dict:
     meta = {k: row[k] for k in ("n_planes", "dim", "threshold")}
     # embedding-model revision pin (absent on pre-pin indexes = None)
     meta["model_rev"] = row.asDict().get("model_rev")
+    # live reindex epoch: highest contiguous committed meta_eN marker
+    # (see minhash_index._read_meta -- identical discipline)
+    live = int(row.asDict().get("epoch", 0) or 0)
+    while _marker_committed(spark, f"{index_path}/meta_e{live + 1}"):
+        live += 1
+    meta["epoch"] = live
     return meta
 
 
@@ -81,8 +98,13 @@ def _check_model_rev(meta: dict, model_rev) -> None:
             f"model's vectors instead of appending")
 
 
-def _committed_ids(spark: SparkSession, index_path: str) -> DataFrame:
-    return (spark.read.parquet(f"{index_path}/buckets")
+def _committed_ids(spark: SparkSession, index_path: str,
+                   live=None) -> DataFrame:
+    """Keys committed at ANY live epoch (buckets are written last within
+    each epoch, so bucket membership certifies commitment)."""
+    if live is None:
+        live = _read_meta(spark, index_path)["epoch"]
+    return (_read_epoched(spark, index_path, "buckets", live, ["doc_id"])
             .select("doc_id").distinct())
 
 
@@ -149,8 +171,12 @@ def changed_preindexed_ids(
     base = _unique_vec_rows(_clean_base(new_df, id_col, vec_col))
     pre = base.join(_committed_ids(spark, index_path), "doc_id",
                     "left_semi")
-    stored = (spark.read.parquet(f"{index_path}/vectors")
-              .join(pre.select("doc_id"), "doc_id", "left_semi")
+    meta = _read_meta(spark, index_path)
+    stored = (_resolve_latest(
+                  _read_epoched(spark, index_path, "vectors",
+                                meta["epoch"], ["doc_id", "v"])
+                  .join(pre.select("doc_id"), "doc_id", "left_semi"),
+                  "doc_id", meta["epoch"])
               .withColumnRenamed("v", "v_old"))
     return (pre.join(stored, "doc_id")
             .filter(F.col("v") != F.col("v_old"))
@@ -174,6 +200,7 @@ def write_embedding_index(
     vectors came from; appends stating a different revision are refused
     (:func:`_check_model_rev`)."""
     spark = df.sparkSession
+    _delete_stale_epoch_markers(spark, index_path)
     base = _unique_vec_rows(_clean_base(df, id_col, vec_col))
     lo, hi = _dim_bounds(base)
     if lo is None:
@@ -217,15 +244,20 @@ def append_to_embedding_index(
     revision (:func:`_check_model_rev`)."""
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
+    live = meta["epoch"]
     _check_model_rev(meta, model_rev)
     base = _unique_vec_rows(_clean_base(new_df, id_col, vec_col))
     _check_dim(base, meta)
     bucket = make_hyperplane_bucket_udf(meta["n_planes"], meta["dim"])
-    vec_existing = (spark.read.parquet(f"{index_path}/vectors")
+    # membership spans ALL live epochs (a key can exist only in a reindex
+    # epoch); new keys append into the BASE stores -- per-key max-epoch
+    # resolution at read time makes that correct regardless of live epoch
+    vec_existing = (_read_epoched(spark, index_path, "vectors", live,
+                                  ["doc_id"])
                     .select("doc_id").distinct())
     (base.join(vec_existing, "doc_id", "left_anti")
      .write.mode("append").parquet(f"{index_path}/vectors"))
-    bkt_existing = _committed_ids(spark, index_path)
+    bkt_existing = _committed_ids(spark, index_path, live)
     (base.join(bkt_existing, "doc_id", "left_anti")
      .select("doc_id", bucket("v").alias("bkt"))
      .write.mode("append").parquet(f"{index_path}/buckets"))
@@ -286,12 +318,19 @@ def embedding_near_duplicates_incremental(
 
     bucket = make_hyperplane_bucket_udf(meta["n_planes"], meta["dim"])
     threshold = meta["threshold"]
-    base = base.join(_committed_ids(spark, index_path), "doc_id",
+    live = meta["epoch"]
+    base = base.join(_committed_ids(spark, index_path, live), "doc_id",
                      "left_anti")
     new_b = (base.select("doc_id", bucket("v").alias("bkt"))
              .withColumn("is_new", F.lit(True)))
-    old_b = (spark.read.parquet(f"{index_path}/buckets")
-             .select("doc_id", "bkt").withColumn("is_new", F.lit(False)))
+    # epoch resolution BEFORE the capping window: a reindexed key's stale
+    # epoch-0 bucket row must neither inflate bucket sizes nor generate
+    # candidates (free at epoch 0 -- see minhash_index._resolve_latest)
+    old_b = (_resolve_latest(
+                 _read_epoched(spark, index_path, "buckets", live,
+                               ["doc_id", "bkt"]),
+                 "doc_id", live)
+             .withColumn("is_new", F.lit(False)))
     # the capping window shuffles bucket rows on bkt -- the SAME
     # partitioning the candidate self-join needs, so the exchange is
     # computed once and reused: one narrow-row shuffle of the bucket
@@ -338,8 +377,13 @@ def embedding_near_duplicates_incremental(
     cand = (pairs.select(F.col("id_a").alias("doc_id"))
             .union(pairs.select(F.col("id_b").alias("doc_id")))
             .distinct())
-    old_v = (spark.read.parquet(f"{index_path}/vectors")
-             .join(cand, "doc_id", "left_semi")
+    # candidate-restrict FIRST, then resolve epochs: the per-key window
+    # runs over candidate rows only, never the O(corpus) vector store
+    old_v = (_resolve_latest(
+                 _read_epoched(spark, index_path, "vectors", live,
+                               ["doc_id", "v"])
+                 .join(cand, "doc_id", "left_semi"),
+                 "doc_id", live)
              .join(base.select("doc_id"), "doc_id", "left_anti"))
     all_v = old_v.unionByName(base.join(cand, "doc_id", "left_semi"))
     va = all_v.select(F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
@@ -362,10 +406,88 @@ def embedding_index_bucket_audit(
     base = _clean_base(new_df, id_col, vec_col)
     _check_dim(base, meta)
     bucket = make_hyperplane_bucket_udf(meta["n_planes"], meta["dim"])
-    base = base.join(_committed_ids(spark, index_path), "doc_id",
+    live = meta["epoch"]
+    base = base.join(_committed_ids(spark, index_path, live), "doc_id",
                      "left_anti")
     new_b = base.select("doc_id", bucket("v").alias("bkt"))
-    old_b = spark.read.parquet(f"{index_path}/buckets").select("doc_id", "bkt")
+    old_b = _resolve_latest(
+        _read_epoched(spark, index_path, "buckets", live,
+                      ["doc_id", "bkt"]),
+        "doc_id", live)
     sizes = (old_b.unionByName(new_b)
              .groupBy("bkt").agg(F.count("*").alias("n")))
     return bucket_cap_stats(sizes, max_bucket_size)
+
+
+def reindex_embeddings(
+    changed_df: DataFrame, id_col: str, vec_col: str, index_path: str,
+    model_rev: str | None = None,
+) -> dict:
+    """Rebuild CHANGED keys of an embedding index into a fresh epoch.
+
+    The embedding analog of ``minhash_index.reindex_docs``, for keys
+    whose vector was legitimately recomputed WITHIN the same embedding
+    model revision (upstream text edit re-embedded): append-only stores
+    cannot update a committed key's vector in place, so without this the
+    stale vector keeps anchoring near-dedup while the new content
+    escapes it (``changed_preindexed_ids`` / the pipeline's
+    ``n_preindexed_changed`` counter surface the case).  ``changed_df``
+    carries the changed keys' CURRENT vectors; they are rewritten to
+    ``vectors_e{N+1}`` then ``buckets_e{N+1}`` (overwrite mode -- a
+    crashed attempt's orphan dirs are replaced) and the epoch commits
+    LAST via the append-only ``meta_e{N+1}`` marker, exactly the MinHash
+    discipline.  ``model_rev`` is checked against the pin: a MODEL
+    revision change invalidates every committed vector, not just the
+    changed keys -- rebuild the index instead (the check raises).
+    Readers resolve per-key latest epoch (free at epoch 0).
+    O(changed keys), never O(corpus)."""
+    spark = changed_df.sparkSession
+    meta = _read_meta(spark, index_path)
+    _check_model_rev(meta, model_rev)
+    new_epoch = meta["epoch"] + 1
+    base = _unique_vec_rows(_clean_base(changed_df, id_col, vec_col))
+    _check_dim(base, meta)
+    bucket = make_hyperplane_bucket_udf(meta["n_planes"], meta["dim"])
+    base.write.mode("overwrite").parquet(
+        _epoch_path(index_path, "vectors", new_epoch))
+    (base.select("doc_id", bucket("v").alias("bkt"))
+     .write.mode("overwrite")
+     .parquet(_epoch_path(index_path, "buckets", new_epoch)))
+    meta_new = {"n_planes": int(meta["n_planes"]), "dim": int(meta["dim"]),
+                "threshold": float(meta["threshold"]),
+                "model_rev": meta.get("model_rev"), "epoch": new_epoch}
+    spark.createDataFrame(
+        [meta_new], schema="n_planes long, dim long, threshold double, "
+                           "model_rev string, epoch long",
+    ).write.mode("overwrite").parquet(f"{index_path}/meta_e{new_epoch}")
+    _assert_marker_visible(spark, index_path, new_epoch)
+    return meta_new
+
+
+def compact_embedding_index(spark: SparkSession, src_path: str,
+                            dst_path: str) -> dict:
+    """Rewrite an embedding index's RESOLVED state (per-key latest
+    epoch) as a fresh epoch-0 index at ``dst_path`` -- the embedding
+    analog of ``minhash_index.compact_doc_index`` (copy-shaped, vectors
+    first / buckets last / meta last, must target a NEW path)."""
+    if dst_path.rstrip("/") == src_path.rstrip("/"):
+        raise ValueError(
+            "compaction writes a NEW index; dst_path must differ from "
+            "src_path (in-place parquet swap is not atomic)")
+    _delete_stale_epoch_markers(spark, dst_path)
+    meta = _read_meta(spark, src_path)
+    live = meta["epoch"]
+    (_resolve_latest(_read_epoched(spark, src_path, "vectors", live,
+                                   ["doc_id", "v"]), "doc_id", live)
+     .write.mode("overwrite").parquet(f"{dst_path}/vectors"))
+    (_resolve_latest(_read_epoched(spark, src_path, "buckets", live,
+                                   ["doc_id", "bkt"]), "doc_id", live)
+     .write.mode("overwrite").parquet(f"{dst_path}/buckets"))
+    meta_new = {"n_planes": int(meta["n_planes"]), "dim": int(meta["dim"]),
+                "threshold": float(meta["threshold"]),
+                "model_rev": meta.get("model_rev")}
+    spark.createDataFrame(
+        [meta_new], schema="n_planes long, dim long, threshold double, "
+                           "model_rev string",
+    ).write.mode("overwrite").parquet(f"{dst_path}/meta")
+    return meta_new
