@@ -56,7 +56,7 @@ from .minhash_index import (
     _assert_marker_visible,
     _delete_stale_epoch_markers,
     _epoch_path,
-    _marker_committed,
+    _live_epoch,
     _read_epoched,
     _resolve_latest,
 )
@@ -67,12 +67,8 @@ def _read_meta(spark: SparkSession, index_path: str) -> dict:
     meta = {k: row[k] for k in ("n_planes", "dim", "threshold")}
     # embedding-model revision pin (absent on pre-pin indexes = None)
     meta["model_rev"] = row.asDict().get("model_rev")
-    # live reindex epoch: highest contiguous committed meta_eN marker
-    # (see minhash_index._read_meta -- identical discipline)
-    live = int(row.asDict().get("epoch", 0) or 0)
-    while _marker_committed(spark, f"{index_path}/meta_e{live + 1}"):
-        live += 1
-    meta["epoch"] = live
+    meta["epoch"] = _live_epoch(
+        spark, index_path, int(row.asDict().get("epoch", 0) or 0))
     return meta
 
 
@@ -164,14 +160,14 @@ def changed_preindexed_ids(
     equality -- an identical re-export is byte-identical) and returns the
     changed keys as a one-column (``doc_id``) DataFrame.  The store scan
     is semi-join-restricted to the preindexed keys, never O(corpus).
-    There is no embedding epoch-reindex yet: a changed vector means
-    rebuild the index from the current corpus (or re-embed consistently
-    upstream) -- this counter makes the need visible."""
+    These are the keys that need :func:`reindex_embeddings` (same model
+    revision -- a MODEL change instead invalidates the whole index;
+    rebuild it)."""
     spark = new_df.sparkSession
     base = _unique_vec_rows(_clean_base(new_df, id_col, vec_col))
-    pre = base.join(_committed_ids(spark, index_path), "doc_id",
-                    "left_semi")
     meta = _read_meta(spark, index_path)
+    pre = base.join(_committed_ids(spark, index_path, meta["epoch"]),
+                    "doc_id", "left_semi")
     stored = (_resolve_latest(
                   _read_epoched(spark, index_path, "vectors",
                                 meta["epoch"], ["doc_id", "v"])

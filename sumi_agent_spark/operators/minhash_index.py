@@ -94,6 +94,20 @@ def _assert_marker_visible(spark: SparkSession, index_path: str,
             f"re-enable success markers for index paths")
 
 
+def _live_epoch(spark: SparkSession, index_path: str, start: int = 0) -> int:
+    """Resolve an index's live reindex epoch: the highest CONTIGUOUS
+    committed ``meta_e{N}`` marker at or above ``start``.  Markers are
+    contiguous by construction (epoch N+1 is only ever written by a
+    reindex that read live epoch N), so the probe terminates at the
+    first gap.  ``start`` covers pre-marker indexes that flipped an
+    ``epoch`` field in base meta.  The ONE implementation of the
+    commitment-resolution rule, shared by every index's ``_read_meta``."""
+    live = start
+    while _marker_committed(spark, f"{index_path}/meta_e{live + 1}"):
+        live += 1
+    return live
+
+
 def _delete_stale_epoch_markers(spark: SparkSession, index_path: str) -> None:
     """Remove a PREVIOUS index's commit state at this path -- the base
     ``meta/`` create marker FIRST, then the leftover ``meta_e*`` epoch
@@ -140,10 +154,8 @@ def _read_meta(spark: SparkSession, index_path: str,
     # the probe loop terminates at the first gap.  Pre-marker indexes
     # that flipped an ``epoch`` field in base meta still resolve
     # correctly: probing starts from that value.
-    live = int(row.asDict().get("epoch", 0) or 0)
-    while _marker_committed(spark, f"{index_path}/meta_e{live + 1}"):
-        live += 1
-    meta["epoch"] = live
+    meta["epoch"] = _live_epoch(
+        spark, index_path, int(row.asDict().get("epoch", 0) or 0))
     return meta
 
 

@@ -441,7 +441,7 @@ def _near_dedup_full_stage(spark, df, threshold, output_path, resume,
 
 
 def _near_dedup_slice_stage(spark, df, threshold, index_path,
-                            scope="turn"):
+                            scope="turn", collect_changed=False):
     """Daily-ingest near-dedup: LSH-join the slice against a persisted
     MinHash index (operators/minhash_index.py) instead of recomputing the
     corpus -- O(slice + matched buckets), never O(corpus), never old-vs-old.
@@ -457,8 +457,15 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
     turns to the index after the write (append-last: a crash anywhere
     leaves the index in its pre-slice state, so a resumed run recomputes
     the same drops against the same index).  Returns
-    (deduped_df, lineage_row, drops_to_unpersist_or_None, index_action)
-    where index_action is ("create"|"append", kept_df)."""
+    (deduped_df, lineage_row, drops_to_unpersist_or_None, index_action,
+    changed_rows_or_None) where index_action is
+    ("create"|"append", kept_df) and changed_rows -- populated only when
+    ``collect_changed`` and changed pre-indexed re-exports exist -- is
+    the lazy slice rows of those keys' CURRENT content, for
+    ``run_pipeline``'s post-write ``reindex_changed`` stage (consuming
+    it re-runs the small candidate-restricted change probe once more;
+    the probe is deterministic across the append that precedes it,
+    because appends only add keys disjoint from the committed set)."""
     from pyspark.sql import Observation
 
     from ..operators.dedup import (
@@ -500,7 +507,7 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
                   "max_bucket_n": m["max_bucket_n"],
                   "metrics_observed": metrics_observed,
                   "drop_set_reused": False}
-        return deduped, nd_row, nd_drops, ("create", deduped)
+        return deduped, nd_row, nd_drops, ("create", deduped), None
 
     if abs(float(meta["threshold"]) - threshold) > 1e-12:
         raise ValueError(
@@ -526,6 +533,7 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
         committed_group_ids)
     nd_obs = Observation("near_dedup_capping")
     n_pre_changed = 0
+    changed_rows = None
     if conv_scope:
         committed = (committed_group_ids(spark, index_path)
                      .withColumnRenamed("gid", "conv_id"))
@@ -539,6 +547,12 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
                 .withColumnRenamed("gid", "conv_id"))
             n_pre_changed = df.join(F.broadcast(changed_gids), "conv_id",
                                     "left_semi").count()
+            if collect_changed and n_pre_changed:
+                # each changed conversation's slice rows -- its FULL
+                # current member set under the closed-per-slice
+                # convention reindex_groups requires
+                changed_rows = df.join(F.broadcast(changed_gids),
+                                       "conv_id", "left_semi")
         pairs = minhash_near_duplicates_grouped_incremental(
             df, "conv_id", "text", index_path, observation=nd_obs)
         drops = (incremental_drop_keys(pairs)
@@ -558,8 +572,13 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
                      .withColumnRenamed("doc_id", "_nk"))
         n_pre = keyed.join(committed, "_nk", "left_semi").count()
         if n_pre:  # split identical vs CHANGED re-exports (reindex needed)
-            n_pre_changed = changed_preindexed_ids(
-                keyed, "_nk", "text", index_path).count()
+            changed_ids = (changed_preindexed_ids(
+                keyed, "_nk", "text", index_path)
+                .withColumnRenamed("doc_id", "_nk"))
+            n_pre_changed = changed_ids.count()
+            if collect_changed and n_pre_changed:
+                changed_rows = keyed.join(F.broadcast(changed_ids),
+                                          "_nk", "left_semi")
         pairs = minhash_near_duplicates_incremental(
             keyed, "_nk", "text", index_path, observation=nd_obs)
         drops = (incremental_drop_keys(pairs)
@@ -580,11 +599,11 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
               "max_bucket_n": m["max_bucket_n"],
               "metrics_observed": metrics_observed,
               "drop_set_reused": False}
-    return deduped, nd_row, drops, ("append", deduped)
+    return deduped, nd_row, drops, ("append", deduped), changed_rows
 
 
 def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
-                           n_planes):
+                           n_planes, collect_changed=False):
     """Embedding near-dedup keyed on the ``(conv_id, turn_idx)`` struct --
     the embedding analog of :func:`_near_dedup_slice_stage`, for corpora
     that ship precomputed turn embeddings.
@@ -601,7 +620,10 @@ def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
     Rows with a NULL embedding can never be flagged (they have nothing to
     compare) and pass through; the index stores only non-null vectors.
     Returns (deduped_df, lineage_row, drops_to_unpersist_or_None,
-    index_action_or_None) with index_action = ("create"|"append", kept)."""
+    index_action_or_None, changed_rows_or_None) with index_action =
+    ("create"|"append", kept); changed_rows mirrors
+    :func:`_near_dedup_slice_stage`'s contract (slice rows of changed
+    pre-indexed keys, only under ``collect_changed``)."""
     from pyspark.sql import Observation
 
     from ..operators.dedup import (
@@ -631,7 +653,7 @@ def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
                       "metrics_observed": False}
             clean = keyed.drop("_ek")
             action = (("create", clean) if index_path is not None else None)
-            return clean, nd_row, None, action
+            return clean, nd_row, None, action, None
         obs = Observation("embedding_dedup_capping")
         pairs = embedding_near_duplicates(
             nonnull, "_ek", vec_col, threshold=threshold,
@@ -663,7 +685,7 @@ def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
                   "max_bucket_n": m["max_bucket_n"],
                   "metrics_observed": metrics_observed}
         action = (("create", deduped) if index_path is not None else None)
-        return deduped, nd_row, drops, action
+        return deduped, nd_row, drops, action, None
 
     if abs(float(meta["threshold"]) - threshold) > 1e-12:
         raise ValueError(
@@ -674,10 +696,16 @@ def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
                  .withColumnRenamed("doc_id", "_ek"))
     n_pre = keyed.join(committed, "_ek", "left_semi").count()
     n_pre_changed = 0
-    if n_pre:  # split identical vs CHANGED re-exports (rebuild needed)
+    changed_rows = None
+    if n_pre:  # split identical vs CHANGED re-exports (reindex needed)
         from ..operators.embedding_index import changed_preindexed_ids
-        n_pre_changed = changed_preindexed_ids(
-            keyed, "_ek", vec_col, index_path).count()
+        changed_ids = (changed_preindexed_ids(
+            keyed, "_ek", vec_col, index_path)
+            .withColumnRenamed("doc_id", "_ek"))
+        n_pre_changed = changed_ids.count()
+        if collect_changed and n_pre_changed:
+            changed_rows = keyed.join(F.broadcast(changed_ids),
+                                      "_ek", "left_semi")
     obs = Observation("embedding_dedup_capping")
     pairs = embedding_near_duplicates_incremental(
         keyed, "_ek", vec_col, index_path, observation=obs)
@@ -698,7 +726,7 @@ def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
               "n_capped_buckets": m["n_capped_buckets"],
               "max_bucket_n": m["max_bucket_n"],
               "metrics_observed": metrics_observed}
-    return deduped, nd_row, drops, ("append", deduped)
+    return deduped, nd_row, drops, ("append", deduped), changed_rows
 
 
 def _nonempty_lines(col) -> F.Column:
@@ -741,6 +769,7 @@ def run_pipeline(
     embedding_index_path: Optional[str] = None,
     embedding_col: str = "embedding",
     embedding_n_planes: int = 16,
+    reindex_changed: bool = False,
     sample_fraction: Optional[float] = None,
     sample_seed: int = 0,
     sample_key_cols: Optional[list] = None,
@@ -801,6 +830,25 @@ def run_pipeline(
     ``_lineage_embdedup`` sidecar.  NULL embeddings never drop.  Both
     dedup families compose: MinHash runs first, the embedding stage sees
     its survivors.
+    ``reindex_changed=True`` (requires an index path) ACTS on the
+    ``n_preindexed_changed`` counters instead of only reporting them:
+    after the main write and the index appends, committed keys whose
+    slice content differs from the indexed state (a re-crawl replaced
+    the doc, a conversation grew, a turn was re-embedded) are rebuilt
+    into a fresh index epoch (``reindex_docs`` / ``reindex_groups`` /
+    ``reindex_embeddings``) so FUTURE slices dedup against the current
+    content instead of the stale signature; each reindex appends a
+    ``{stage, n_keys, epoch}`` row to the ``_lineage_reindex`` sidecar.
+    The changed rows are still DROPPED from this run's output (they are
+    re-exports of already-written keys; replacing the stale OUTPUT rows
+    is the caller's upsert -- Iceberg MERGE in the nominal deployment).
+    At most one epoch per slice-with-changes accrues per index; compact
+    periodically (``compact_doc_index`` etc.).  Conversation scope
+    assumes the re-export carries each changed conversation's FULL
+    current member rows (the same closed-per-slice convention the
+    grouped index documents).  A completed-slice re-run finds zero
+    changed keys (the index now stores the current content) and creates
+    no further epochs -- the restart stays idempotent.
     ``sample_fraction`` (e.g. 0.1) keeps a deterministic hash sample of
     the dedup survivors (operators/sampling.py: membership is a pure
     function of ``sample_key_cols`` + ``sample_seed`` -- rerun-stable,
@@ -891,18 +939,28 @@ def run_pipeline(
     # input, the right trade for deterministic output.
     if dedup:
         df = deduplicate_turns(df)
+    if reindex_changed and (near_dedup_index_path is None
+                            and embedding_index_path is None):
+        raise ValueError(
+            "reindex_changed=True acts on a persisted index's changed "
+            "re-exports; pass near_dedup_index_path and/or "
+            "embedding_index_path (without one the flag would be a "
+            "silent no-op)")
     nd_row = None
     nd_drops = None
     nd_index_action = None  # slice mode: ("create"|"append", kept_df)
+    nd_changed_rows = None  # slice rows of changed pre-indexed keys
     if near_dedup_threshold is not None:
         if near_dedup_scope not in ("turn", "conversation"):
             raise ValueError(
                 f"near_dedup_scope must be 'turn' or 'conversation', "
                 f"got {near_dedup_scope!r}")
         if near_dedup_index_path is not None:
-            df, nd_row, nd_drops, nd_index_action = _near_dedup_slice_stage(
+            (df, nd_row, nd_drops, nd_index_action,
+             nd_changed_rows) = _near_dedup_slice_stage(
                 spark, df, float(near_dedup_threshold),
-                near_dedup_index_path, scope=near_dedup_scope)
+                near_dedup_index_path, scope=near_dedup_scope,
+                collect_changed=reindex_changed)
         else:
             df, nd_row, nd_drops = _near_dedup_full_stage(
                 spark, df, float(near_dedup_threshold), output_path, resume,
@@ -915,10 +973,13 @@ def run_pipeline(
             f"{output_path}/_lineage_neardup")
     eb_drops = None
     eb_index_action = None  # ("create"|"append", kept_df)
+    eb_changed_rows = None
     if embedding_dedup_threshold is not None:
-        df, eb_row, eb_drops, eb_index_action = _embedding_dedup_stage(
+        (df, eb_row, eb_drops, eb_index_action,
+         eb_changed_rows) = _embedding_dedup_stage(
             spark, df, float(embedding_dedup_threshold),
-            embedding_index_path, embedding_col, int(embedding_n_planes))
+            embedding_index_path, embedding_col, int(embedding_n_planes),
+            collect_changed=reindex_changed)
         spark.createDataFrame([eb_row]).write.mode("append").parquet(
             f"{output_path}/_lineage_embdedup")
     if sample_fraction is not None or sample_n_per_stratum is not None:
@@ -1327,6 +1388,44 @@ def run_pipeline(
             else:
                 append_to_embedding_index(
                     eb_keyed, "_ek", embedding_col, embedding_index_path)
+        # reindex_changed runs LAST, after the appends: appends only add
+        # keys disjoint from the committed set, so the changed probe the
+        # lazy changed_rows re-runs here returns the same keys the gate
+        # counted.  Each reindex commits one fresh epoch (meta_eN marker
+        # last -- a crash leaves the old epoch live and the next run
+        # redetects the same changed keys); a completed re-run finds
+        # zero changed keys and adds no epoch.
+        if nd_changed_rows is not None:
+            from ..operators.minhash_index import (
+                reindex_docs, reindex_groups)
+            if near_dedup_scope == "conversation":
+                ri_meta = reindex_groups(
+                    nd_changed_rows, "conv_id", "text",
+                    near_dedup_index_path)
+                ri_keys = (nd_changed_rows.select("conv_id")
+                           .distinct().count())
+            else:
+                ri_meta = reindex_docs(
+                    nd_changed_rows, "_nk", "text", near_dedup_index_path)
+                ri_keys = nd_changed_rows.select("_nk").distinct().count()
+            spark.createDataFrame(
+                [{"stage": "near_dedup_reindex", "n_keys": ri_keys,
+                  "epoch": int(ri_meta["epoch"])}],
+                schema="stage string, n_keys long, epoch long",
+            ).write.mode("append").parquet(
+                f"{output_path}/_lineage_reindex")
+        if eb_changed_rows is not None:
+            from ..operators.embedding_index import reindex_embeddings
+            ri_meta = reindex_embeddings(
+                eb_changed_rows, "_ek", embedding_col,
+                embedding_index_path)
+            ri_keys = eb_changed_rows.select("_ek").distinct().count()
+            spark.createDataFrame(
+                [{"stage": "embedding_reindex", "n_keys": ri_keys,
+                  "epoch": int(ri_meta["epoch"])}],
+                schema="stage string, n_keys long, epoch long",
+            ).write.mode("append").parquet(
+                f"{output_path}/_lineage_reindex")
     finally:
         # the cached drop sets must not outlive the run even when the
         # write or a downstream guard raises (long-lived sessions)
@@ -1434,6 +1533,13 @@ def add_pipeline_args(ap) -> None:
     ap.add_argument("--embedding-n-planes", type=int, default=16,
                     help="hyperplanes for the LSH bucketing (default: 16; "
                     "only used when creating a new index)")
+    ap.add_argument("--reindex-changed", action="store_true",
+                    help="after the write, rebuild committed index keys "
+                    "whose slice content changed (re-crawled doc, grown "
+                    "conversation, re-embedded turn) into a fresh index "
+                    "epoch instead of only counting them; rows appended "
+                    "to the _lineage_reindex sidecar (requires "
+                    "--near-dedup-index and/or --embedding-index)")
     ap.add_argument("--sample-fraction", type=float, default=None,
                     metavar="F", help="keep a deterministic hash sample "
                     "of ~F of the dedup survivors (md5 of key cols + "
@@ -1517,6 +1623,7 @@ def pipeline_kwargs(args) -> dict:
         embedding_index_path=args.embedding_index,
         embedding_col=args.embedding_col,
         embedding_n_planes=args.embedding_n_planes,
+        reindex_changed=args.reindex_changed,
         sample_fraction=args.sample_fraction,
         sample_seed=args.sample_seed,
         sample_key_cols=(args.sample_key_cols.split(",")
