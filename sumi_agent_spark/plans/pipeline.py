@@ -461,11 +461,9 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
     changed_rows_or_None) where index_action is
     ("create"|"append", kept_df) and changed_rows -- populated only when
     ``collect_changed`` and changed pre-indexed re-exports exist -- is
-    the lazy slice rows of those keys' CURRENT content, for
-    ``run_pipeline``'s post-write ``reindex_changed`` stage (consuming
-    it re-runs the small candidate-restricted change probe once more;
-    the probe is deterministic across the append that precedes it,
-    because appends only add keys disjoint from the committed set)."""
+    the PERSISTED slice rows of those keys' CURRENT content, for
+    ``run_pipeline``'s post-write ``reindex_changed`` stage (the caller
+    unpersists it in its finally block)."""
     from pyspark.sql import Observation
 
     from ..operators.dedup import (
@@ -550,9 +548,12 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
             if collect_changed and n_pre_changed:
                 # each changed conversation's slice rows -- its FULL
                 # current member set under the closed-per-slice
-                # convention reindex_groups requires
+                # convention reindex_groups requires.  Persisted: the
+                # post-write reindex consumes it several times (two
+                # store writes + the key count) and must see the exact
+                # rows this gate counted, not a re-planned probe
                 changed_rows = df.join(F.broadcast(changed_gids),
-                                       "conv_id", "left_semi")
+                                       "conv_id", "left_semi").persist()
         pairs = minhash_near_duplicates_grouped_incremental(
             df, "conv_id", "text", index_path, observation=nd_obs)
         drops = (incremental_drop_keys(pairs)
@@ -577,8 +578,9 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
                 .withColumnRenamed("doc_id", "_nk"))
             n_pre_changed = changed_ids.count()
             if collect_changed and n_pre_changed:
+                # persisted for the same reason as the grouped branch
                 changed_rows = keyed.join(F.broadcast(changed_ids),
-                                          "_nk", "left_semi")
+                                          "_nk", "left_semi").persist()
         pairs = minhash_near_duplicates_incremental(
             keyed, "_nk", "text", index_path, observation=nd_obs)
         drops = (incremental_drop_keys(pairs)
@@ -704,8 +706,9 @@ def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
             .withColumnRenamed("doc_id", "_ek"))
         n_pre_changed = changed_ids.count()
         if collect_changed and n_pre_changed:
+            # persisted for the same reason as the MinHash branches
             changed_rows = keyed.join(F.broadcast(changed_ids),
-                                      "_ek", "left_semi")
+                                      "_ek", "left_semi").persist()
     obs = Observation("embedding_dedup_capping")
     pairs = embedding_near_duplicates_incremental(
         keyed, "_ek", vec_col, index_path, observation=obs)
@@ -939,13 +942,17 @@ def run_pipeline(
     # input, the right trade for deterministic output.
     if dedup:
         df = deduplicate_turns(df)
-    if reindex_changed and (near_dedup_index_path is None
-                            and embedding_index_path is None):
+    nd_gate_on = (near_dedup_threshold is not None
+                  and near_dedup_index_path is not None)
+    eb_gate_on = (embedding_dedup_threshold is not None
+                  and embedding_index_path is not None)
+    if reindex_changed and not (nd_gate_on or eb_gate_on):
         raise ValueError(
             "reindex_changed=True acts on a persisted index's changed "
-            "re-exports; pass near_dedup_index_path and/or "
-            "embedding_index_path (without one the flag would be a "
-            "silent no-op)")
+            "re-exports; enable at least one index gate (near_dedup_"
+            "threshold + near_dedup_index_path, and/or embedding_dedup_"
+            "threshold + embedding_index_path) -- an index path alone is "
+            "never consulted, so the flag would be a silent no-op")
     nd_row = None
     nd_drops = None
     nd_index_action = None  # slice mode: ("create"|"append", kept_df)
@@ -1388,16 +1395,33 @@ def run_pipeline(
             else:
                 append_to_embedding_index(
                     eb_keyed, "_ek", embedding_col, embedding_index_path)
-        # reindex_changed runs LAST, after the appends: appends only add
-        # keys disjoint from the committed set, so the changed probe the
-        # lazy changed_rows re-runs here returns the same keys the gate
-        # counted.  Each reindex commits one fresh epoch (meta_eN marker
-        # last -- a crash leaves the old epoch live and the next run
-        # redetects the same changed keys); a completed re-run finds
-        # zero changed keys and adds no epoch.
+        # reindex_changed runs LAST, after the appends (disjoint key
+        # sets; changed_rows is persisted, so the reindex sees exactly
+        # the rows the gate counted).  Each reindex commits one fresh
+        # epoch (meta_eN marker last -- a crash BEFORE the marker leaves
+        # the old epoch live and the next run redetects the same changed
+        # keys); a completed re-run finds zero changed keys and adds no
+        # epoch.  A crash in the window between the marker commit and
+        # the _lineage_reindex append loses only the ADVISORY lineage
+        # row: the index itself is correct and the append-only meta_eN
+        # markers at the index path remain the authoritative record of
+        # every committed reindex.
+        def _reindex_sidecar(stage, n_keys, epoch):
+            spark.createDataFrame(
+                [{"stage": stage, "n_keys": n_keys, "epoch": int(epoch)}],
+                schema="stage string, n_keys long, epoch long",
+            ).write.mode("append").parquet(
+                f"{output_path}/_lineage_reindex")
         if nd_changed_rows is not None:
             from ..operators.minhash_index import (
                 reindex_docs, reindex_groups)
+            # Every turn contributes >=1 shingle row to the exploded
+            # grouped store -- sub-shingle_k texts are padded
+            # (``_batch_shingles``: "always >=1 per row") -- so a
+            # changed conversation ALWAYS gains epoch-N rows here and
+            # the per-gid max-epoch window resolves to them; an
+            # all-short re-export cannot strand a key on its stale
+            # epoch-0 state.
             if near_dedup_scope == "conversation":
                 ri_meta = reindex_groups(
                     nd_changed_rows, "conv_id", "text",
@@ -1408,24 +1432,16 @@ def run_pipeline(
                 ri_meta = reindex_docs(
                     nd_changed_rows, "_nk", "text", near_dedup_index_path)
                 ri_keys = nd_changed_rows.select("_nk").distinct().count()
-            spark.createDataFrame(
-                [{"stage": "near_dedup_reindex", "n_keys": ri_keys,
-                  "epoch": int(ri_meta["epoch"])}],
-                schema="stage string, n_keys long, epoch long",
-            ).write.mode("append").parquet(
-                f"{output_path}/_lineage_reindex")
+            _reindex_sidecar("near_dedup_reindex", ri_keys,
+                             ri_meta["epoch"])
         if eb_changed_rows is not None:
             from ..operators.embedding_index import reindex_embeddings
             ri_meta = reindex_embeddings(
                 eb_changed_rows, "_ek", embedding_col,
                 embedding_index_path)
             ri_keys = eb_changed_rows.select("_ek").distinct().count()
-            spark.createDataFrame(
-                [{"stage": "embedding_reindex", "n_keys": ri_keys,
-                  "epoch": int(ri_meta["epoch"])}],
-                schema="stage string, n_keys long, epoch long",
-            ).write.mode("append").parquet(
-                f"{output_path}/_lineage_reindex")
+            _reindex_sidecar("embedding_reindex", ri_keys,
+                             ri_meta["epoch"])
     finally:
         # the cached drop sets must not outlive the run even when the
         # write or a downstream guard raises (long-lived sessions)
@@ -1435,6 +1451,10 @@ def run_pipeline(
             eb_drops.unpersist()
         if dc_drops is not None:
             dc_drops.unpersist()
+        if nd_changed_rows is not None:
+            nd_changed_rows.unpersist()
+        if eb_changed_rows is not None:
+            eb_changed_rows.unpersist()
     wall = time.time() - t0
     stats = {"rows": n, "wall_sec": round(wall, 3),
              "rows_per_sec": round(n / wall, 1) if wall > 0 else None,

@@ -139,6 +139,50 @@ def test_conversation_reindex_grown_conv(spark, tmp_path):
     assert s3["n_near_dup_dropped"] == 1 and s3["rows"] == 0
 
 
+def test_conversation_reindex_all_short_turns_converges(spark, tmp_path):
+    """A committed conversation re-exported with ONLY sub-shingle_k
+    turns still reindexes into a fresh epoch and converges: the padded
+    shingle invariant (``_batch_shingles``: always >=1 shingle per row)
+    guarantees the exploded grouped store gains epoch-N rows even for
+    empty/short texts, so (a) a re-run redetects nothing and commits no
+    further epoch (no unbounded accrual), and (b) readers resolve the
+    short-text signature (an exact short copy dedups against it)."""
+    idx = str(tmp_path / "gr_index")
+    _write_turns([_turn("a", 0, BASE)], str(tmp_path / "s1.parquet"))
+    run_pipeline(spark, str(tmp_path / "s1.parquet"),
+                 str(tmp_path / "out1"), near_dedup_threshold=0.6,
+                 near_dedup_scope="conversation",
+                 near_dedup_index_path=idx, reindex_changed=True)
+
+    # upstream redaction gutted the conversation to one 2-char turn
+    _write_turns([_turn("a", 0, "ok")], str(tmp_path / "s2.parquet"))
+    s2 = run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                      str(tmp_path / "out2"), near_dedup_threshold=0.6,
+                      near_dedup_scope="conversation",
+                      near_dedup_index_path=idx, reindex_changed=True)
+    assert s2["n_preindexed_changed"] == 1
+    assert _mh_epoch(spark, idx) == 1
+    ri = spark.read.parquet(
+        f"{tmp_path}/out2/_lineage_reindex").toPandas()
+    assert int(ri.iloc[0]["n_keys"]) == 1
+
+    # convergence: the completed slice re-runs clean -- no epoch 2
+    s2b = run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                       str(tmp_path / "out2b"), near_dedup_threshold=0.6,
+                       near_dedup_scope="conversation",
+                       near_dedup_index_path=idx, reindex_changed=True)
+    assert s2b["n_preindexed_changed"] == 0
+    assert _mh_epoch(spark, idx) == 1
+
+    # readers serve the short-text signature: an exact copy dedups
+    _write_turns([_turn("z", 0, "ok")], str(tmp_path / "s3.parquet"))
+    s3 = run_pipeline(spark, str(tmp_path / "s3.parquet"),
+                      str(tmp_path / "out3"), near_dedup_threshold=0.6,
+                      near_dedup_scope="conversation",
+                      near_dedup_index_path=idx, reindex_changed=True)
+    assert s3["n_near_dup_dropped"] == 1 and s3["rows"] == 0
+
+
 EMB_SCHEMA = ("conv_id string, turn_idx int, role string, text string, "
               "tool string, ts timestamp, embedding array<float>")
 V_BASE = [1.0, 0.0, 0.0, 0.0]
