@@ -845,6 +845,17 @@ def run_pipeline(
     The changed rows are still DROPPED from this run's output (they are
     re-exports of already-written keys; replacing the stale OUTPUT rows
     is the caller's upsert -- Iceberg MERGE in the nominal deployment).
+    To give that MERGE a source, the changed keys' current content is
+    ALSO run through the same decontamination/toxicity gates and scrub
+    and written to ``{output_path}/_changed_upsert`` with an
+    ``_action`` column: ``upsert`` rows carry the processed replacement
+    (MERGE: matched -> update, not-matched -> insert, covering a grown
+    conversation's new turns), ``delete`` rows mark keys whose NEW
+    content fails a drop gate so the stale output row must be removed.
+    The sidecar is written before the reindex commits, so a crash
+    between the two can only duplicate byte-identical rows on the
+    re-run (dedupe the MERGE source by key), never lose them; counts
+    land in ``_lineage_upsert``.
     At most one epoch per slice-with-changes accrues per index; compact
     periodically (``compact_doc_index`` etc.).  Conversation scope
     assumes the re-export carries each changed conversation's FULL
@@ -1159,6 +1170,8 @@ def run_pipeline(
     if resume:
         df = resume_filter(df, output_path)
     dc_drops = None
+    dc_flagger = None  # the configured contamination rule, reused by
+    # the changed-upsert stage after the write
     if decontaminate_against is not None:
         # per-row-independent gate, so it sits AFTER resume_filter (a
         # resumed run only re-checks still-unwritten turns); the flagged
@@ -1185,13 +1198,9 @@ def run_pipeline(
             "_bid", F.md5(F.coalesce(F.col(decontam_text_col),
                                      F.lit(""))))
         if decontam_mode == "fuzzy":
-            # paraphrase-tolerant rule: windowed MinHash-LSH candidates +
-            # short-shingle containment verify (flag_benchmark_near_
-            # overlap).  decontam_k is the SHINGLE size here -- keep it
-            # SHORT (operator default 7): short grams survive a light
-            # rewording, which is the whole point; decontam_min_
-            # containment is the required verify threshold.  Word grams
-            # have no fuzzy variant (the windowing is char-positional).
+            # the fuzzy branch's extra parameter contract, validated
+            # up-front (the flagger below is also reused by the
+            # changed-upsert stage, which must fail here, not there)
             if decontam_min_containment is None:
                 raise ValueError(
                     "decontam_mode='fuzzy' requires "
@@ -1201,42 +1210,61 @@ def run_pipeline(
                 raise ValueError(
                     "decontam_mode='fuzzy' supports char shingles only "
                     f"(got ngrams={decontam_ngrams!r})")
-            rep = flag_benchmark_near_overlap(
-                keyed, "_ck", "text", _bench_ided, "_bid",
-                bench_text_col=decontam_text_col,
-                threshold=float(decontam_min_containment),
-                shingle_k=int(decontam_k))
-            # min_hits applies as an absolute floor exactly as in the
-            # exact containment branch: a tiny eval row hits 100%
-            # containment on a handful of shared short grams otherwise
-            flagged = (rep.filter(F.col("n_hits")
-                                  >= F.lit(int(decontam_min_hits)))
-                       .select("_ck").distinct())
-        elif decontam_min_containment is not None:
-            # PaLM-style rule: flag a turn when >= this fraction of ANY
-            # single benchmark row's distinct k-grams appear in it --
-            # per-row containment needs the attribution report, not the
-            # global-set hit count (a turn grazing 1 gram from each of
-            # 1000 eval rows is noise; 70% of one row is a quote).
-            # min_hits still applies as a floor (tiny eval rows would
-            # otherwise hit 100% containment on one shared gram).  The
-            # benchmark row id is derived from the row's TEXT (md5):
-            # deterministic under retries, and duplicate benchmark texts
-            # collapsing into one id is exactly right -- their gram sets
-            # are identical.
-            rep = benchmark_overlap_report(
-                keyed, "_ck", "text", _bench_ided, "_bid",
-                bench_text_col=decontam_text_col,
-                k=int(decontam_k), min_hits=int(decontam_min_hits),
-                ngrams=decontam_ngrams,
-                min_containment=float(decontam_min_containment))
-            flagged = rep.select("_ck").distinct()
-        else:
-            flagged = contaminated_keys(
-                keyed, "_ck", "text", bench_df,
+
+        def dc_flagger(keyed_df):
+            """``_ck``-keyed rows -> distinct flagged ``_ck`` keys.
+
+            One definition of the configured contamination rule, applied
+            to the main slice here and to the changed-upsert rows after
+            the write -- the two call sites cannot drift."""
+            if decontam_mode == "fuzzy":
+                # paraphrase-tolerant rule: windowed MinHash-LSH
+                # candidates + short-shingle containment verify
+                # (flag_benchmark_near_overlap).  decontam_k is the
+                # SHINGLE size here -- keep it SHORT (operator default
+                # 7): short grams survive a light rewording, which is
+                # the whole point; decontam_min_containment is the
+                # required verify threshold.  Word grams have no fuzzy
+                # variant (the windowing is char-positional).
+                rep = flag_benchmark_near_overlap(
+                    keyed_df, "_ck", "text", _bench_ided, "_bid",
+                    bench_text_col=decontam_text_col,
+                    threshold=float(decontam_min_containment),
+                    shingle_k=int(decontam_k))
+                # min_hits applies as an absolute floor exactly as in
+                # the exact containment branch: a tiny eval row hits
+                # 100% containment on a handful of shared short grams
+                # otherwise
+                return (rep.filter(F.col("n_hits")
+                                   >= F.lit(int(decontam_min_hits)))
+                        .select("_ck").distinct())
+            if decontam_min_containment is not None:
+                # PaLM-style rule: flag a turn when >= this fraction of
+                # ANY single benchmark row's distinct k-grams appear in
+                # it -- per-row containment needs the attribution
+                # report, not the global-set hit count (a turn grazing
+                # 1 gram from each of 1000 eval rows is noise; 70% of
+                # one row is a quote).  min_hits still applies as a
+                # floor (tiny eval rows would otherwise hit 100%
+                # containment on one shared gram).  The benchmark row
+                # id is derived from the row's TEXT (md5):
+                # deterministic under retries, and duplicate benchmark
+                # texts collapsing into one id is exactly right --
+                # their gram sets are identical.
+                rep = benchmark_overlap_report(
+                    keyed_df, "_ck", "text", _bench_ided, "_bid",
+                    bench_text_col=decontam_text_col,
+                    k=int(decontam_k), min_hits=int(decontam_min_hits),
+                    ngrams=decontam_ngrams,
+                    min_containment=float(decontam_min_containment))
+                return rep.select("_ck").distinct()
+            return contaminated_keys(
+                keyed_df, "_ck", "text", bench_df,
                 bench_text_col=decontam_text_col,
                 k=int(decontam_k), min_hits=int(decontam_min_hits),
                 ngrams=decontam_ngrams)
+
+        flagged = dc_flagger(keyed)
         if decontam_scope == "conversation":
             # one contaminated turn poisons the whole conversation (a
             # quoted eval question makes the surrounding dialog eval-
@@ -1395,6 +1423,94 @@ def run_pipeline(
             else:
                 append_to_embedding_index(
                     eb_keyed, "_ek", embedding_col, embedding_index_path)
+        # Processed replacement rows for changed re-exports: the
+        # changed keys' CURRENT content run through the same content
+        # gates (decontamination, toxicity) and the same scrub as the
+        # main path, written to ``_changed_upsert`` with an ``_action``
+        # column so the caller's documented MERGE (Iceberg in the
+        # nominal deployment) has pipeline-PROCESSED rows to apply --
+        # without this the only route to the new content would bypass
+        # scrub/decontamination/toxicity entirely, or the content would
+        # be lost while the reindexed signature actively blocks its
+        # re-ingestion.  ``upsert`` rows replace matched output rows
+        # (or insert, for a grown conversation's new turns); ``delete``
+        # marks keys whose NEW content fails a drop gate, so the stale
+        # output row must be removed, not replaced.  Rank-based
+        # sampling gates are NOT re-derived here: match-on-key MERGE
+        # semantics make them moot for replaced rows (a key the
+        # original run never wrote matches nothing).  Written BEFORE
+        # the reindex commits: a crash in between makes the re-run
+        # redetect the same keys and append byte-identical rows (the
+        # MERGE source should dedupe by key), never lose them.
+        if nd_changed_rows is not None or eb_changed_rows is not None:
+            from pyspark.sql.window import Window as _W
+            srcs = []
+            if nd_changed_rows is not None:
+                srcs.append(nd_changed_rows.drop("_nk"))
+            if eb_changed_rows is not None:
+                srcs.append(eb_changed_rows.drop("_ek"))
+            up = srcs[0]
+            for s in srcs[1:]:
+                # disjoint by construction: an nd-changed key is dropped
+                # from df before the embedding stage sees it
+                up = up.unionByName(s, allowMissingColumns=True)
+            # duplicate keys (reachable with dedup=False) collapse to
+            # the min-text row -- the winner rule the index itself
+            # applies (_unique_doc_rows), so the upsert row matches the
+            # reindexed signature
+            up = (up.withColumn(
+                      "_rn", F.row_number().over(
+                          _W.partitionBy("conv_id", "turn_idx")
+                            .orderBy(F.col("text").asc_nulls_first())))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+            out_up = scrub_transform(up, **scrub_kwargs).withColumn(
+                "_ck", F.struct("conv_id", "turn_idx"))
+            is_del = F.lit(False)
+            if dc_flagger is not None:
+                flagged_up = dc_flagger(
+                    up.withColumn("_ck", F.struct("conv_id", "turn_idx")))
+                if decontam_scope == "conversation":
+                    # one contaminated turn deletes the whole changed
+                    # conversation's rows, mirroring the main gate
+                    dcv = (flagged_up
+                           .select(F.col("_ck.conv_id").alias("_dc_conv"))
+                           .distinct().withColumn("_dcf", F.lit(True)))
+                    out_up = out_up.join(
+                        F.broadcast(dcv),
+                        out_up["conv_id"].eqNullSafe(dcv["_dc_conv"]),
+                        "left").drop("_dc_conv")
+                else:
+                    dck = flagged_up.withColumn("_dcf", F.lit(True))
+                    out_up = out_up.join(F.broadcast(dck), "_ck", "left")
+                is_del = is_del | F.coalesce(F.col("_dcf"), F.lit(False))
+            if drop_toxic_above is not None:
+                from ..operators.toxicity import toxicity_score_col
+                is_del = is_del | (toxicity_score_col(F.col("text"))
+                                   > float(drop_toxic_above))
+            out_up = (out_up.withColumn(
+                          "_action", F.when(is_del, F.lit("delete"))
+                                      .otherwise(F.lit("upsert")))
+                      .drop("_ck", "_dcf"))
+            out_up.persist()
+            try:
+                uc = out_up.agg(
+                    F.coalesce(F.sum((F.col("_action") == "upsert")
+                                     .cast("long")), F.lit(0))
+                     .alias("n_upsert"),
+                    F.coalesce(F.sum((F.col("_action") == "delete")
+                                     .cast("long")), F.lit(0))
+                     .alias("n_delete")).first()
+                out_up.write.mode("append").parquet(
+                    f"{output_path}/_changed_upsert")
+                spark.createDataFrame(
+                    [{"stage": "changed_upsert",
+                      "n_upsert": int(uc["n_upsert"]),
+                      "n_delete": int(uc["n_delete"])}],
+                    schema="stage string, n_upsert long, n_delete long",
+                ).write.mode("append").parquet(
+                    f"{output_path}/_lineage_upsert")
+            finally:
+                out_up.unpersist()
         # reindex_changed runs LAST, after the appends (disjoint key
         # sets; changed_rows is persisted, so the reindex sees exactly
         # the rows the gate counted).  Each reindex commits one fresh

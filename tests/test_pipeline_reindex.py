@@ -127,6 +127,11 @@ def test_conversation_reindex_grown_conv(spark, tmp_path):
     assert ri.iloc[0]["stage"] == "near_dedup_reindex"
     assert int(ri.iloc[0]["n_keys"]) == 1   # one conversation
     assert int(ri.iloc[0]["epoch"]) == 1
+    # the upsert sidecar carries the conversation's FULL current member
+    # rows -- the grown turn is the MERGE's not-matched insert case
+    up = spark.read.parquet(f"{tmp_path}/out2/_changed_upsert").toPandas()
+    assert sorted(zip(up["conv_id"], up["turn_idx"])) == [("a", 0), ("a", 1)]
+    assert set(up["_action"]) == {"upsert"}
 
     _write_turns(
         [_turn("b", 0, BASE.replace("quick", "swift")),
@@ -137,6 +142,61 @@ def test_conversation_reindex_grown_conv(spark, tmp_path):
                       near_dedup_scope="conversation",
                       near_dedup_index_path=idx, reindex_changed=True)
     assert s3["n_near_dup_dropped"] == 1 and s3["rows"] == 0
+
+
+def test_changed_upsert_sidecar(spark, tmp_path):
+    """reindex_changed also emits the changed keys' PROCESSED current
+    content to ``_changed_upsert``: scrubbed replacement rows marked
+    ``upsert`` (the caller's MERGE source) and ``delete`` rows for keys
+    whose new content fails a drop gate (here: decontamination)."""
+    import pandas as pd
+
+    idx = str(tmp_path / "mh_index")
+    quote = ("what is the capital of zanzibar asked the exam question "
+             "number forty two of the held out benchmark suite")
+    pd.DataFrame({"text": [quote]}).to_parquet(
+        str(tmp_path / "bench.parquet"), index=False)
+
+    other = ("an entirely different committed document about stream "
+             "processing joins and watermark semantics in detail")
+    _write_turns([_turn("a", 0, BASE), _turn("b", 0, other)],
+                 str(tmp_path / "s1.parquet"))
+    run_pipeline(spark, str(tmp_path / "s1.parquet"),
+                 str(tmp_path / "out1"), near_dedup_threshold=0.6,
+                 near_dedup_index_path=idx, reindex_changed=True,
+                 decontaminate_against=str(tmp_path / "bench.parquet"))
+
+    # slice 2 re-exports BOTH committed docs with changed text: a's new
+    # text carries PII (must come back scrubbed), b's new text quotes
+    # the benchmark verbatim (must come back as a delete)
+    pii_text = (REWRITTEN + " reach the editor at taro.yamada@example.com"
+                " for the full changelog")
+    contam_text = "as seen upstream " + quote + " end of quote"
+    _write_turns([_turn("a", 0, pii_text), _turn("b", 0, contam_text)],
+                 str(tmp_path / "s2.parquet"))
+    s2 = run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                      str(tmp_path / "out2"), near_dedup_threshold=0.6,
+                      near_dedup_index_path=idx, reindex_changed=True,
+                      decontaminate_against=str(tmp_path / "bench.parquet"))
+    assert s2["n_preindexed_changed"] == 2 and s2["rows"] == 0
+
+    up = (spark.read.parquet(f"{tmp_path}/out2/_changed_upsert")
+          .toPandas().set_index("conv_id"))
+    assert set(up.index) == {"a", "b"}
+    assert up.loc["a", "_action"] == "upsert"
+    assert "[メール非公開]" in up.loc["a", "masked_text"]
+    assert "taro.yamada" not in up.loc["a", "masked_text"]
+    assert up.loc["b", "_action"] == "delete"
+    lu = spark.read.parquet(f"{tmp_path}/out2/_lineage_upsert").toPandas()
+    assert int(lu.iloc[0]["n_upsert"]) == 1
+    assert int(lu.iloc[0]["n_delete"]) == 1
+
+    # converged re-run: no changed keys -> no upsert sidecar at all
+    run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                 str(tmp_path / "out2b"), near_dedup_threshold=0.6,
+                 near_dedup_index_path=idx, reindex_changed=True,
+                 decontaminate_against=str(tmp_path / "bench.parquet"))
+    assert not os.path.exists(f"{tmp_path}/out2b/_changed_upsert")
 
 
 def test_conversation_reindex_all_short_turns_converges(spark, tmp_path):
@@ -224,6 +284,8 @@ def test_embedding_reindex_changed_end_to_end(spark, tmp_path):
     assert ri.iloc[0]["stage"] == "embedding_reindex"
     assert int(ri.iloc[0]["n_keys"]) == 1
     assert int(ri.iloc[0]["epoch"]) == 1
+    up = spark.read.parquet(f"{tmp_path}/out2/_changed_upsert").toPandas()
+    assert list(up["conv_id"]) == ["e1"] and list(up["_action"]) == ["upsert"]
 
     # probe near the NEW vector drops; near the DEAD old vector passes
     _write_emb(spark, [_evt("p1", 0, V_NEAR_NOVEL),
