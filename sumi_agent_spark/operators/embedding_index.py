@@ -391,6 +391,110 @@ def embedding_near_duplicates_incremental(
                     "new_a", "new_b"))
 
 
+def probe_embedding_index_near_duplicates(
+    probe_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    max_bucket_size: int = EMB_MAX_BUCKET_SIZE,
+    probe_bits: int = 1,
+    model_rev: str | None = None,
+) -> DataFrame:
+    """Near-identical pairs between probe rows' CURRENT vectors and the
+    rest of the committed corpus -- the embedding analog of
+    ``minhash_index.probe_index_near_duplicates``, for changed re-exports
+    whose replacement vector may duplicate a DIFFERENT committed key.
+
+    Same semantics: probe keys are not excluded for being committed, but
+    their own stored (old) vectors are -- they are about to be replaced,
+    so resembling one's predecessor (or another probe key's dying old
+    vector) is not duplication; probe-vs-probe pairs compare both NEW
+    vectors.  Output shape matches the incremental operator
+    (``id_a, id_b, cos, new_a, new_b`` with ``new_* = is-probe``) so
+    ``minhash_index.incremental_drop_keys`` applies corpus-wins /
+    keep-first unchanged.  ``probe_bits=1`` multi-probes the probe side
+    only (one-bit neighbor buckets), corpus rows stay in their true
+    buckets.  Scale shape: the probe set is tiny; the corpus bucket store
+    is restricted to probe-touched buckets via a broadcast semi-join and
+    never shuffled O(corpus); the vector store is read candidate-
+    restricted only."""
+    if probe_bits not in (0, 1):
+        raise ValueError(
+            f"probe_bits must be 0 (exact bucket) or 1 (one-bit "
+            f"multi-probe), got {probe_bits}")
+    spark = probe_df.sparkSession
+    meta = _read_meta(spark, index_path)
+    _check_model_rev(meta, model_rev)
+    base = _unique_vec_rows(_clean_base(probe_df, id_col, vec_col))
+    _check_dim(base, meta)
+    from pyspark.sql.window import Window
+
+    bucket = make_hyperplane_bucket_udf(meta["n_planes"], meta["dim"])
+    threshold = meta["threshold"]
+    live = meta["epoch"]
+    probe_b = (base.select("doc_id", bucket("v").alias("bkt"))
+               .withColumn("is_new", F.lit(True)))
+    # buckets the probe side can REACH (true + one-bit neighbors when
+    # multi-probing) -- the corpus restriction must cover the probe
+    # fanout, or neighbor-bucket candidates would be filtered out
+    if probe_bits == 1:
+        neighbor_keys = F.array(
+            F.col("bkt"), *[F.col("bkt").bitwiseXOR(F.lit(1 << j))
+                            for j in range(int(meta["n_planes"]))])
+        touched = (probe_b.select(F.explode(neighbor_keys).alias("bkt"))
+                   .distinct())
+    else:
+        touched = probe_b.select("bkt").distinct()
+    old_b = (_resolve_latest(
+                 _read_epoched(spark, index_path, "buckets", live,
+                               ["doc_id", "bkt"]),
+                 "doc_id", live)
+             .join(base.select("doc_id"), "doc_id", "left_anti")
+             .join(F.broadcast(touched), "bkt", "left_semi")
+             .withColumn("is_new", F.lit(False)))
+    all_b = old_b.unionByName(probe_b)
+    sized = all_b.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("bkt")))
+    capped = (sized.filter(F.col("bucket_n") <= max_bucket_size)
+              .drop("bucket_n"))
+    a = capped.filter("is_new")
+    if probe_bits == 1:
+        a = a.select("doc_id", "is_new",
+                     F.explode(neighbor_keys).alias("bkt"))
+    a = a.alias("a")
+    b = capped.alias("b")
+    a_lt = F.col("a.doc_id") < F.col("b.doc_id")
+    pairs = (a.join(b, "bkt")
+             .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+             .select(
+                 F.when(a_lt, F.col("a.doc_id")).otherwise(F.col("b.doc_id"))
+                  .alias("id_a"),
+                 F.when(a_lt, F.col("b.doc_id")).otherwise(F.col("a.doc_id"))
+                  .alias("id_b"),
+                 F.when(a_lt, F.col("a.is_new")).otherwise(F.col("b.is_new"))
+                  .alias("new_a"),
+                 F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
+                  .alias("new_b"))
+             .distinct())
+    cand = (pairs.select(F.col("id_a").alias("doc_id"))
+            .union(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct())
+    old_v = (_resolve_latest(
+                 _read_epoched(spark, index_path, "vectors", live,
+                               ["doc_id", "v"])
+                 .join(cand, "doc_id", "left_semi"),
+                 "doc_id", live)
+             .join(base.select("doc_id"), "doc_id", "left_anti"))
+    all_v = old_v.unionByName(base.join(cand, "doc_id", "left_semi"))
+    va = all_v.select(F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = all_v.select(F.col("doc_id").alias("id_b"), F.col("v").alias("v_b"))
+    return (pairs.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cos", cosine_cols(F.col("v_a"), F.col("v_b")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos"),
+                    "new_a", "new_b"))
+
+
 def embedding_index_bucket_audit(
     new_df: DataFrame, id_col: str, vec_col: str, index_path: str,
     max_bucket_size: int = EMB_MAX_BUCKET_SIZE,

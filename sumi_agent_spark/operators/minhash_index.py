@@ -515,6 +515,119 @@ def changed_preindexed_ids(
             .select("doc_id"))
 
 
+def probe_index_near_duplicates(
+    probe_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs between probe rows' CURRENT text and the rest
+    of the committed corpus -- the replacement-content check for changed
+    re-exports.
+
+    :func:`minhash_near_duplicates_incremental` anti-joins committed keys
+    out of the slice (a completed re-run must not pair with itself), so a
+    CHANGED re-export's new text is never checked there: a re-crawl that
+    rewrites doc B into a near-copy of committed doc A would sail into the
+    corpus as B's replacement.  This operator closes that hole.  Semantics:
+
+    * probe keys are NOT excluded for being committed -- that is the
+      point -- but a probe key's OWN stored (old) content is excluded
+      entirely: it is about to be replaced by a reindex, so a replacement
+      resembling its predecessor (the common case: a small edit) is not a
+      duplicate, and neither is a replacement resembling ANOTHER probe
+      key's dying old content;
+    * probe-vs-probe pairs compare both keys' NEW text (two re-exports
+      rewritten into copies of each other are still duplicates);
+    * output matches the incremental operator's shape
+      ``(id_a, id_b, jaccard, new_a, new_b)`` with ``new_* = is-probe``,
+      so :func:`incremental_drop_keys` applies the same policy: the probe
+      side of a mixed pair drops (surviving corpus wins), the later key
+      of a probe-probe pair drops (keep-first).
+
+    Scale shape: the probe set (changed re-exports of one slice) is tiny,
+    so its banded rows are BROADCAST; the corpus band store is scanned
+    with a broadcast semi-join restriction to probe-touched buckets and
+    never shuffled O(corpus) -- the capping window runs over matched
+    buckets only, still counting TRUE full-bucket sizes (the restriction
+    is by bucket key, so no row of a matched bucket is lost).  Verify
+    reads the shingle store restricted to candidate ids, epoch-resolved;
+    probe-side shingles come from the probe text.  O(probe + matched
+    buckets), never O(corpus)."""
+    spark = probe_df.sparkSession
+    meta = _read_meta(spark, index_path)
+    live = meta["epoch"]
+    minhash = make_minhash_udf(meta["n_hashes"], meta["shingle_k"])
+    shingles = make_shingle_udf(meta["shingle_k"])
+    threshold = meta["threshold"]
+
+    base = _unique_doc_rows(probe_df, id_col, text_col)
+    sig = base.select("doc_id", minhash("text").alias("sig"))
+    probe_banded = (_banded(sig, "doc_id", meta["bands"])
+                    .withColumn("is_new", F.lit(True)))
+    # corpus rows of probe keys are the dying old content: excluded before
+    # bucketing so they neither pair nor inflate bucket sizes (the
+    # replacement takes their place in the very same run)
+    old_banded = (_resolve_latest(
+                      _read_epoched(spark, index_path, "bands", live,
+                                    ["doc_id", "band", "band_key"]),
+                      "doc_id", live)
+                  .join(base.select("doc_id"), "doc_id", "left_anti")
+                  .join(F.broadcast(probe_banded
+                                    .select("band", "band_key").distinct()),
+                        ["band", "band_key"], "left_semi")
+                  .withColumn("is_new", F.lit(False)))
+    from pyspark.sql.window import Window
+    all_banded = old_banded.unionByName(probe_banded)
+    sized = all_banded.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band", "band_key")))
+    capped = (sized.filter(F.col("bucket_n") <= max_bucket_size)
+              .drop("bucket_n"))
+    a = capped.filter("is_new").alias("a")
+    b = capped.alias("b")
+    a_lt = F.col("a.doc_id") < F.col("b.doc_id")
+    pairs = (a.join(b, ["band", "band_key"])
+             .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+             .select(
+                 F.when(a_lt, F.col("a.doc_id")).otherwise(F.col("b.doc_id"))
+                  .alias("id_a"),
+                 F.when(a_lt, F.col("b.doc_id")).otherwise(F.col("a.doc_id"))
+                  .alias("id_b"),
+                 F.when(a_lt, F.col("a.is_new")).otherwise(F.col("b.is_new"))
+                  .alias("new_a"),
+                 F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
+                  .alias("new_b"))
+             .distinct())
+    cand = (pairs.select(F.col("id_a").alias("doc_id"))
+            .union(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct())
+    new_sh = (base.join(cand, "doc_id", "left_semi")
+              .select("doc_id", shingles("text").alias("sh")))
+    # probe keys resolve to their NEW shingles (the store rows are the
+    # content being replaced), exactly as the incremental op's slice-wins
+    # rule; candidate-restrict before epoch resolution, as everywhere
+    old_sh = (_resolve_latest(
+                  _read_epoched(spark, index_path, "shingles", live,
+                                ["doc_id", "sh"])
+                  .join(cand, "doc_id", "left_semi"),
+                  "doc_id", live)
+              .join(base.select("doc_id"), "doc_id", "left_anti"))
+    all_sh = old_sh.unionByName(new_sh)
+    sa = all_sh.select(F.col("doc_id").alias("id_a"),
+                       F.col("sh").alias("sh_a"))
+    sb = all_sh.select(F.col("doc_id").alias("id_b"),
+                       F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
+                    "new_a", "new_b"))
+
+
 # ─── Group-granularity (conversation) index ───
 #
 # Same layout contract as the doc index (shingles first, bands last = the

@@ -1,0 +1,141 @@
+"""Replacement-content probes: changed re-exports vs the rest of the corpus.
+
+The contract under test: ``probe_index_near_duplicates`` (and its
+embedding analog) flags a changed key whose NEW content near-duplicates a
+DIFFERENT committed key, while never flagging a replacement for
+resembling its own (or another probe key's) dying old content -- the hole
+the committed-key filter in the incremental operators leaves open."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sumi_agent_spark.operators.embedding_index import (
+    probe_embedding_index_near_duplicates,
+    write_embedding_index,
+)
+from sumi_agent_spark.operators.minhash_index import (
+    incremental_drop_keys,
+    probe_index_near_duplicates,
+    write_minhash_index,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the distant mountains and the river keeps flowing")
+ALT = ("a completely different discussion about query engines, shuffle "
+       "partitioning, bucketed joins and skew mitigation at petabyte scale")
+THIRD = ("yet another unrelated document describing watermarks, stateful "
+         "streaming operators and exactly-once sinks in structured streaming")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("probe_idx") / "mh")
+    corpus = spark.createDataFrame(
+        [("a", BASE), ("b", ALT), ("c", THIRD)], ["doc_id", "text"])
+    write_minhash_index(corpus, "doc_id", "text", path, threshold=0.8)
+    return path
+
+
+def _probe(spark, index_path, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return probe_index_near_duplicates(df, "doc_id", "text", index_path)
+
+
+def test_replacement_near_copy_of_other_doc_flagged(spark, index_path):
+    # b's re-export was rewritten into a near-copy of committed doc a
+    pairs = _probe(spark, index_path,
+                   [("b", BASE.replace("quick", "swift"))]).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {("a", "b")}
+    p = pairs[0]
+    assert (p["new_a"], p["new_b"]) == (False, True)
+    drops = incremental_drop_keys(
+        _probe(spark, index_path,
+               [("b", BASE.replace("quick", "swift"))])).collect()
+    assert [r["doc_id"] for r in drops] == ["b"]
+
+
+def test_replacement_resembling_own_old_content_not_flagged(spark,
+                                                            index_path):
+    # a small edit: the replacement is ~identical to b's OWN stored text
+    pairs = _probe(spark, index_path,
+                   [("b", ALT.replace("different", "distinct"))]).collect()
+    assert pairs == []
+
+
+def test_replacement_resembling_other_probes_old_content_not_flagged(
+        spark, index_path):
+    # b is rewritten into a near-copy of c's OLD text -- but c is ALSO
+    # being replaced in the same run, so c's old content is dying and b's
+    # new content does not duplicate anything that will remain
+    pairs = _probe(
+        spark, index_path,
+        [("b", THIRD.replace("operators", "runners")),
+         ("c", "a thoroughly new unrelated note on compaction policies "
+               "and manifest caching in large table formats")]).collect()
+    assert pairs == []
+
+
+def test_probe_probe_pair_drops_later_key_only(spark, index_path):
+    # two re-exports rewritten into near-copies of each other: keep-first
+    common = ("both replacements now describe adaptive query execution, "
+              "runtime re-optimization and skew join splitting in detail")
+    res = _probe(spark, index_path,
+                 [("b", common), ("c", common + " indeed")])
+    pairs = res.collect()
+    assert {(p["id_a"], p["id_b"], p["new_a"], p["new_b"])
+            for p in pairs} == {("b", "c", True, True)}
+    drops = incremental_drop_keys(res).collect()
+    assert [r["doc_id"] for r in drops] == ["c"]
+
+
+# ─── embedding analog ───
+
+
+def _vec(x, dim=8):
+    base = [float(x)] + [1.0] * (dim - 1)
+    n = sum(v * v for v in base) ** 0.5
+    return [v / n for v in base]
+
+
+@pytest.fixture(scope="module")
+def emb_index_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("probe_idx") / "emb")
+    corpus = spark.createDataFrame(
+        [("a", _vec(0.0)), ("b", _vec(10.0)), ("c", _vec(-10.0))],
+        "doc_id string, v array<double>")
+    write_embedding_index(corpus, "doc_id", "v", path, threshold=0.98,
+                          n_planes=4)
+    return path
+
+
+def _eprobe(spark, emb_index_path, rows):
+    df = spark.createDataFrame(rows, "doc_id string, v array<double>")
+    return probe_embedding_index_near_duplicates(df, "doc_id", "v",
+                                                 emb_index_path)
+
+
+def test_embedding_replacement_duplicating_other_key_flagged(
+        spark, emb_index_path):
+    # b's re-embedded vector now sits on top of committed a's
+    pairs = _eprobe(spark, emb_index_path,
+                    [("b", _vec(0.001))]).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {("a", "b")}
+    p = pairs[0]
+    assert (p["new_a"], p["new_b"]) == (False, True)
+
+
+def test_embedding_replacement_near_own_old_vector_not_flagged(
+        spark, emb_index_path):
+    pairs = _eprobe(spark, emb_index_path,
+                    [("b", _vec(10.001))]).collect()
+    assert pairs == []
+
+
+def test_embedding_probe_probe_pair(spark, emb_index_path):
+    res = _eprobe(spark, emb_index_path,
+                  [("b", _vec(5.0)), ("c", _vec(5.001))])
+    pairs = res.collect()
+    assert {(p["id_a"], p["id_b"], p["new_a"], p["new_b"])
+            for p in pairs} == {("b", "c", True, True)}
+    drops = incremental_drop_keys(res).collect()
+    assert [r["doc_id"] for r in drops] == ["c"]
