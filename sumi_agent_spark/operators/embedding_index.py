@@ -409,7 +409,9 @@ def probe_embedding_index_near_duplicates(
     their own stored (old) vectors are -- they are about to be replaced,
     so resembling one's predecessor (or another probe key's dying old
     vector) is not duplication; probe-vs-probe pairs compare both NEW
-    vectors.  Output shape matches the incremental operator
+    vectors; a mixed pair is void when the corpus vector near-duplicates
+    the probe key's own stored old vector (predecessor-shadow carve-out,
+    see the MinHash probe).  Output shape matches the incremental operator
     (``id_a, id_b, cos, new_a, new_b`` with ``new_* = is-probe``) so
     ``minhash_index.incremental_drop_keys`` applies corpus-wins /
     keep-first unchanged.  ``probe_bits=1`` multi-probes the probe side
@@ -488,9 +490,31 @@ def probe_embedding_index_near_duplicates(
     all_v = old_v.unionByName(base.join(cand, "doc_id", "left_semi"))
     va = all_v.select(F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
     vb = all_v.select(F.col("doc_id").alias("id_b"), F.col("v").alias("v_b"))
-    return (pairs.join(va, "id_a").join(vb, "id_b")
-            .withColumn("cos", cosine_cols(F.col("v_a"), F.col("v_b")))
-            .filter(F.col("cos") >= threshold)
+    verified = (pairs.join(va, "id_a").join(vb, "id_b")
+                .withColumn("cos", cosine_cols(F.col("v_a"), F.col("v_b")))
+                .filter(F.col("cos") >= threshold))
+    # predecessor-shadow carve-out, exactly as in
+    # minhash_index.probe_index_near_duplicates: a mixed pair is void
+    # when the corpus vector near-duplicates the probe key's OWN stored
+    # (old) vector -- matching one's predecessor's shadow is not
+    # duplication; uncommitted probes (NULL old vector) are never carved
+    probe_old_v = (_resolve_latest(
+                       _read_epoched(spark, index_path, "vectors", live,
+                                     ["doc_id", "v"])
+                       .join(base.select("doc_id"), "doc_id", "left_semi"),
+                       "doc_id", live)
+                   .select(F.col("doc_id").alias("_pid"),
+                           F.col("v").alias("v_old")))
+    mixed = F.col("new_a") != F.col("new_b")
+    verified = (verified
+                .withColumn("_pid", F.when(F.col("new_a"), F.col("id_a"))
+                                     .otherwise(F.col("id_b")))
+                .withColumn("_cv", F.when(F.col("new_a"), F.col("v_b"))
+                                    .otherwise(F.col("v_a")))
+                .join(probe_old_v, "_pid", "left"))
+    shadow = (mixed & F.col("v_old").isNotNull()
+              & (cosine_cols(F.col("_cv"), F.col("v_old")) >= threshold))
+    return (verified.filter(~shadow)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos"),
                     "new_a", "new_b"))
 

@@ -544,7 +544,14 @@ def probe_index_near_duplicates(
       ``(id_a, id_b, jaccard, new_a, new_b)`` with ``new_* = is-probe``,
       so :func:`incremental_drop_keys` applies the same policy: the probe
       side of a mixed pair drops (surviving corpus wins), the later key
-      of a probe-probe pair drops (keep-first).
+      of a probe-probe pair drops (keep-first);
+    * predecessor-shadow carve-out: a mixed pair is VOID when the corpus
+      doc's stored content itself near-duplicates the probe key's own
+      stored (old) content -- that corpus doc is the predecessor's
+      shadow (typically an earlier replacement deleted for duplicating
+      this key, then reindexed for convergence), and matching it means
+      the replacement resembles this key's own history, which is never
+      duplication.
 
     Scale shape: the probe set (changed re-exports of one slice) is tiny,
     so its banded rows are BROADCAST; the corpus band store is scanned
@@ -621,9 +628,39 @@ def probe_index_near_duplicates(
                        F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (pairs.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard", inter / union)
-            .filter(F.col("jaccard") >= threshold)
+    verified = (pairs.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("jaccard", inter / union)
+                .filter(F.col("jaccard") >= threshold))
+    # Predecessor-shadow carve-out: a mixed pair is VOID when the corpus
+    # doc's stored content near-duplicates the probe key's OWN stored
+    # (old) content.  Such a corpus doc is the predecessor's shadow --
+    # e.g. an earlier replacement that was deleted precisely for
+    # duplicating this key, then reindexed (the pipeline reindexes
+    # delete-action replacements too, for convergence) -- and matching
+    # it means "the replacement resembles this key's own history", which
+    # is never duplication.  Probe keys with no stored content (an
+    # uncommitted probe) get no carve-out (left join, NULL old
+    # shingles).  Probe-probe pairs are never carved (both sides are
+    # live replacements).
+    probe_old_sh = (_resolve_latest(
+                        _read_epoched(spark, index_path, "shingles", live,
+                                      ["doc_id", "sh"])
+                        .join(base.select("doc_id"), "doc_id", "left_semi"),
+                        "doc_id", live)
+                    .select(F.col("doc_id").alias("_pid"),
+                            F.col("sh").alias("sh_old")))
+    mixed = F.col("new_a") != F.col("new_b")
+    verified = (verified
+                .withColumn("_pid", F.when(F.col("new_a"), F.col("id_a"))
+                                     .otherwise(F.col("id_b")))
+                .withColumn("_csh", F.when(F.col("new_a"), F.col("sh_b"))
+                                     .otherwise(F.col("sh_a")))
+                .join(probe_old_sh, "_pid", "left"))
+    inter2 = F.size(F.array_intersect("_csh", "sh_old")).cast("double")
+    union2 = (F.size("_csh") + F.size("sh_old")).cast("double") - inter2
+    shadow = (mixed & F.col("sh_old").isNotNull()
+              & ((inter2 / union2) >= threshold))
+    return (verified.filter(~shadow)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
                     "new_a", "new_b"))
 

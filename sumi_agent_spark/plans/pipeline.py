@@ -605,7 +605,8 @@ def _near_dedup_slice_stage(spark, df, threshold, index_path,
 
 
 def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
-                           n_planes, collect_changed=False):
+                           n_planes, collect_changed=False,
+                           changed_probe_df=None):
     """Embedding near-dedup keyed on the ``(conv_id, turn_idx)`` struct --
     the embedding analog of :func:`_near_dedup_slice_stage`, for corpora
     that ship precomputed turn embeddings.
@@ -625,7 +626,17 @@ def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
     index_action_or_None, changed_rows_or_None) with index_action =
     ("create"|"append", kept); changed_rows mirrors
     :func:`_near_dedup_slice_stage`'s contract (slice rows of changed
-    pre-indexed keys, only under ``collect_changed``)."""
+    pre-indexed keys, only under ``collect_changed``).
+
+    ``changed_probe_df``: when the MinHash gate runs FIRST, it anti-joins
+    its own committed keys out of this stage's input -- so a key
+    committed to BOTH indexes whose re-export changed text AND embedding
+    would never be seen here, and its stale vector would anchor the
+    embedding index forever while the text side got reindexed.  Passing
+    the pre-MinHash-gate rows here scopes the changed-re-export DETECTION
+    (and only it) to the full slice; the dedup anti-joins and the
+    ``n_preindexed_rows_dropped`` counter still operate on this stage's
+    own input."""
     from pyspark.sql import Observation
 
     from ..operators.dedup import (
@@ -697,18 +708,23 @@ def _embedding_dedup_stage(spark, df, threshold, index_path, vec_col,
     committed = (_committed_ids(spark, index_path)
                  .withColumnRenamed("doc_id", "_ek"))
     n_pre = keyed.join(committed, "_ek", "left_semi").count()
+    probe_keyed = (changed_probe_df.withColumn(
+                       "_ek", F.struct("conv_id", "turn_idx"))
+                   if changed_probe_df is not None else keyed)
+    n_pre_probe = (probe_keyed.join(committed, "_ek", "left_semi").count()
+                   if changed_probe_df is not None else n_pre)
     n_pre_changed = 0
     changed_rows = None
-    if n_pre:  # split identical vs CHANGED re-exports (reindex needed)
+    if n_pre_probe:  # split identical vs CHANGED re-exports (reindex)
         from ..operators.embedding_index import changed_preindexed_ids
         changed_ids = (changed_preindexed_ids(
-            keyed, "_ek", vec_col, index_path)
+            probe_keyed, "_ek", vec_col, index_path)
             .withColumnRenamed("doc_id", "_ek"))
         n_pre_changed = changed_ids.count()
         if collect_changed and n_pre_changed:
             # persisted for the same reason as the MinHash branches
-            changed_rows = keyed.join(F.broadcast(changed_ids),
-                                      "_ek", "left_semi").persist()
+            changed_rows = probe_keyed.join(F.broadcast(changed_ids),
+                                            "_ek", "left_semi").persist()
     obs = Observation("embedding_dedup_capping")
     pairs = embedding_near_duplicates_incremental(
         keyed, "_ek", vec_col, index_path, observation=obs)
@@ -846,16 +862,40 @@ def run_pipeline(
     re-exports of already-written keys; replacing the stale OUTPUT rows
     is the caller's upsert -- Iceberg MERGE in the nominal deployment).
     To give that MERGE a source, the changed keys' current content is
-    ALSO run through the same decontamination/toxicity gates and scrub
-    and written to ``{output_path}/_changed_upsert`` with an
-    ``_action`` column: ``upsert`` rows carry the processed replacement
-    (MERGE: matched -> update, not-matched -> insert, covering a grown
-    conversation's new turns), ``delete`` rows mark keys whose NEW
-    content fails a drop gate so the stale output row must be removed.
+    ALSO run through the same gates as the main path -- decontamination,
+    toxicity (pre-scrub, like the main gate), the replacement probes
+    against the near-dedup indexes (``probe_index_near_duplicates`` /
+    ``probe_embedding_index_near_duplicates``: new content duplicating a
+    DIFFERENT surviving committed key must not land; resembling the
+    key's own predecessor never deletes), and the pure sampling-fraction
+    rule -- then scrubbed and written to
+    ``{output_path}/_changed_upsert`` with an ``_action`` column:
+    ``upsert`` rows carry the processed replacement (MERGE: matched ->
+    update, not-matched -> insert, covering a grown conversation's new
+    turns); ``update`` replaces ``upsert`` whenever a rank-based
+    sampling gate (exact-n stratified / token-budget mix) is active --
+    rank membership is a property of the original run's population and
+    cannot be re-derived per key, so replacements update matched rows
+    but never insert; ``delete`` rows mark keys whose NEW content fails
+    a drop gate so the stale output row must be removed.  Replacement
+    keys the fraction rule excludes are dropped from the sidecar
+    outright (they were never written; ``n_sampled_out`` counts them).
+    Under ``decontam_scope="conversation"``, changed rows join the
+    contamination flag source (a changed turn quoting a benchmark
+    poisons its conversation's clean new siblings in the main write
+    too), and the poisoned conversations' already-committed keys --
+    enumerated from a turn-keyed index when one is active -- are
+    emitted as key-only ``delete`` rows (retroactive contamination; a
+    group-granularity index alone cannot enumerate turn keys, so that
+    configuration covers only the keys present in the changed set).
+    Near-dedup replacement probes run for the turn-scope MinHash index
+    and the embedding index; a conversation-granularity MinHash index
+    has no replacement probe (documented gap).
     The sidecar is written before the reindex commits, so a crash
     between the two can only duplicate byte-identical rows on the
     re-run (dedupe the MERGE source by key), never lose them; counts
-    land in ``_lineage_upsert``.
+    land in ``_lineage_upsert`` (read lineage sidecars with
+    ``mergeSchema=true``; columns are additive across versions).
     At most one epoch per slice-with-changes accrues per index; compact
     periodically (``compact_doc_index`` etc.).  Conversation scope
     assumes the re-export carries each changed conversation's FULL
@@ -968,6 +1008,12 @@ def run_pipeline(
     nd_drops = None
     nd_index_action = None  # slice mode: ("create"|"append", kept_df)
     nd_changed_rows = None  # slice rows of changed pre-indexed keys
+    # the embedding stage's changed-re-export detection must see the
+    # slice BEFORE the MinHash gate anti-joins its committed keys away:
+    # a doubly-committed key whose re-export changed text AND embedding
+    # is dropped there, and probing only the post-gate rows would freeze
+    # its stale vector in the embedding index forever
+    df_pre_index = df if (reindex_changed and eb_gate_on) else None
     if near_dedup_threshold is not None:
         if near_dedup_scope not in ("turn", "conversation"):
             raise ValueError(
@@ -997,9 +1043,14 @@ def run_pipeline(
          eb_changed_rows) = _embedding_dedup_stage(
             spark, df, float(embedding_dedup_threshold),
             embedding_index_path, embedding_col, int(embedding_n_planes),
-            collect_changed=reindex_changed)
+            collect_changed=reindex_changed,
+            changed_probe_df=(df_pre_index if nd_gate_on else None))
         spark.createDataFrame([eb_row]).write.mode("append").parquet(
             f"{output_path}/_lineage_embdedup")
+    # one definition of the sampling key set, shared by the row-sampling
+    # gate, the token-mix gate, and the changed-upsert re-check
+    sp_keys = (list(sample_key_cols) if sample_key_cols
+               else ["conv_id", "turn_idx"])
     if sample_fraction is not None or sample_n_per_stratum is not None:
         # Sampling runs on the dedup survivors and BEFORE resume_filter,
         # for the same reason the dedup stages do: fraction membership is
@@ -1014,8 +1065,6 @@ def run_pipeline(
         from ..operators.sampling import (
             deterministic_sample, sample_keep_condition,
             stratified_sample_n)
-        sp_keys = (list(sample_key_cols) if sample_key_cols
-                   else ["conv_id", "turn_idx"])
         sp_rows_in = sp_rows_kept = None
         if sample_fraction is not None:
             cond = sample_keep_condition(sp_keys, float(sample_fraction),
@@ -1130,8 +1179,6 @@ def run_pipeline(
         tok = (F.col(sample_token_col) if sample_token_col
                else F.length(F.coalesce(F.col("text"), F.lit(""))))
         keyed_tok = df.withColumn("_tok", tok)
-        sp_keys = (list(sample_key_cols) if sample_key_cols
-                   else ["conv_id", "turn_idx"])
         sampled, tm_info = token_budget_sample(
             keyed_tok, sample_token_stratum_col, sample_token_shares,
             sp_keys, "_tok", total_tokens=sample_token_budget,
@@ -1264,13 +1311,28 @@ def run_pipeline(
                 k=int(decontam_k), min_hits=int(decontam_min_hits),
                 ngrams=decontam_ngrams)
 
-        flagged = dc_flagger(keyed)
         if decontam_scope == "conversation":
             # one contaminated turn poisons the whole conversation (a
             # quoted eval question makes the surrounding dialog eval-
             # correlated too -- the standard document-level drop rule);
             # n_dropped then counts CONVERSATIONS, cheap by construction
-            # (no extra full-input scan for a turn recount)
+            # (no extra full-input scan for a turn recount).
+            # Changed re-exports' CURRENT content joins the flag source:
+            # a changed committed turn quoting a benchmark poisons its
+            # conversation, but that turn is not in ``keyed`` (the index
+            # gate dropped it as committed) -- without the union the main
+            # gate would write the conversation's clean sibling turns
+            # while the upsert stage deleted only the changed row.  Only
+            # collected under reindex_changed; otherwise the changed
+            # content stays counted-not-acted, as documented.
+            flag_src = keyed.select("_ck", "text")
+            for ch in (nd_changed_rows, eb_changed_rows):
+                if ch is not None:
+                    flag_src = flag_src.unionByName(
+                        ch.withColumn(
+                            "_ck", F.struct("conv_id", "turn_idx"))
+                        .select("_ck", "text"))
+            flagged = dc_flagger(flag_src)
             dc_drops = flagged.select(F.col("_ck.conv_id").alias(
                 "conv_id")).distinct()
             dc_drops.persist()
@@ -1286,7 +1348,7 @@ def run_pipeline(
                 dc, base_df["conv_id"].eqNullSafe(dc["_dc_conv"]),
                 "left_anti")
         else:
-            dc_drops = flagged
+            dc_drops = dc_flagger(keyed)
             dc_drops.persist()
             n_contam = dc_drops.count()  # pins the drop set for the write
             df = keyed.join(dc_drops, "_ck", "left_anti").drop("_ck")
@@ -1425,95 +1487,238 @@ def run_pipeline(
                     eb_keyed, "_ek", embedding_col, embedding_index_path)
         # Processed replacement rows for changed re-exports: the
         # changed keys' CURRENT content run through the same content
-        # gates (decontamination, toxicity) and the same scrub as the
-        # main path, written to ``_changed_upsert`` with an ``_action``
-        # column so the caller's documented MERGE (Iceberg in the
-        # nominal deployment) has pipeline-PROCESSED rows to apply --
-        # without this the only route to the new content would bypass
-        # scrub/decontamination/toxicity entirely, or the content would
-        # be lost while the reindexed signature actively blocks its
-        # re-ingestion.  ``upsert`` rows replace matched output rows
-        # (or insert, for a grown conversation's new turns); ``delete``
-        # marks keys whose NEW content fails a drop gate, so the stale
-        # output row must be removed, not replaced.  Rank-based
-        # sampling gates are NOT re-derived here: match-on-key MERGE
-        # semantics make them moot for replaced rows (a key the
-        # original run never wrote matches nothing).  Written BEFORE
-        # the reindex commits: a crash in between makes the re-run
-        # redetect the same keys and append byte-identical rows (the
-        # MERGE source should dedupe by key), never lose them.
-        if nd_changed_rows is not None or eb_changed_rows is not None:
+        # gates (decontamination, toxicity, near-dedup probes, the pure
+        # sampling rule) and the same scrub as the main path, written to
+        # ``_changed_upsert`` with an ``_action`` column so the caller's
+        # documented MERGE (Iceberg in the nominal deployment) has
+        # pipeline-PROCESSED rows to apply -- without this the only
+        # route to the new content would bypass the gates entirely, or
+        # the content would be lost while the reindexed signature
+        # actively blocks its re-ingestion.  Actions:
+        #   ``upsert``  replace the matched output row, or insert (a
+        #               grown conversation's new turns);
+        #   ``update``  replace IF MATCHED, never insert -- emitted
+        #               instead of ``upsert`` whenever a rank-based
+        #               sampling gate (exact-n stratified / token-budget
+        #               mix) is active, because membership in a rank
+        #               gate is a property of the original run's full
+        #               population and cannot be re-derived per key:
+        #               inserting an unmatched key could exceed the
+        #               original sample.  The pure fraction gate IS
+        #               re-derived (same hash rule, same seed), so
+        #               fraction-excluded replacement keys are dropped
+        #               from the sidecar outright (``n_sampled_out``);
+        #   ``delete``  the NEW content fails a drop gate (contaminated,
+        #               toxic, or a near-duplicate of a DIFFERENT
+        #               surviving committed key -- the replacement
+        #               probes), or the key belongs to a conversation
+        #               retroactively poisoned this run: remove the
+        #               stale output row.  Retro-delete rows carry only
+        #               the key columns (content fields NULL).
+        # Written BEFORE the reindex commits: a crash in between makes
+        # the re-run redetect the same keys and append byte-identical
+        # rows (the MERGE source should dedupe by key), never lose them.
+        retro_deletes = None
+        if (reindex_changed and decontam_scope == "conversation"
+                and dc_drops is not None):
+            # Retroactive contamination: a conversation poisoned THIS
+            # run (by a new or changed turn) may have clean turns in the
+            # output from earlier slices; an uninterrupted run over the
+            # same content would have dropped the whole conversation.
+            # Enumerate the poisoned conversations' committed keys from
+            # a turn-keyed index and emit deletes for them.  (A group-
+            # granularity index alone cannot enumerate turn keys --
+            # documented gap.  Keys the index holds but the output never
+            # wrote -- decontam/toxicity-dropped at their own ingest --
+            # produce deletes that match nothing; harmless.)
+            ck_src = None
+            if (nd_gate_on and near_dedup_scope == "turn"
+                    and _try_read_first(
+                        spark, f"{near_dedup_index_path}/meta") is not None):
+                from ..operators.minhash_index import _committed_doc_ids
+                ck_src = _committed_doc_ids(spark, near_dedup_index_path)
+            elif eb_gate_on and _try_read_first(
+                    spark, f"{embedding_index_path}/meta") is not None:
+                from ..operators.embedding_index import _committed_ids
+                ck_src = _committed_ids(spark, embedding_index_path)
+            if ck_src is not None:
+                dcv_r = dc_drops.withColumnRenamed("conv_id", "_dc_conv")
+                retro_deletes = (
+                    ck_src.select(
+                        F.col("doc_id.conv_id").alias("conv_id"),
+                        F.col("doc_id.turn_idx").alias("turn_idx"))
+                    .join(F.broadcast(dcv_r),
+                          F.col("conv_id").eqNullSafe(F.col("_dc_conv")),
+                          "left_semi"))
+        if (nd_changed_rows is not None or eb_changed_rows is not None
+                or retro_deletes is not None):
             from pyspark.sql.window import Window as _W
+
+            from ..operators.minhash_index import incremental_drop_keys
+            rank_gated = (sample_n_per_stratum is not None
+                          or sample_token_shares is not None)
             srcs = []
             if nd_changed_rows is not None:
                 srcs.append(nd_changed_rows.drop("_nk"))
             if eb_changed_rows is not None:
                 srcs.append(eb_changed_rows.drop("_ek"))
-            up = srcs[0]
-            for s in srcs[1:]:
-                # disjoint by construction: an nd-changed key is dropped
-                # from df before the embedding stage sees it
-                up = up.unionByName(s, allowMissingColumns=True)
-            # duplicate keys (reachable with dedup=False) collapse to
-            # the min-text row -- the winner rule the index itself
-            # applies (_unique_doc_rows), so the upsert row matches the
-            # reindexed signature
-            up = (up.withColumn(
-                      "_rn", F.row_number().over(
-                          _W.partitionBy("conv_id", "turn_idx")
-                            .orderBy(F.col("text").asc_nulls_first())))
-                  .filter(F.col("_rn") == 1).drop("_rn"))
-            out_up = scrub_transform(up, **scrub_kwargs).withColumn(
-                "_ck", F.struct("conv_id", "turn_idx"))
-            is_del = F.lit(False)
-            if dc_flagger is not None:
-                flagged_up = dc_flagger(
-                    up.withColumn("_ck", F.struct("conv_id", "turn_idx")))
-                if decontam_scope == "conversation":
-                    # one contaminated turn deletes the whole changed
-                    # conversation's rows, mirroring the main gate
-                    dcv = (flagged_up
-                           .select(F.col("_ck.conv_id").alias("_dc_conv"))
-                           .distinct().withColumn("_dcf", F.lit(True)))
-                    out_up = out_up.join(
-                        F.broadcast(dcv),
-                        out_up["conv_id"].eqNullSafe(dcv["_dc_conv"]),
-                        "left").drop("_dc_conv")
+            up = None
+            if srcs:
+                up = srcs[0]
+                for s in srcs[1:]:
+                    # the sets can overlap (a doubly-committed key whose
+                    # text AND embedding changed); the collapse below
+                    # dedupes the identical rows
+                    up = up.unionByName(s, allowMissingColumns=True)
+                # duplicate keys (reachable with dedup=False) collapse
+                # to the min-text row: asc_nulls_last matches the
+                # null-IGNORING F.min(text) winner the doc index's
+                # _unique_doc_rows applies, so the upsert row carries
+                # the text the reindexed signature describes.  (The
+                # grouped reindex unions ALL duplicate rows' shingles --
+                # strictly more conservative than any single kept row;
+                # the embedding index collapses by min VECTOR.  Both
+                # divergences are reachable only with dedup=False AND
+                # conflicting duplicate content for one key.)
+                up = (up.withColumn(
+                          "_rn", F.row_number().over(
+                              _W.partitionBy("conv_id", "turn_idx")
+                                .orderBy(F.col("text").asc_nulls_last())))
+                      .filter(F.col("_rn") == 1).drop("_rn"))
+            n_sampled_out = 0
+            if up is not None and sample_fraction is not None:
+                from ..operators.sampling import sample_keep_condition
+                cond = sample_keep_condition(
+                    sp_keys, float(sample_fraction), int(sample_seed))
+                n_sampled_out = up.filter(~cond).count()
+                if n_sampled_out:
+                    up = up.filter(cond)
+            out_up = None
+            if up is not None:
+                up_keyed = up.withColumn(
+                    "_ck", F.struct("conv_id", "turn_idx"))
+                del_srcs = []  # one-column ``_ck`` frames to delete
+                if dc_flagger is not None:
+                    if decontam_scope == "conversation":
+                        # the main gate's poisoned-conversation set
+                        # already includes convs flagged by changed rows
+                        # (the flag source unions them) -- reuse it, one
+                        # rule, no second flagger pass
+                        dcv = dc_drops.withColumnRenamed(
+                            "conv_id", "_dc_conv")
+                        del_srcs.append(
+                            up_keyed.join(
+                                F.broadcast(dcv),
+                                up_keyed["conv_id"].eqNullSafe(
+                                    F.col("_dc_conv")),
+                                "left_semi").select("_ck"))
+                    else:
+                        del_srcs.append(dc_flagger(up_keyed))
+                if drop_toxic_above is not None:
+                    from ..operators.toxicity import toxicity_score_col
+                    # evaluated PRE-scrub like the main gate (the post-
+                    # scrub frame's columns belong to scrub_transform; a
+                    # grouped transform has no ``text`` column)
+                    del_srcs.append(
+                        up_keyed.filter(
+                            toxicity_score_col(F.col("text"))
+                            > float(drop_toxic_above)).select("_ck"))
+                # replacement content re-checked against the near-dedup
+                # gates: the incremental operators exclude committed
+                # keys, so without these probes a re-export rewritten
+                # into a near-copy of a DIFFERENT committed doc would
+                # sail in as its replacement (group-granularity MinHash
+                # has no probe -- documented gap)
+                if (nd_gate_on and near_dedup_scope == "turn"
+                        and _try_read_first(
+                            spark, f"{near_dedup_index_path}/meta")
+                        is not None):
+                    from ..operators.minhash_index import (
+                        probe_index_near_duplicates)
+                    del_srcs.append(
+                        incremental_drop_keys(probe_index_near_duplicates(
+                            up_keyed, "_ck", "text",
+                            near_dedup_index_path))
+                        .withColumnRenamed("doc_id", "_ck"))
+                if eb_gate_on and _try_read_first(
+                        spark, f"{embedding_index_path}/meta") is not None:
+                    from ..operators.embedding_index import (
+                        probe_embedding_index_near_duplicates)
+                    del_srcs.append(
+                        incremental_drop_keys(
+                            probe_embedding_index_near_duplicates(
+                                up_keyed, "_ck", embedding_col,
+                                embedding_index_path))
+                        .withColumnRenamed("doc_id", "_ck"))
+                out_up = scrub_transform(up, **scrub_kwargs).withColumn(
+                    "_ck", F.struct("conv_id", "turn_idx"))
+                if del_srcs:
+                    dset = del_srcs[0]
+                    for s in del_srcs[1:]:
+                        dset = dset.union(s)
+                    dset = (dset.distinct()
+                            .withColumn("_del", F.lit(True)))
+                    out_up = out_up.join(F.broadcast(dset), "_ck", "left")
                 else:
-                    dck = flagged_up.withColumn("_dcf", F.lit(True))
-                    out_up = out_up.join(F.broadcast(dck), "_ck", "left")
-                is_del = is_del | F.coalesce(F.col("_dcf"), F.lit(False))
-            if drop_toxic_above is not None:
-                from ..operators.toxicity import toxicity_score_col
-                is_del = is_del | (toxicity_score_col(F.col("text"))
-                                   > float(drop_toxic_above))
-            out_up = (out_up.withColumn(
-                          "_action", F.when(is_del, F.lit("delete"))
-                                      .otherwise(F.lit("upsert")))
-                      .drop("_ck", "_dcf"))
+                    out_up = out_up.withColumn(
+                        "_del", F.lit(None).cast("boolean"))
+                out_up = (out_up.withColumn(
+                              "_action",
+                              F.when(F.coalesce(F.col("_del"), F.lit(False)),
+                                     F.lit("delete"))
+                               .otherwise(F.lit("update" if rank_gated
+                                                else "upsert")))
+                          .drop("_ck", "_del"))
+            if retro_deletes is not None:
+                retro_rows = retro_deletes.withColumn(
+                    "_action", F.lit("delete"))
+                if out_up is not None:
+                    # keys already in the changed set keep their computed
+                    # action; retro deletes cover only the REST of the
+                    # poisoned conversations' committed keys
+                    have = out_up.select(
+                        F.struct("conv_id", "turn_idx").alias("_k"))
+                    retro_rows = (retro_rows.withColumn(
+                                      "_k",
+                                      F.struct("conv_id", "turn_idx"))
+                                  .join(have, "_k", "left_anti")
+                                  .drop("_k"))
+                    out_up = out_up.unionByName(
+                        retro_rows, allowMissingColumns=True)
+                else:
+                    out_up = retro_rows
             out_up.persist()
             try:
-                uc = out_up.agg(
-                    F.coalesce(F.sum((F.col("_action") == "upsert")
-                                     .cast("long")), F.lit(0))
-                     .alias("n_upsert"),
-                    F.coalesce(F.sum((F.col("_action") == "delete")
-                                     .cast("long")), F.lit(0))
-                     .alias("n_delete")).first()
+                uc = out_up.agg(*[
+                    F.coalesce(F.sum((F.col("_action") == a).cast("long")),
+                               F.lit(0)).alias(f"n_{a}")
+                    for a in ("upsert", "update", "delete")]).first()
                 out_up.write.mode("append").parquet(
                     f"{output_path}/_changed_upsert")
+                # additive schema (n_update / n_sampled_out joined the
+                # row): read the sidecar with mergeSchema=true, like
+                # every lineage sidecar here
                 spark.createDataFrame(
                     [{"stage": "changed_upsert",
                       "n_upsert": int(uc["n_upsert"]),
-                      "n_delete": int(uc["n_delete"])}],
-                    schema="stage string, n_upsert long, n_delete long",
+                      "n_update": int(uc["n_update"]),
+                      "n_delete": int(uc["n_delete"]),
+                      "n_sampled_out": int(n_sampled_out)}],
+                    schema="stage string, n_upsert long, n_update long, "
+                           "n_delete long, n_sampled_out long",
                 ).write.mode("append").parquet(
                     f"{output_path}/_lineage_upsert")
             finally:
                 out_up.unpersist()
         # reindex_changed runs LAST, after the appends (disjoint key
         # sets; changed_rows is persisted, so the reindex sees exactly
-        # the rows the gate counted).  Each reindex commits one fresh
+        # the rows the gate counted).  Delete-action replacements are
+        # reindexed TOO: skipping them would leave the stale signature,
+        # and every later run would re-detect the key as changed and
+        # commit a fresh epoch forever (non-convergent).  The resulting
+        # ghost entries (index content for rows the output deleted) are
+        # exactly what the replacement probes' predecessor-shadow
+        # carve-out accounts for.  Each reindex commits one fresh
         # epoch (meta_eN marker last -- a crash BEFORE the marker leaves
         # the old epoch live and the next run redetects the same changed
         # keys); a completed re-run finds zero changed keys and adds no

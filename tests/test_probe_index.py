@@ -75,6 +75,27 @@ def test_replacement_resembling_other_probes_old_content_not_flagged(
     assert pairs == []
 
 
+def test_predecessor_shadow_carved_out(spark, tmp_path):
+    """A corpus doc whose stored content near-duplicates the probe key's
+    OWN old content is the predecessor's shadow (e.g. a replacement
+    deleted for duplicating this key, then reindexed): matching it must
+    not flag the probe -- while an UNCOMMITTED probe key matching the
+    same doc is flagged normally (no history, no carve-out)."""
+    path = str(tmp_path / "mh_shadow")
+    # b is a's ghost: its stored content is byte-identical to a's
+    corpus = spark.createDataFrame(
+        [("a", BASE), ("b", BASE), ("c", ALT)], ["doc_id", "text"])
+    write_minhash_index(corpus, "doc_id", "text", path, threshold=0.8)
+    # a's replacement is a small self-edit; its only match is b, whose
+    # stored content ~= a's own old content -> carved out, no pairs
+    pairs = _probe(spark, path, [("a", BASE.replace("lazy", "idle"))])
+    assert pairs.collect() == []
+    # an uncommitted key with the same text has no predecessor: flagged
+    pairs = _probe(spark, path,
+                   [("z", BASE.replace("lazy", "idle"))]).collect()
+    assert {p["id_a"] for p in pairs} == {"a", "b"}
+
+
 def test_probe_probe_pair_drops_later_key_only(spark, index_path):
     # two re-exports rewritten into near-copies of each other: keep-first
     common = ("both replacements now describe adaptive query execution, "
@@ -129,6 +150,21 @@ def test_embedding_replacement_near_own_old_vector_not_flagged(
     pairs = _eprobe(spark, emb_index_path,
                     [("b", _vec(10.001))]).collect()
     assert pairs == []
+
+
+def test_embedding_predecessor_shadow_carved_out(spark, tmp_path):
+    path = str(tmp_path / "emb_shadow")
+    corpus = spark.createDataFrame(
+        [("a", _vec(3.0)), ("b", _vec(3.001)), ("c", _vec(-10.0))],
+        "doc_id string, v array<double>")
+    write_embedding_index(corpus, "doc_id", "v", path, threshold=0.98,
+                          n_planes=4)
+    # a's replacement sits near its own old vector; its only match is
+    # b, whose stored vector ~= a's old one -> shadow, carved out
+    assert _eprobe(spark, path, [("a", _vec(3.002))]).collect() == []
+    # an uncommitted key at the same point is flagged against both
+    pairs = _eprobe(spark, path, [("z", _vec(3.002))]).collect()
+    assert {p["id_a"] for p in pairs} == {"a", "b"}
 
 
 def test_embedding_probe_probe_pair(spark, emb_index_path):
