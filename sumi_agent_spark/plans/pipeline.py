@@ -800,6 +800,8 @@ def run_pipeline(
     sample_token_col: Optional[str] = None,
     sample_token_allow_short: bool = False,
     drop_toxic_above: Optional[float] = None,
+    quality_model_path: Optional[str] = None,
+    quality_min_score: Optional[float] = None,
     decontaminate_against: Optional[str] = None,
     decontam_text_col: str = "text",
     decontam_k: int = 13,
@@ -932,6 +934,15 @@ def run_pipeline(
     whose lexicon toxicity score exceeds the threshold, also pre-scrub so
     toxic turns never pay detection cost (operators/toxicity.py; NULL text
     scores 0 and is never dropped by this gate).
+    ``quality_model_path`` + ``quality_min_score`` apply a model-based
+    quality filter (the CCNet/GPT-3 pattern): a persisted hashed-NB
+    classifier (:mod:`operators.quality_classifier`) scores each turn
+    fully JVM-side and rows below the threshold drop pre-scrub, last
+    among the row gates (it is the most expensive one); drop counts and
+    the model geometry land in the ``_lineage_quality`` sidecar, and
+    changed-upsert replacement rows are re-checked with the same model.
+    Requires unique ``(conv_id, turn_idx)`` keys (run ``dedup=True``
+    first on dirty input).
     ``decontaminate_against`` (a parquet path of benchmark rows with a
     ``decontam_text_col`` text column) drops turns that share at least
     ``decontam_min_hits`` exact ``decontam_k``-gram shingles with the
@@ -1004,6 +1015,11 @@ def run_pipeline(
             "threshold + near_dedup_index_path, and/or embedding_dedup_"
             "threshold + embedding_index_path) -- an index path alone is "
             "never consulted, so the flag would be a silent no-op")
+    if (quality_model_path is None) != (quality_min_score is None):
+        raise ValueError(
+            "quality_model_path and quality_min_score must be set "
+            "together: a model without a threshold (or vice versa) "
+            "would be a silent no-op gate")
     nd_row = None
     nd_drops = None
     nd_index_action = None  # slice mode: ("create"|"append", kept_df)
@@ -1372,6 +1388,33 @@ def run_pipeline(
         from ..operators.toxicity import toxicity_score_col
         df = df.filter(toxicity_score_col(F.col("text"))
                        <= float(drop_toxic_above))
+    qc_model = None
+    if quality_model_path is not None:
+        # Model-based quality filter (CCNet/GPT-3-style): per-row-
+        # independent like toxicity, but costs an explode + broadcast
+        # join, so it runs LAST among the row gates -- rows the cheaper
+        # gates drop never pay the classifier.  (conv_id, turn_idx)
+        # must uniquely key the input (the per-row token aggregate is
+        # joined back on it -- same documented requirement as the
+        # sampling/index operators; run dedup=True first otherwise).
+        from ..operators.quality_classifier import (
+            read_quality_model, score_quality_classifier)
+        qc_model = read_quality_model(spark, quality_model_path)
+        scored = score_quality_classifier(
+            df.withColumn("_qk", F.struct("conv_id", "turn_idx")),
+            qc_model, ["_qk"], output_col="_qscore")
+        n_lowq = scored.filter(
+            F.col("_qscore") < float(quality_min_score)).count()
+        df = (scored.filter(F.col("_qscore") >= float(quality_min_score))
+              .drop("_qk", "_qscore"))
+        spark.createDataFrame(
+            [(str("quality_classifier"), int(n_lowq),
+              float(quality_min_score), str(quality_model_path),
+              int(qc_model["meta"]["dim"]),
+              int(qc_model["meta"]["ngram"]))],
+            schema="stage string, n_dropped long, min_score double, "
+                   "model_path string, dim long, ngram long",
+        ).write.mode("append").parquet(f"{output_path}/_lineage_quality")
 
     in_obs = Observation("retention_in")
     df = df.observe(in_obs, F.count(F.lit(1)).alias("rows_in"))
@@ -1623,6 +1666,18 @@ def run_pipeline(
                         up_keyed.filter(
                             toxicity_score_col(F.col("text"))
                             > float(drop_toxic_above)).select("_ck"))
+                if qc_model is not None:
+                    # same model, same threshold, evaluated pre-scrub
+                    # like the main quality gate
+                    from ..operators.quality_classifier import (
+                        score_quality_classifier)
+                    del_srcs.append(
+                        score_quality_classifier(
+                            up_keyed, qc_model, ["_ck"],
+                            output_col="_qscore")
+                        .filter(F.col("_qscore")
+                                < float(quality_min_score))
+                        .select("_ck"))
                 # replacement content re-checked against the near-dedup
                 # gates: the incremental operators exclude committed
                 # keys, so without these probes a re-export rewritten
@@ -1903,6 +1958,14 @@ def add_pipeline_args(ap) -> None:
                     "--sample-n-per-stratum (e.g. role)")
     ap.add_argument("--drop-toxic-above", type=float, default=None,
                     metavar="T", help="drop turns with toxicity score > T")
+    ap.add_argument("--quality-model-path", default=None, metavar="PATH",
+                    help="persisted hashed-NB quality model "
+                    "(operators/quality_classifier.py); requires "
+                    "--quality-min-score")
+    ap.add_argument("--quality-min-score", type=float, default=None,
+                    metavar="S", help="drop turns whose classifier "
+                    "quality score is below S (counts land in the "
+                    "_lineage_quality sidecar)")
     ap.add_argument("--decontaminate-against", default=None, metavar="PATH",
                     help="drop turns sharing exact k-gram shingles with "
                     "the benchmark parquet at PATH (eval-contamination "
@@ -1973,6 +2036,8 @@ def pipeline_kwargs(args) -> dict:
         sample_strata_cols=(args.sample_strata_cols.split(",")
                             if args.sample_strata_cols else None),
         drop_toxic_above=args.drop_toxic_above,
+        quality_model_path=args.quality_model_path,
+        quality_min_score=args.quality_min_score,
         decontaminate_against=args.decontaminate_against,
         decontam_text_col=args.decontam_text_col,
         decontam_k=args.decontam_k,
