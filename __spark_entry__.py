@@ -854,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": _q_sample_fraction,
         "stratified_topn": _q_stratified_topn,
         "token_budget_mix": _q_token_budget_mix,
+        "quality_classifier": _q_quality_classifier,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_stats": _q_winnow_stats,
         "scrub_docs": _q_scrub_docs,
@@ -1151,6 +1152,92 @@ def _token_budget_twin_sql() -> str:
     """
 
 
+QCLF_DIM = 4096  # contract-size feature space, shared by query + twin
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter
+    (operators/quality_classifier.py): fit the hashed-NB classifier on a
+    deterministic even/odd split of ``documents`` (parity is the tested
+    contract; real deployments label reference-corpus vs crawl), then
+    score every document.  Training is two pure aggregations; scoring is
+    explode + broadcast weight join, fully JVM-side.  The DuckDB twin
+    recomputes the whole model live -- tokenization, md5 feature hash,
+    smoothed log-odds, prior -- from the raw parquet."""
+    from sumi_agent_spark.operators.quality_classifier import (
+        fit_quality_classifier, score_quality_classifier)
+    docs = _t(spark, sf_dir, "documents")
+    model = fit_quality_classifier(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        dim=QCLF_DIM)
+    scored = score_quality_classifier(docs, model, ["doc_id"])
+    return scored.select(
+        "doc_id",
+        F.round(F.col("quality_clf_score"), 6).alias("clf_score"))
+
+
+def _quality_clf_twin_sql() -> str:
+    """Fully live DuckDB twin of the hashed-NB quality classifier: the
+    tokenizer (explicit \\x0B whitespace class, ASCII-only translate
+    lowercase), the 60-bit md5 feature hash, the add-one-smoothed
+    log-odds weights, the unseen-bucket default and the class prior are
+    all recomputed from the raw parquet with the same IEEE steps
+    (exact-integer counts -> double, one division, one ln); ``round(6)``
+    absorbs the <=1-ulp ln/summation-order slack, the same bridging
+    every float-aggregating twin here uses."""
+    import string
+
+    from sumi_agent_spark.operators.quality_classifier import (
+        TOKEN_WS_CLASS)
+    up, lo = string.ascii_uppercase, string.ascii_lowercase
+    d = int(QCLF_DIM)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(
+                     translate(coalesce(text, ''), '{up}', '{lo}'),
+                     '{TOKEN_WS_CLASS}'),
+                   x -> x <> '')) AS tok
+          FROM documents),
+        bkt AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % {d} AS b
+          FROM tok),
+        counts AS (
+          SELECT b,
+                 CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS pos_c,
+                 CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS neg_c
+          FROM bkt GROUP BY b),
+        tot AS (
+          SELECT CAST(sum(pos_c) AS DOUBLE) + 1.0 * {d} AS pd,
+                 CAST(sum(neg_c) AS DOUBLE) + 1.0 * {d} AS nd
+          FROM counts),
+        w AS (
+          SELECT b, ln((pos_c + 1.0) / tot.pd)
+                    - ln((neg_c + 1.0) / tot.nd) AS wt
+          FROM counts, tot),
+        w0 AS (SELECT ln(1.0 / pd) - ln(1.0 / nd) AS v FROM tot),
+        pr AS (
+          SELECT ln(CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                         AS DOUBLE)
+                    / CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                           AS DOUBLE)) AS prior
+          FROM documents),
+        ds AS (
+          SELECT bkt.doc_id, sum(coalesce(w.wt, w0.v)) AS s,
+                 count(*) AS n
+          FROM bkt LEFT JOIN w USING (b), w0
+          GROUP BY bkt.doc_id)
+        SELECT d.doc_id,
+               round(pr.prior + coalesce(ds.s / ds.n, 0.0), 6) AS clf_score
+        FROM documents d LEFT JOIN ds USING (doc_id), pr
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     _sample_frac_sql, _sample_topn_sql = _sampling_twin_sqls()
     email = _sq(EMAIL_RE)
@@ -1323,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_fraction": _sample_frac_sql,
         "stratified_topn": _sample_topn_sql,
         "token_budget_mix": _token_budget_twin_sql(),
+        "quality_classifier": _quality_clf_twin_sql(),
         "decontam_overlap": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents WHERE length(text) >= 20),
