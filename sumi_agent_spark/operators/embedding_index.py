@@ -419,7 +419,10 @@ def probe_embedding_index_near_duplicates(
     buckets.  Scale shape: the probe set is tiny; the corpus bucket store
     is restricted to probe-touched buckets via a broadcast semi-join and
     never shuffled O(corpus); the vector store is read candidate-
-    restricted only."""
+    restricted only.  The bounded intermediates (``capped``, ``pairs``,
+    ``all_v``) are eagerly ``localCheckpoint``-ed -- see
+    ``minhash_index.probe_grouped_index_near_duplicates`` for the
+    plan-blowup rationale and the executor-loss trade."""
     if probe_bits not in (0, 1):
         raise ValueError(
             f"probe_bits must be 0 (exact bucket) or 1 (one-bit "
@@ -458,7 +461,8 @@ def probe_embedding_index_near_duplicates(
     sized = all_b.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("bkt")))
     capped = (sized.filter(F.col("bucket_n") <= max_bucket_size)
-              .drop("bucket_n"))
+              .drop("bucket_n")
+              .localCheckpoint())
     a = capped.filter("is_new")
     if probe_bits == 1:
         a = a.select("doc_id", "is_new",
@@ -477,7 +481,8 @@ def probe_embedding_index_near_duplicates(
                   .alias("new_a"),
                  F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
                   .alias("new_b"))
-             .distinct())
+             .distinct()
+             .localCheckpoint())
     cand = (pairs.select(F.col("id_a").alias("doc_id"))
             .union(pairs.select(F.col("id_b").alias("doc_id")))
             .distinct())
@@ -487,7 +492,8 @@ def probe_embedding_index_near_duplicates(
                  .join(cand, "doc_id", "left_semi"),
                  "doc_id", live)
              .join(base.select("doc_id"), "doc_id", "left_anti"))
-    all_v = old_v.unionByName(base.join(cand, "doc_id", "left_semi"))
+    all_v = (old_v.unionByName(base.join(cand, "doc_id", "left_semi"))
+             .localCheckpoint())
     va = all_v.select(F.col("doc_id").alias("id_a"), F.col("v").alias("v_a"))
     vb = all_v.select(F.col("doc_id").alias("id_b"), F.col("v").alias("v_b"))
     verified = (pairs.join(va, "id_a").join(vb, "id_b")

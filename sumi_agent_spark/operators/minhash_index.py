@@ -561,7 +561,14 @@ def probe_index_near_duplicates(
     is by bucket key, so no row of a matched bucket is lost).  Verify
     reads the shingle store restricted to candidate ids, epoch-resolved;
     probe-side shingles come from the probe text.  O(probe + matched
-    buckets), never O(corpus)."""
+    buckets), never O(corpus).
+
+    Plan shape: the bounded intermediates (``capped``, ``pairs``,
+    ``all_sh``) are eagerly ``localCheckpoint``-ed -- each is referenced
+    2-3x downstream and the verify + shadow tree otherwise multiplies
+    their window/UDF/epoch-read subtrees into a plan Catalyst optimizes
+    for minutes (see :func:`probe_grouped_index_near_duplicates` for the
+    full rationale and the executor-loss trade)."""
     spark = probe_df.sparkSession
     meta = _read_meta(spark, index_path)
     live = meta["epoch"]
@@ -591,7 +598,8 @@ def probe_index_near_duplicates(
         "bucket_n",
         F.count("*").over(Window.partitionBy("band", "band_key")))
     capped = (sized.filter(F.col("bucket_n") <= max_bucket_size)
-              .drop("bucket_n"))
+              .drop("bucket_n")
+              .localCheckpoint())
     a = capped.filter("is_new").alias("a")
     b = capped.alias("b")
     a_lt = F.col("a.doc_id") < F.col("b.doc_id")
@@ -606,7 +614,8 @@ def probe_index_near_duplicates(
                   .alias("new_a"),
                  F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
                   .alias("new_b"))
-             .distinct())
+             .distinct()
+             .localCheckpoint())
     cand = (pairs.select(F.col("id_a").alias("doc_id"))
             .union(pairs.select(F.col("id_b").alias("doc_id")))
             .distinct())
@@ -621,7 +630,7 @@ def probe_index_near_duplicates(
                   .join(cand, "doc_id", "left_semi"),
                   "doc_id", live)
               .join(base.select("doc_id"), "doc_id", "left_anti"))
-    all_sh = old_sh.unionByName(new_sh)
+    all_sh = old_sh.unionByName(new_sh).localCheckpoint()
     sa = all_sh.select(F.col("doc_id").alias("id_a"),
                        F.col("sh").alias("sh_a"))
     sb = all_sh.select(F.col("doc_id").alias("id_b"),
@@ -1024,6 +1033,188 @@ def minhash_near_duplicates_grouped_incremental(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
                     "new_a", "new_b"))
+
+
+def probe_grouped_index_near_duplicates(
+    probe_df: DataFrame,
+    group_col: str,
+    text_col: str,
+    index_path: str,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate GROUP pairs between probe conversations' CURRENT
+    content and the committed corpus -- the conversation analog of
+    :func:`probe_index_near_duplicates`, closing the same hole at group
+    granularity: a re-export that rewrites conversation B into a
+    near-copy of committed conversation A is invisible to
+    :func:`minhash_near_duplicates_grouped_incremental` (committed gids
+    are corpus and filtered from the slice), so without this probe it
+    would sail in as B's replacement.
+
+    Same semantics as the doc probe, group-shaped:
+
+    * probe gids' OWN stored (old) group content is excluded -- it dies
+      in the reindex this probe accompanies;
+    * probe-vs-probe pairs compare both conversations' NEW content;
+    * predecessor-shadow carve-out: a mixed pair is VOID when the
+      corpus group's stored rows near-duplicate the probe gid's own
+      stored (old) rows (that corpus group is the probe's history, e.g.
+      an earlier deleted-then-reindexed replacement -- resembling your
+      own past is never duplication); probes with no stored rows get no
+      carve-out;
+    * output ``(id_a, id_b, jaccard, new_a, new_b)`` feeds
+      :func:`incremental_drop_keys` unchanged (ids are gids here).
+
+    Scale shape: probe bands (one slice's changed conversations) are
+    BROADCAST; the corpus band store is bucket-restricted before the
+    capping window (true full-bucket sizes preserved -- restriction is
+    by bucket key); shingle-row reads are candidate-restricted before
+    epoch resolution; the verify is the grouped row-count join, never a
+    per-group array.  O(probe + matched buckets), never O(corpus).
+
+    Plan shape: the three bounded intermediates (``capped`` buckets,
+    candidate ``pairs``, candidate-restricted ``sh_rows``) are eagerly
+    ``localCheckpoint``-ed.  Each is referenced 2-3x downstream and each
+    reference would otherwise replay a window/UDF/epoch-read subtree --
+    the verify + shadow tree multiplies those references into a plan
+    Catalyst takes minutes to optimize (measured on a toy fixture) and
+    whose Python stages re-execute per consumer.  The frames are
+    slice-bucket-bounded by construction (capping + candidate
+    restriction), blocks are ContextCleaner-managed, and the trade --
+    an executor loss during the probe fails the job instead of
+    recomputing -- is acceptable for a slice-sized maintenance op whose
+    enclosing pipeline run is idempotent and resumable."""
+    from pyspark.sql.window import Window
+
+    from .dedup import _group_signatures
+
+    spark = probe_df.sparkSession
+    meta = _read_meta(spark, index_path, expect_granularity="group")
+    threshold = meta["threshold"]
+    live = meta["epoch"]
+    base = probe_df.select(F.col(group_col).alias("gid"),
+                           F.col(text_col).alias("text"))
+    probe_gids = base.select("gid").distinct()
+
+    gsig = _group_signatures(base, "gid", "text", meta["n_hashes"],
+                             meta["shingle_k"])
+    probe_banded = (_banded(gsig, "gid", meta["bands"])
+                    .withColumnRenamed("doc_id", "gid")
+                    .withColumn("is_new", F.lit(True)))
+    old_banded = (_resolve_latest(
+                      _read_epoched(spark, index_path, "bands", live,
+                                    ["doc_id", "band", "band_key"]),
+                      "doc_id", live)
+                  .select(F.col("doc_id").alias("gid"), "band", "band_key")
+                  .join(probe_gids, "gid", "left_anti")
+                  .join(F.broadcast(probe_banded
+                                    .select("band", "band_key").distinct()),
+                        ["band", "band_key"], "left_semi")
+                  .withColumn("is_new", F.lit(False)))
+    all_banded = old_banded.unionByName(probe_banded)
+    sized = all_banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_key")))
+    capped = (sized.filter(F.col("bucket_n") <= max_bucket_size)
+              .drop("bucket_n")
+              .localCheckpoint())
+    a = capped.filter("is_new").alias("a")
+    b = capped.alias("b")
+    a_lt = F.col("a.gid") < F.col("b.gid")
+    pairs = (a.join(b, ["band", "band_key"])
+             .filter(F.col("a.gid") != F.col("b.gid"))
+             .select(
+                 F.when(a_lt, F.col("a.gid")).otherwise(F.col("b.gid"))
+                  .alias("id_a"),
+                 F.when(a_lt, F.col("b.gid")).otherwise(F.col("a.gid"))
+                  .alias("id_b"),
+                 F.when(a_lt, F.col("a.is_new")).otherwise(F.col("b.is_new"))
+                  .alias("new_a"),
+                 F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
+                  .alias("new_b"))
+             .distinct()
+             .localCheckpoint())
+
+    cand = (pairs.select(F.col("id_a").alias("gid"))
+            .union(pairs.select(F.col("id_b").alias("gid")))
+            .distinct())
+    new_sh = (_group_shingle_rows(base.join(cand, "gid", "left_semi"),
+                                  "gid", "text", meta["shingle_k"])
+              .withColumnRenamed("doc_id", "gid"))
+    # corpus candidates resolve to their stored rows; probe gids' stored
+    # rows are the dying old content and are excluded from the verify
+    # (probe gids resolve to their NEW rows above)
+    old_sh = (_resolve_latest(
+                  _read_epoched(spark, index_path, "shingles", live,
+                                ["doc_id", "sh"])
+                  .join(cand.withColumnRenamed("gid", "doc_id"),
+                        "doc_id", "left_semi"),
+                  "doc_id", live)
+              .select(F.col("doc_id").alias("gid"), "sh")
+              .join(probe_gids, "gid", "left_anti")
+              .localCheckpoint())
+    sh_rows = old_sh.unionByName(new_sh).localCheckpoint()
+    sizes = sh_rows.groupBy("gid").agg(F.count("*").alias("n_sh"))
+    ea = sh_rows.select(F.col("gid").alias("id_a"), "sh")
+    eb = sh_rows.select(F.col("gid").alias("id_b"), "sh")
+    inter = (pairs.join(ea, "id_a").join(eb, ["id_b", "sh"])
+             .groupBy("id_a", "id_b", "new_a", "new_b")
+             .agg(F.count("*").alias("n_inter")))
+    na = sizes.select(F.col("gid").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("gid").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"))
+    verified = (inter.join(na, "id_a").join(nb, "id_b")
+                .withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= threshold))
+
+    # Predecessor-shadow carve-out, row-count shaped: stored rows of the
+    # probe gids (their old content) vs stored rows of the mixed pairs'
+    # corpus gids.  Restricted to the (tiny) verified mixed pair set
+    # before any shingle join.
+    mixedp = (verified.filter(F.col("new_a") != F.col("new_b"))
+              .select(F.when(F.col("new_a"), F.col("id_a"))
+                       .otherwise(F.col("id_b")).alias("_pgid"),
+                      F.when(F.col("new_a"), F.col("id_b"))
+                       .otherwise(F.col("id_a")).alias("_cgid")))
+    pold = (_resolve_latest(
+                _read_epoched(spark, index_path, "shingles", live,
+                              ["doc_id", "sh"])
+                .join(probe_gids.withColumnRenamed("gid", "doc_id"),
+                      "doc_id", "left_semi"),
+                "doc_id", live)
+            .select(F.col("doc_id").alias("_pgid"), "sh"))
+    np_ = pold.groupBy("_pgid").agg(F.count("*").alias("n_p"))
+    i2 = (mixedp.join(pold, "_pgid")
+          .join(old_sh.select(F.col("gid").alias("_cgid"), "sh"),
+                ["_cgid", "sh"])
+          .groupBy("_pgid", "_cgid").agg(F.count("*").alias("n_i2")))
+    nc = sizes.select(F.col("gid").alias("_cgid"), F.col("n_sh").alias("n_c"))
+    shadow_pairs = (mixedp.join(np_, "_pgid", "left")
+                    .join(nc, "_cgid", "left")
+                    .join(i2, ["_pgid", "_cgid"], "left")
+                    .withColumn(
+                        "_jac2",
+                        F.coalesce(F.col("n_i2"), F.lit(0)).cast("double")
+                        / (F.col("n_p") + F.col("n_c")
+                           - F.coalesce(F.col("n_i2"), F.lit(0)))
+                        .cast("double"))
+                    .filter(F.col("n_p").isNotNull()
+                            & (F.col("_jac2") >= threshold))
+                    .select("_pgid", "_cgid",
+                            F.lit(True).alias("_shadow")))
+    out = (verified
+           .withColumn("_pgid", F.when(F.col("new_a") != F.col("new_b"),
+                                       F.when(F.col("new_a"),
+                                              F.col("id_a"))
+                                        .otherwise(F.col("id_b"))))
+           .withColumn("_cgid", F.when(F.col("new_a") != F.col("new_b"),
+                                       F.when(F.col("new_a"),
+                                              F.col("id_b"))
+                                        .otherwise(F.col("id_a"))))
+           .join(shadow_pairs, ["_pgid", "_cgid"], "left")
+           .filter(F.col("_shadow").isNull()))
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
+                      "new_a", "new_b")
 
 
 def minhash_grouped_index_bucket_audit(

@@ -890,9 +890,12 @@ def run_pipeline(
     emitted as key-only ``delete`` rows (retroactive contamination; a
     group-granularity index alone cannot enumerate turn keys, so that
     configuration covers only the keys present in the changed set).
-    Near-dedup replacement probes run for the turn-scope MinHash index
-    and the embedding index; a conversation-granularity MinHash index
-    has no replacement probe (documented gap).
+    Near-dedup replacement probes run for all three index shapes: the
+    turn-scope MinHash index and the embedding index probe per key, and
+    a conversation-granularity index probes whole-group content
+    (:func:`operators.minhash_index.probe_grouped_index_near_duplicates`)
+    with a dropped gid deleting every replacement row of that
+    conversation.
     The sidecar is written before the reindex commits, so a crash
     between the two can only duplicate byte-identical rows on the
     re-run (dedupe the MERGE source by key), never lose them; counts
@@ -1640,6 +1643,19 @@ def run_pipeline(
             if up is not None:
                 up_keyed = up.withColumn(
                     "_ck", F.struct("conv_id", "turn_idx"))
+                # Persist + materialize NOW: the gates below reference
+                # this slice-sized frame many times (the grouped probe
+                # alone instantiates it ~8x), and its lineage carries
+                # the changed-detection joins over epoch-resolved index
+                # reads -- without the cache each reference replays
+                # that whole subtree and the broadcast-exchange fan-out
+                # multiplies into dozens of concurrent jobs (observed:
+                # a toy-fixture conversation-scope run went from
+                # minutes to seconds with this cache).  The eager
+                # count also serializes the materialization so the
+                # gate jobs race against a built cache, not each other.
+                up_keyed.persist()
+                up_keyed.count()
                 del_srcs = []  # one-column ``_ck`` frames to delete
                 if dc_flagger is not None:
                     if decontam_scope == "conversation":
@@ -1681,20 +1697,38 @@ def run_pipeline(
                 # replacement content re-checked against the near-dedup
                 # gates: the incremental operators exclude committed
                 # keys, so without these probes a re-export rewritten
-                # into a near-copy of a DIFFERENT committed doc would
-                # sail in as its replacement (group-granularity MinHash
-                # has no probe -- documented gap)
-                if (nd_gate_on and near_dedup_scope == "turn"
-                        and _try_read_first(
-                            spark, f"{near_dedup_index_path}/meta")
+                # into a near-copy of a DIFFERENT committed doc (or
+                # conversation) would sail in as its replacement
+                if (nd_gate_on and _try_read_first(
+                        spark, f"{near_dedup_index_path}/meta")
                         is not None):
-                    from ..operators.minhash_index import (
-                        probe_index_near_duplicates)
-                    del_srcs.append(
-                        incremental_drop_keys(probe_index_near_duplicates(
-                            up_keyed, "_ck", "text",
-                            near_dedup_index_path))
-                        .withColumnRenamed("doc_id", "_ck"))
+                    if near_dedup_scope == "turn":
+                        from ..operators.minhash_index import (
+                            probe_index_near_duplicates)
+                        del_srcs.append(
+                            incremental_drop_keys(
+                                probe_index_near_duplicates(
+                                    up_keyed, "_ck", "text",
+                                    near_dedup_index_path))
+                            .withColumnRenamed("doc_id", "_ck"))
+                    else:
+                        # conversation scope: a dropped gid deletes ALL
+                        # of the conversation's replacement rows
+                        # (eqNullSafe: a NULL conv_id group must not
+                        # slip the drop, same as the decontam drop)
+                        from ..operators.minhash_index import (
+                            probe_grouped_index_near_duplicates)
+                        gdrop = incremental_drop_keys(
+                            probe_grouped_index_near_duplicates(
+                                up_keyed, "conv_id", "text",
+                                near_dedup_index_path)
+                        ).withColumnRenamed("doc_id", "_gdrop")
+                        del_srcs.append(
+                            up_keyed.join(
+                                F.broadcast(gdrop),
+                                up_keyed["conv_id"].eqNullSafe(
+                                    F.col("_gdrop")),
+                                "left_semi").select("_ck"))
                 if eb_gate_on and _try_read_first(
                         spark, f"{embedding_index_path}/meta") is not None:
                     from ..operators.embedding_index import (
@@ -1765,6 +1799,8 @@ def run_pipeline(
                     f"{output_path}/_lineage_upsert")
             finally:
                 out_up.unpersist()
+                if up is not None:
+                    up_keyed.unpersist()
         # reindex_changed runs LAST, after the appends (disjoint key
         # sets; changed_rows is persisted, so the reindex sees exactly
         # the rows the gate counted).  Delete-action replacements are

@@ -309,3 +309,58 @@ def test_both_gates_changed_text_and_embedding_reindexes_both(
     assert s3["n_embedding_dup_dropped"] == 1
     got = set(spark.read.parquet(f"{tmp_path}/out3").toPandas()["conv_id"])
     assert got == {"p2"}
+
+
+def test_conv_scope_replacement_near_dup_of_other_conv_deletes(
+        spark, tmp_path):
+    """Conversation scope: a re-exported conversation rewritten into a
+    near-copy of a DIFFERENT committed conversation comes back with
+    every replacement row as a delete -- the grouped probe closes the
+    same hole the doc probe closes at turn scope."""
+    idx = str(tmp_path / "gmh_index")
+    _write_turns([_turn("a", 0, BASE), _turn("a", 1, CLEAN_2),
+                  _turn("b", 0, OTHER), _turn("b", 1, REWRITTEN)],
+                 str(tmp_path / "s1.parquet"))
+    run_pipeline(spark, str(tmp_path / "s1.parquet"),
+                 str(tmp_path / "out1"), near_dedup_threshold=0.6,
+                 near_dedup_index_path=idx,
+                 near_dedup_scope="conversation", reindex_changed=True)
+
+    _write_turns([_turn("b", 0, BASE.replace("quick", "swift")),
+                  _turn("b", 1, CLEAN_2.replace("second", "next"))],
+                 str(tmp_path / "s2.parquet"))
+    s2 = run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                      str(tmp_path / "out2"), near_dedup_threshold=0.6,
+                      near_dedup_index_path=idx,
+                      near_dedup_scope="conversation",
+                      reindex_changed=True)
+    assert s2["n_preindexed_changed"] == 2
+    up = spark.read.parquet(
+        f"{tmp_path}/out2/_changed_upsert").toPandas()
+    assert set(up["_action"]) == {"delete"}
+    assert set(up["turn_idx"]) == {0, 1}
+
+
+def test_conv_scope_grown_conversation_still_upserts(spark, tmp_path):
+    """The grouped probe must NOT delete the common case: a conversation
+    grown by new turns resembles only its own dying content and its
+    replacement rows stay upserts."""
+    idx = str(tmp_path / "gmh_index")
+    _write_turns([_turn("a", 0, BASE), _turn("b", 0, OTHER)],
+                 str(tmp_path / "s1.parquet"))
+    run_pipeline(spark, str(tmp_path / "s1.parquet"),
+                 str(tmp_path / "out1"), near_dedup_threshold=0.6,
+                 near_dedup_index_path=idx,
+                 near_dedup_scope="conversation", reindex_changed=True)
+
+    _write_turns([_turn("a", 0, BASE), _turn("a", 1, CLEAN_2)],
+                 str(tmp_path / "s2.parquet"))
+    s2 = run_pipeline(spark, str(tmp_path / "s2.parquet"),
+                      str(tmp_path / "out2"), near_dedup_threshold=0.6,
+                      near_dedup_index_path=idx,
+                      near_dedup_scope="conversation",
+                      reindex_changed=True)
+    assert s2["n_preindexed_changed"] == 2
+    up = (spark.read.parquet(f"{tmp_path}/out2/_changed_upsert")
+          .toPandas().sort_values("turn_idx"))
+    assert list(up["_action"]) == ["upsert", "upsert"]

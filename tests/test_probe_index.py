@@ -175,3 +175,104 @@ def test_embedding_probe_probe_pair(spark, emb_index_path):
             for p in pairs} == {("b", "c", True, True)}
     drops = incremental_drop_keys(res).collect()
     assert [r["doc_id"] for r in drops] == ["c"]
+
+
+# ─── Group-granularity (conversation) probe ───
+
+CONV_A = [("a", 0, "the quick brown fox jumps over the lazy dog near "
+                   "the river bank at sunset"),
+          ("a", 1, "and the slow badger digs a deep burrow beneath the "
+                   "old oak tree before winter arrives")]
+CONV_B = [("b", 0, "an entirely different exchange about broadcast "
+                   "joins, shuffle partitions and adaptive execution"),
+          ("b", 1, "continuing with skew mitigation, salting strategies "
+                   "and bucketed storage layouts for petabyte tables")]
+CONV_C = [("c", 0, "a third conversation on watermarks, state stores "
+                   "and exactly-once semantics in streaming pipelines")]
+
+
+def _conv_df(spark, rows):
+    return spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+
+
+@pytest.fixture(scope="module")
+def grouped_index_path(spark, tmp_path_factory):
+    from sumi_agent_spark.operators.minhash_index import (
+        write_grouped_minhash_index)
+    path = str(tmp_path_factory.mktemp("gprobe_idx") / "gmh")
+    write_grouped_minhash_index(
+        _conv_df(spark, CONV_A + CONV_B + CONV_C),
+        "conv_id", "text", path, threshold=0.7)
+    return path
+
+
+def _gprobe(spark, index_path, rows):
+    from sumi_agent_spark.operators.minhash_index import (
+        probe_grouped_index_near_duplicates)
+    return probe_grouped_index_near_duplicates(
+        _conv_df(spark, rows), "conv_id", "text", index_path)
+
+
+def test_grouped_replacement_copy_of_other_conv_flagged(
+        spark, grouped_index_path):
+    # conversation b re-exported as a near-copy of committed conv a
+    probe = [("b", i, t.replace("quick", "swift")) for _, i, t in CONV_A]
+    res = _gprobe(spark, grouped_index_path, probe)
+    pairs = res.collect()
+    assert {(p["id_a"], p["id_b"], p["new_a"], p["new_b"])
+            for p in pairs} == {("a", "b", False, True)}
+    assert [r["doc_id"] for r in incremental_drop_keys(res).collect()] \
+        == ["b"]
+
+
+def test_grouped_replacement_near_own_old_content_not_flagged(
+        spark, grouped_index_path):
+    # a grown conversation: same turns plus one new -- resembles only
+    # its OWN dying content
+    probe = CONV_B + [("b", 2, "a freshly appended closing turn about "
+                               "manifest caching and compaction policy")]
+    assert _gprobe(spark, grouped_index_path, probe).collect() == []
+
+
+def test_grouped_replacement_of_other_probes_old_content_not_flagged(
+        spark, grouped_index_path):
+    # b rewritten into c's OLD content while c is also being replaced
+    probe = ([("b", i, t.replace("third", "fourth")) for _, i, t in CONV_C]
+             + [("c", 0, "a thoroughly new note on columnar codecs and "
+                         "dictionary encoding for nested schemas")])
+    assert _gprobe(spark, grouped_index_path, probe).collect() == []
+
+
+def test_grouped_predecessor_shadow_carved_out(spark, tmp_path):
+    from sumi_agent_spark.operators.minhash_index import (
+        write_grouped_minhash_index)
+    path = str(tmp_path / "gshadow")
+    # b's stored content ~= a's stored content (the shadow); c unrelated
+    shadow_b = [("b", i, t.replace("fox", "wolf")) for _, i, t in CONV_A]
+    write_grouped_minhash_index(
+        _conv_df(spark, CONV_A + shadow_b + CONV_C),
+        "conv_id", "text", path, threshold=0.7)
+    # a's replacement is a small self-edit; its only LSH match besides
+    # its dying self is b, whose stored rows ~= a's old rows -> shadow
+    probe = [("a", i, t.replace("sunset", "sunrise")) for _, i, t in CONV_A]
+    assert _gprobe(spark, path, probe).collect() == []
+    # an UNCOMMITTED conversation with the same content gets no
+    # carve-out and is flagged against both committed copies
+    probe_z = [("z", i, t) for _, i, t in CONV_A]
+    pairs = _gprobe(spark, path, probe_z).collect()
+    assert {p["id_a"] for p in pairs} == {"a", "b"}
+
+
+def test_grouped_probe_probe_pair_drops_later_gid(
+        spark, grouped_index_path):
+    fresh = [("b", 0, "two re-exports rewritten into copies of each "
+                      "other about vectorized readers and null masks"),
+             ("b", 1, "sharing every sentence verbatim across both "
+                      "replacement conversations in this slice")]
+    probe = fresh + [("c", i, t) for _, i, t in fresh]
+    res = _gprobe(spark, grouped_index_path, probe)
+    pairs = res.collect()
+    assert {(p["id_a"], p["id_b"], p["new_a"], p["new_b"])
+            for p in pairs} == {("b", "c", True, True)}
+    assert [r["doc_id"] for r in incremental_drop_keys(res).collect()] \
+        == ["c"]
