@@ -57,8 +57,11 @@ from .minhash_index import (
     _delete_stale_epoch_markers,
     _epoch_path,
     _live_epoch,
+    _canonical_candidate_pairs,
+    _filter_predecessor_shadow,
     _read_epoched,
     _resolve_latest,
+    _resolve_latest_bucket_restricted,
 )
 
 
@@ -352,21 +355,7 @@ def embedding_near_duplicates_incremental(
                             for j in range(int(meta["n_planes"]))])
         a = a.select("doc_id", "is_new",
                      F.explode(neighbor_keys).alias("bkt"))
-    a = a.alias("a")
-    b = capped.alias("b")
-    a_lt = F.col("a.doc_id") < F.col("b.doc_id")
-    pairs = (a.join(b, "bkt")
-             .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-             .select(
-                 F.when(a_lt, F.col("a.doc_id")).otherwise(F.col("b.doc_id"))
-                  .alias("id_a"),
-                 F.when(a_lt, F.col("b.doc_id")).otherwise(F.col("a.doc_id"))
-                  .alias("id_b"),
-                 F.when(a_lt, F.col("a.is_new")).otherwise(F.col("b.is_new"))
-                  .alias("new_a"),
-                 F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
-                  .alias("new_b"))
-             .distinct())
+    pairs = _canonical_candidate_pairs(a, capped, "doc_id", "bkt")
     # verify vectors: store rows restricted to candidate ids (never the
     # full corpus) and anti-joined against the slice so a crashed
     # append's phantom vectors cannot pair twice; plus the slice's own
@@ -450,12 +439,11 @@ def probe_embedding_index_near_duplicates(
                    .distinct())
     else:
         touched = probe_b.select("bkt").distinct()
-    old_b = (_resolve_latest(
+    old_b = (_resolve_latest_bucket_restricted(
                  _read_epoched(spark, index_path, "buckets", live,
                                ["doc_id", "bkt"]),
-                 "doc_id", live)
+                 "doc_id", live, touched, ["bkt"])
              .join(base.select("doc_id"), "doc_id", "left_anti")
-             .join(F.broadcast(touched), "bkt", "left_semi")
              .withColumn("is_new", F.lit(False)))
     all_b = old_b.unionByName(probe_b)
     sized = all_b.withColumn(
@@ -467,21 +455,7 @@ def probe_embedding_index_near_duplicates(
     if probe_bits == 1:
         a = a.select("doc_id", "is_new",
                      F.explode(neighbor_keys).alias("bkt"))
-    a = a.alias("a")
-    b = capped.alias("b")
-    a_lt = F.col("a.doc_id") < F.col("b.doc_id")
-    pairs = (a.join(b, "bkt")
-             .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-             .select(
-                 F.when(a_lt, F.col("a.doc_id")).otherwise(F.col("b.doc_id"))
-                  .alias("id_a"),
-                 F.when(a_lt, F.col("b.doc_id")).otherwise(F.col("a.doc_id"))
-                  .alias("id_b"),
-                 F.when(a_lt, F.col("a.is_new")).otherwise(F.col("b.is_new"))
-                  .alias("new_a"),
-                 F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
-                  .alias("new_b"))
-             .distinct()
+    pairs = (_canonical_candidate_pairs(a, capped, "doc_id", "bkt")
              .localCheckpoint())
     cand = (pairs.select(F.col("id_a").alias("doc_id"))
             .union(pairs.select(F.col("id_b").alias("doc_id")))
@@ -499,11 +473,10 @@ def probe_embedding_index_near_duplicates(
     verified = (pairs.join(va, "id_a").join(vb, "id_b")
                 .withColumn("cos", cosine_cols(F.col("v_a"), F.col("v_b")))
                 .filter(F.col("cos") >= threshold))
-    # predecessor-shadow carve-out, exactly as in
-    # minhash_index.probe_index_near_duplicates: a mixed pair is void
-    # when the corpus vector near-duplicates the probe key's OWN stored
-    # (old) vector -- matching one's predecessor's shadow is not
-    # duplication; uncommitted probes (NULL old vector) are never carved
+    # predecessor-shadow carve-out, shared with the MinHash probes
+    # (minhash_index._filter_predecessor_shadow): a corpus vector
+    # matching only the probe key's own stored history never voids the
+    # replacement; uncommitted probes (NULL old vector) are never carved
     probe_old_v = (_resolve_latest(
                        _read_epoched(spark, index_path, "vectors", live,
                                      ["doc_id", "v"])
@@ -511,18 +484,9 @@ def probe_embedding_index_near_duplicates(
                        "doc_id", live)
                    .select(F.col("doc_id").alias("_pid"),
                            F.col("v").alias("v_old")))
-    mixed = F.col("new_a") != F.col("new_b")
-    verified = (verified
-                .withColumn("_pid", F.when(F.col("new_a"), F.col("id_a"))
-                                     .otherwise(F.col("id_b")))
-                .withColumn("_cv", F.when(F.col("new_a"), F.col("v_b"))
-                                    .otherwise(F.col("v_a")))
-                .join(probe_old_v, "_pid", "left"))
-    shadow = (mixed & F.col("v_old").isNotNull()
-              & (cosine_cols(F.col("_cv"), F.col("v_old")) >= threshold))
-    return (verified.filter(~shadow)
-            .select("id_a", "id_b", F.round("cos", 6).alias("cos"),
-                    "new_a", "new_b"))
+    return _filter_predecessor_shadow(
+        verified, probe_old_v, "v_old", "v_a", "v_b",
+        cosine_cols, threshold, "cos")
 
 
 def embedding_index_bucket_audit(

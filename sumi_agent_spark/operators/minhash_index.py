@@ -344,21 +344,9 @@ def minhash_near_duplicates_incremental(
         sized = _observe_capping(sized, observation, max_bucket_size)
     capped = sized.filter(F.col("bucket_n") <= max_bucket_size) \
         .drop("bucket_n")
-    a = capped.filter("is_new").alias("a")  # left side: slice rows only
-    b = capped.alias("b")
-    a_lt = F.col("a.doc_id") < F.col("b.doc_id")
-    pairs = (a.join(b, ["band", "band_key"])
-             .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-             .select(
-                 F.when(a_lt, F.col("a.doc_id")).otherwise(F.col("b.doc_id"))
-                  .alias("id_a"),
-                 F.when(a_lt, F.col("b.doc_id")).otherwise(F.col("a.doc_id"))
-                  .alias("id_b"),
-                 F.when(a_lt, F.col("a.is_new")).otherwise(F.col("b.is_new"))
-                  .alias("new_a"),
-                 F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
-                  .alias("new_b"))
-             .distinct())
+    # left side: slice rows only
+    pairs = _canonical_candidate_pairs(
+        capped.filter("is_new"), capped, "doc_id", ["band", "band_key"])
 
     # verify inputs are semi-join-restricted to candidate ids BEFORE the
     # union: without the restriction every incremental run would shuffle
@@ -386,10 +374,9 @@ def minhash_near_duplicates_incremental(
     all_sh = old_sh.unionByName(new_sh)
     sa = all_sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = all_sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (pairs.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard", inter / union)
+            .withColumn("jaccard",
+                        _array_jaccard(F.col("sh_a"), F.col("sh_b")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
                     "new_a", "new_b"))
@@ -583,14 +570,13 @@ def probe_index_near_duplicates(
     # corpus rows of probe keys are the dying old content: excluded before
     # bucketing so they neither pair nor inflate bucket sizes (the
     # replacement takes their place in the very same run)
-    old_banded = (_resolve_latest(
+    old_banded = (_resolve_latest_bucket_restricted(
                       _read_epoched(spark, index_path, "bands", live,
                                     ["doc_id", "band", "band_key"]),
-                      "doc_id", live)
+                      "doc_id", live,
+                      probe_banded.select("band", "band_key").distinct(),
+                      ["band", "band_key"])
                   .join(base.select("doc_id"), "doc_id", "left_anti")
-                  .join(F.broadcast(probe_banded
-                                    .select("band", "band_key").distinct()),
-                        ["band", "band_key"], "left_semi")
                   .withColumn("is_new", F.lit(False)))
     from pyspark.sql.window import Window
     all_banded = old_banded.unionByName(probe_banded)
@@ -600,21 +586,9 @@ def probe_index_near_duplicates(
     capped = (sized.filter(F.col("bucket_n") <= max_bucket_size)
               .drop("bucket_n")
               .localCheckpoint())
-    a = capped.filter("is_new").alias("a")
-    b = capped.alias("b")
-    a_lt = F.col("a.doc_id") < F.col("b.doc_id")
-    pairs = (a.join(b, ["band", "band_key"])
-             .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-             .select(
-                 F.when(a_lt, F.col("a.doc_id")).otherwise(F.col("b.doc_id"))
-                  .alias("id_a"),
-                 F.when(a_lt, F.col("b.doc_id")).otherwise(F.col("a.doc_id"))
-                  .alias("id_b"),
-                 F.when(a_lt, F.col("a.is_new")).otherwise(F.col("b.is_new"))
-                  .alias("new_a"),
-                 F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
-                  .alias("new_b"))
-             .distinct()
+    pairs = (_canonical_candidate_pairs(
+                 capped.filter("is_new"), capped, "doc_id",
+                 ["band", "band_key"])
              .localCheckpoint())
     cand = (pairs.select(F.col("id_a").alias("doc_id"))
             .union(pairs.select(F.col("id_b").alias("doc_id")))
@@ -635,22 +609,15 @@ def probe_index_near_duplicates(
                        F.col("sh").alias("sh_a"))
     sb = all_sh.select(F.col("doc_id").alias("id_b"),
                        F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     verified = (pairs.join(sa, "id_a").join(sb, "id_b")
-                .withColumn("jaccard", inter / union)
+                .withColumn("jaccard",
+                            _array_jaccard(F.col("sh_a"), F.col("sh_b")))
                 .filter(F.col("jaccard") >= threshold))
-    # Predecessor-shadow carve-out: a mixed pair is VOID when the corpus
-    # doc's stored content near-duplicates the probe key's OWN stored
-    # (old) content.  Such a corpus doc is the predecessor's shadow --
-    # e.g. an earlier replacement that was deleted precisely for
-    # duplicating this key, then reindexed (the pipeline reindexes
-    # delete-action replacements too, for convergence) -- and matching
-    # it means "the replacement resembles this key's own history", which
-    # is never duplication.  Probe keys with no stored content (an
-    # uncommitted probe) get no carve-out (left join, NULL old
-    # shingles).  Probe-probe pairs are never carved (both sides are
-    # live replacements).
+    # Predecessor-shadow carve-out (see _filter_predecessor_shadow): a
+    # corpus doc matching only the probe key's own stored history --
+    # typically an earlier replacement deleted for duplicating this key,
+    # then reindexed for convergence (the pipeline reindexes
+    # delete-action replacements too) -- must not void the replacement.
     probe_old_sh = (_resolve_latest(
                         _read_epoched(spark, index_path, "shingles", live,
                                       ["doc_id", "sh"])
@@ -658,20 +625,9 @@ def probe_index_near_duplicates(
                         "doc_id", live)
                     .select(F.col("doc_id").alias("_pid"),
                             F.col("sh").alias("sh_old")))
-    mixed = F.col("new_a") != F.col("new_b")
-    verified = (verified
-                .withColumn("_pid", F.when(F.col("new_a"), F.col("id_a"))
-                                     .otherwise(F.col("id_b")))
-                .withColumn("_csh", F.when(F.col("new_a"), F.col("sh_b"))
-                                     .otherwise(F.col("sh_a")))
-                .join(probe_old_sh, "_pid", "left"))
-    inter2 = F.size(F.array_intersect("_csh", "sh_old")).cast("double")
-    union2 = (F.size("_csh") + F.size("sh_old")).cast("double") - inter2
-    shadow = (mixed & F.col("sh_old").isNotNull()
-              & ((inter2 / union2) >= threshold))
-    return (verified.filter(~shadow)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
-                    "new_a", "new_b"))
+    return _filter_predecessor_shadow(
+        verified, probe_old_sh, "sh_old", "sh_a", "sh_b",
+        _array_jaccard, threshold, "jaccard")
 
 
 # ─── Group-granularity (conversation) index ───
@@ -759,6 +715,93 @@ def _resolve_latest(rows: DataFrame, key_col: str, live: int) -> DataFrame:
     return (rows.withColumn("_emax", F.max("_epoch").over(w))
             .filter(F.col("_epoch") == F.col("_emax"))
             .drop("_emax", "_epoch"))
+
+
+def _filter_predecessor_shadow(
+    verified: DataFrame, probe_old: DataFrame, old_col: str,
+    val_a: str, val_b: str, sim_fn, threshold: float, score_col: str,
+) -> DataFrame:
+    """Predecessor-shadow carve-out shared by the doc and embedding
+    probes: a MIXED verified pair is void when the corpus side's stored
+    value near-duplicates the probe key's OWN stored (old) value --
+    matching one's predecessor's shadow is never duplication.
+    Uncommitted probes (NULL old value, from the left join against
+    ``probe_old`` keyed ``_pid``) are never carved; probe-probe pairs
+    are never carved.  ``sim_fn(corpus_val, old_val)`` supplies the
+    similarity (array Jaccard / cosine); the surviving rows project the
+    standard ``(id_a, id_b, <score_col>, new_a, new_b)`` shape."""
+    mixed = F.col("new_a") != F.col("new_b")
+    v = (verified
+         .withColumn("_pid", F.when(F.col("new_a"), F.col("id_a"))
+                              .otherwise(F.col("id_b")))
+         .withColumn("_cval", F.when(F.col("new_a"), F.col(val_b))
+                               .otherwise(F.col(val_a)))
+         .join(probe_old, "_pid", "left"))
+    shadow = (mixed & F.col(old_col).isNotNull()
+              & (sim_fn(F.col("_cval"), F.col(old_col)) >= threshold))
+    return (v.filter(~shadow)
+            .select("id_a", "id_b",
+                    F.round(score_col, 6).alias(score_col),
+                    "new_a", "new_b"))
+
+
+def _array_jaccard(x, y):
+    """Exact Jaccard of two array columns as a double expression."""
+    inter = F.size(F.array_intersect(x, y)).cast("double")
+    return inter / ((F.size(x) + F.size(y)).cast("double") - inter)
+
+
+def _canonical_candidate_pairs(
+    a: DataFrame, b: DataFrame, id_col: str, join_cols,
+) -> DataFrame:
+    """Bucket-join two candidate row sets and emit canonically ordered
+    pairs: ``id_a < id_b`` with the ``is_new`` flags carried through the
+    same swap, self-pairs removed, multi-bucket duplicate collisions
+    collapsed.  Every incremental/probe operator (doc, grouped,
+    embedding) shares this exact canonicalization -- the keep-first /
+    corpus-wins drop policy in :func:`incremental_drop_keys` reads the
+    orientation, so it must never diverge between them."""
+    a, b = a.alias("a"), b.alias("b")
+    a_lt = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    return (a.join(b, join_cols)
+            .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            .select(
+                F.when(a_lt, F.col(f"a.{id_col}"))
+                 .otherwise(F.col(f"b.{id_col}")).alias("id_a"),
+                F.when(a_lt, F.col(f"b.{id_col}"))
+                 .otherwise(F.col(f"a.{id_col}")).alias("id_b"),
+                F.when(a_lt, F.col("a.is_new")).otherwise(F.col("b.is_new"))
+                 .alias("new_a"),
+                F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
+                 .alias("new_b"))
+            .distinct())
+
+
+def _resolve_latest_bucket_restricted(
+    rows: DataFrame, key_col: str, live: int,
+    bucket_probe: DataFrame, bucket_cols: list[str],
+) -> DataFrame:
+    """Epoch resolution for probe-sized bucket lookups without an
+    O(store) shuffle.
+
+    A bucket restriction is NOT sound before :func:`_resolve_latest`
+    (a key's latest-epoch row may live in a different bucket, and
+    dropping it would resurrect an older epoch's row), but windowing
+    the whole store to serve a handful of probe buckets is an
+    O(corpus) shuffle per probe.  Two phases keep both properties:
+    restrict to keys with ANY row in a probe-touched bucket (broadcast
+    map-side semi-join, no shuffle), resolve only those keys' rows,
+    then re-apply the bucket restriction to the resolved rows.  At
+    ``live == 0`` this is exactly the single broadcast semi-join."""
+    restricted = rows.join(F.broadcast(bucket_probe), bucket_cols,
+                           "left_semi")
+    if live == 0:
+        return restricted.drop("_epoch")
+    keys = restricted.select(key_col).distinct()
+    return (_resolve_latest(
+                rows.join(F.broadcast(keys), key_col, "left_semi"),
+                key_col, live)
+            .join(F.broadcast(bucket_probe), bucket_cols, "left_semi"))
 
 
 def committed_group_ids(spark: SparkSession, index_path: str,
@@ -978,21 +1021,8 @@ def minhash_near_duplicates_grouped_incremental(
         sized = _observe_capping(sized, observation, max_bucket_size)
     capped = sized.filter(F.col("bucket_n") <= max_bucket_size) \
         .drop("bucket_n")
-    a = capped.filter("is_new").alias("a")
-    b = capped.alias("b")
-    a_lt = F.col("a.gid") < F.col("b.gid")
-    pairs = (a.join(b, ["band", "band_key"])
-             .filter(F.col("a.gid") != F.col("b.gid"))
-             .select(
-                 F.when(a_lt, F.col("a.gid")).otherwise(F.col("b.gid"))
-                  .alias("id_a"),
-                 F.when(a_lt, F.col("b.gid")).otherwise(F.col("a.gid"))
-                  .alias("id_b"),
-                 F.when(a_lt, F.col("a.is_new")).otherwise(F.col("b.is_new"))
-                  .alias("new_a"),
-                 F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
-                  .alias("new_b"))
-             .distinct())
+    pairs = _canonical_candidate_pairs(
+        capped.filter("is_new"), capped, "gid", ["band", "band_key"])
 
     cand = (pairs.select(F.col("id_a").alias("gid"))
             .union(pairs.select(F.col("id_b").alias("gid")))
@@ -1101,15 +1131,14 @@ def probe_grouped_index_near_duplicates(
     probe_banded = (_banded(gsig, "gid", meta["bands"])
                     .withColumnRenamed("doc_id", "gid")
                     .withColumn("is_new", F.lit(True)))
-    old_banded = (_resolve_latest(
+    old_banded = (_resolve_latest_bucket_restricted(
                       _read_epoched(spark, index_path, "bands", live,
                                     ["doc_id", "band", "band_key"]),
-                      "doc_id", live)
+                      "doc_id", live,
+                      probe_banded.select("band", "band_key").distinct(),
+                      ["band", "band_key"])
                   .select(F.col("doc_id").alias("gid"), "band", "band_key")
                   .join(probe_gids, "gid", "left_anti")
-                  .join(F.broadcast(probe_banded
-                                    .select("band", "band_key").distinct()),
-                        ["band", "band_key"], "left_semi")
                   .withColumn("is_new", F.lit(False)))
     all_banded = old_banded.unionByName(probe_banded)
     sized = all_banded.withColumn(
@@ -1117,21 +1146,9 @@ def probe_grouped_index_near_duplicates(
     capped = (sized.filter(F.col("bucket_n") <= max_bucket_size)
               .drop("bucket_n")
               .localCheckpoint())
-    a = capped.filter("is_new").alias("a")
-    b = capped.alias("b")
-    a_lt = F.col("a.gid") < F.col("b.gid")
-    pairs = (a.join(b, ["band", "band_key"])
-             .filter(F.col("a.gid") != F.col("b.gid"))
-             .select(
-                 F.when(a_lt, F.col("a.gid")).otherwise(F.col("b.gid"))
-                  .alias("id_a"),
-                 F.when(a_lt, F.col("b.gid")).otherwise(F.col("a.gid"))
-                  .alias("id_b"),
-                 F.when(a_lt, F.col("a.is_new")).otherwise(F.col("b.is_new"))
-                  .alias("new_a"),
-                 F.when(a_lt, F.col("b.is_new")).otherwise(F.col("a.is_new"))
-                  .alias("new_b"))
-             .distinct()
+    pairs = (_canonical_candidate_pairs(
+                 capped.filter("is_new"), capped, "gid",
+                 ["band", "band_key"])
              .localCheckpoint())
 
     cand = (pairs.select(F.col("id_a").alias("gid"))

@@ -277,9 +277,23 @@ def write_quality_model(spark: SparkSession, model: dict,
     Weights are written FIRST, meta LAST -- meta is the commit marker
     (same discipline as the indexes: a crash between the writes leaves
     no ``meta/``, so :func:`read_quality_model` raises instead of
-    serving a half-written model).  Refuses an existing model path.
+    serving a half-written model).  Refuses a COMMITTED model path --
+    existence is judged by the commit marker, not by ``weights/``, so a
+    retry after a crash-between-writes overwrites the uncommitted
+    weights instead of wedging on ``path already exists`` forever
+    (the same crash-recoverability the index writers it mirrors get
+    from their stale-marker deletion).
     """
-    model["weights"].write.mode("errorifexists").parquet(f"{path}/weights")
+    try:
+        spark.read.parquet(f"{path}/meta").first()
+        raise ValueError(
+            f"quality model already committed at {path}; "
+            f"write to a fresh path or delete it first")
+    except ValueError:
+        raise
+    except Exception:
+        pass  # no committed meta -> any weights/ present are stale
+    model["weights"].write.mode("overwrite").parquet(f"{path}/weights")
     meta = model["meta"]
     spark.createDataFrame([tuple(meta[c] for c in _META_COLS)],
                           schema=_META_COLS).write.mode(

@@ -167,6 +167,21 @@ def test_model_roundtrip(spark, tmp_path):
         write_quality_model(spark, model, path)  # refuses overwrite
 
 
+def test_model_write_retry_after_crash_between_writes(spark, tmp_path):
+    """A crash after weights/ but before meta/ (the commit marker) must
+    not wedge the path: the retry overwrites the uncommitted weights and
+    commits normally."""
+    model = _fit(spark)
+    path = str(tmp_path / "qm_crash")
+    # simulate the crash: weights landed, meta never did
+    model["weights"].write.parquet(f"{path}/weights")
+    write_quality_model(spark, model, path)  # retry succeeds
+    loaded = read_quality_model(spark, path)
+    assert loaded["meta"] == model["meta"]
+    with pytest.raises(ValueError, match="committed"):
+        write_quality_model(spark, model, path)
+
+
 def test_scoring_plan_jvm_only_and_broadcast(spark):
     model = _fit(spark)
     df = spark.createDataFrame([(0, "hello world")], ["doc_id", "text"])
