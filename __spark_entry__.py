@@ -855,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_topn": _q_stratified_topn,
         "token_budget_mix": _q_token_budget_mix,
         "quality_classifier": _q_quality_classifier,
+        "repetition_stats": _q_repetition,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_stats": _q_winnow_stats,
         "scrub_docs": _q_scrub_docs,
@@ -1177,6 +1178,122 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("quality_clf_score"), 6).alias("clf_score"))
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition battery
+    (operators/repetition.py::repetition_stats): duplicate line /
+    paragraph fractions (occurrence- and char-weighted), top word-2/3/4-
+    gram char coverage (0 when the top gram occurs once) and duplicate
+    word-5..10-gram char coverage, one row per document, all JVM-side.
+    Every metric is a single division of exact integer counters, so the
+    DuckDB twin recomputing the same counters matches hash-exact."""
+    from sumi_agent_spark.operators.repetition import repetition_stats
+    docs = _t(spark, sf_dir, "documents")
+    return (repetition_stats(docs.select("doc_id", "text"))
+            .orderBy("doc_id"))
+
+
+def _repetition_twin_sql() -> str:
+    """Fully live DuckDB twin of the repetition battery: the same
+    explicit-ASCII tokenizer, the same unit splits, the same integer
+    counters, the same single division per metric; top-gram ties break
+    by (count DESC, gram ASC) in both engines (binary collation)."""
+    from sumi_agent_spark.operators.repetition import (
+        DUP_NS, LINE_SPLIT, PARA_SPLIT, TOP_NS, WS_CLASS)
+
+    def unit_cte(name: str, pattern: str) -> str:
+        return f"""
+        {name}_units AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(coalesce(text, ''),
+                                         '{pattern}'),
+                   x -> x <> '')) AS unit
+          FROM documents),
+        {name}_agg AS (
+          SELECT doc_id, sum(c) AS n,
+                 sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS nd,
+                 sum(c * ulen) AS ch,
+                 sum(CASE WHEN c >= 2 THEN c * ulen ELSE 0 END) AS chd
+          FROM (SELECT doc_id, unit, count(*) AS c,
+                       length(unit) AS ulen
+                FROM {name}_units GROUP BY doc_id, unit)
+          GROUP BY doc_id)"""
+
+    def grams_cte(n: int) -> str:
+        parts = ", ".join(f"toks[i + {j}]" for j in range(n))
+        return f"""
+        g{n} AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, len(toks) - {n} + 2),
+                   i -> concat_ws(' ', {parts}))) AS gram
+          FROM tok),
+        g{n}c AS (
+          SELECT doc_id, gram, count(*) AS c, length(gram) AS glen
+          FROM g{n} GROUP BY doc_id, gram)"""
+
+    top_ctes = "".join(f""",
+        top{n} AS (
+          SELECT doc_id, c, glen FROM (
+            SELECT doc_id, c, glen,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, gram ASC) AS rn
+            FROM g{n}c)
+          WHERE rn = 1 AND c >= 2)""" for n in TOP_NS)
+    dup_ctes = "".join(f""",
+        dup{n} AS (
+          SELECT doc_id, sum(c * glen) AS dch
+          FROM g{n}c WHERE c >= 2 GROUP BY doc_id)""" for n in DUP_NS)
+    top_cols = "".join(f""",
+               round(CASE WHEN dl.len > 0 AND top{n}.c IS NOT NULL
+                     THEN least(1.0, (top{n}.c * top{n}.glen)::DOUBLE
+                                     / dl.len::DOUBLE)
+                     ELSE 0.0 END, 6) AS top{n}_char_frac"""
+                       for n in TOP_NS)
+    dup_cols = "".join(f""",
+               round(CASE WHEN dl.len > 0 AND dup{n}.dch IS NOT NULL
+                     THEN least(1.0, dup{n}.dch::DOUBLE / dl.len::DOUBLE)
+                     ELSE 0.0 END, 6) AS dup{n}_char_frac"""
+                      for n in DUP_NS)
+    top_joins = "".join(f"\n          LEFT JOIN top{n} USING (doc_id)"
+                        for n in TOP_NS)
+    dup_joins = "".join(f"\n          LEFT JOIN dup{n} USING (doc_id)"
+                        for n in DUP_NS)
+
+    def ufrac(name: str, num: str, den: str) -> str:
+        return (f"round(CASE WHEN {name}_agg.{den} > 0 "
+                f"THEN {name}_agg.{num}::DOUBLE / "
+                f"{name}_agg.{den}::DOUBLE ELSE 0.0 END, 6)")
+
+    gram_ctes = "".join("," + grams_cte(n) for n in (*TOP_NS, *DUP_NS))
+    return f"""
+        WITH {unit_cte("line", _sq(LINE_SPLIT))},
+        {unit_cte("para", _sq(PARA_SPLIT))},
+        tok AS (
+          SELECT doc_id,
+                 list_filter(
+                   regexp_split_to_array(coalesce(text, ''),
+                                         '{_sq(WS_CLASS)}'),
+                   x -> x <> '') AS toks
+          FROM documents){gram_ctes}{top_ctes}{dup_ctes},
+        dl AS (SELECT doc_id, length(coalesce(text, '')) AS len
+               FROM documents)
+        SELECT dl.doc_id,
+               coalesce({ufrac("line", "nd", "n")}, 0.0)
+                 AS dup_line_frac,
+               coalesce({ufrac("line", "chd", "ch")}, 0.0)
+                 AS dup_line_char_frac,
+               coalesce({ufrac("para", "nd", "n")}, 0.0)
+                 AS dup_para_frac,
+               coalesce({ufrac("para", "chd", "ch")}, 0.0)
+                 AS dup_para_char_frac{top_cols}{dup_cols}
+        FROM dl
+          LEFT JOIN line_agg USING (doc_id)
+          LEFT JOIN para_agg USING (doc_id){top_joins}{dup_joins}
+        ORDER BY dl.doc_id
+    """
+
+
 def _quality_clf_twin_sql() -> str:
     """Fully live DuckDB twin of the hashed-NB quality classifier: the
     tokenizer (explicit \\x0B whitespace class, ASCII-only translate
@@ -1411,6 +1528,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_topn": _sample_topn_sql,
         "token_budget_mix": _token_budget_twin_sql(),
         "quality_classifier": _quality_clf_twin_sql(),
+        "repetition_stats": _repetition_twin_sql(),
         "decontam_overlap": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents WHERE length(text) >= 20),

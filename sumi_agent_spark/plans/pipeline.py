@@ -800,6 +800,7 @@ def run_pipeline(
     sample_token_col: Optional[str] = None,
     sample_token_allow_short: bool = False,
     drop_toxic_above: Optional[float] = None,
+    repetition_thresholds=None,
     quality_model_path: Optional[str] = None,
     quality_min_score: Optional[float] = None,
     decontaminate_against: Optional[str] = None,
@@ -937,6 +938,14 @@ def run_pipeline(
     whose lexicon toxicity score exceeds the threshold, also pre-scrub so
     toxic turns never pay detection cost (operators/toxicity.py; NULL text
     scores 0 and is never dropped by this gate).
+    ``repetition_thresholds`` (the literal ``"gopher"`` or a metric->max
+    dict) drops turns breaching any Gopher/MassiveText repetition rule
+    (:mod:`operators.repetition`: duplicate line/paragraph fractions,
+    top/duplicate n-gram char coverage), pre-scrub, after the cheap
+    regex gates and before the classifier; drop count and the threshold
+    catalog land in the ``_lineage_repetition`` sidecar, and
+    changed-upsert replacement rows are re-checked against the same
+    thresholds.  Requires unique ``(conv_id, turn_idx)`` keys.
     ``quality_model_path`` + ``quality_min_score`` apply a model-based
     quality filter (the CCNet/GPT-3 pattern): a persisted hashed-NB
     classifier (:mod:`operators.quality_classifier`) scores each turn
@@ -1023,6 +1032,20 @@ def run_pipeline(
             "quality_model_path and quality_min_score must be set "
             "together: a model without a threshold (or vice versa) "
             "would be a silent no-op gate")
+    rep_thresholds = None
+    if repetition_thresholds is not None:
+        from ..operators.repetition import GOPHER_THRESHOLDS
+        if repetition_thresholds == "gopher":
+            rep_thresholds = dict(GOPHER_THRESHOLDS)
+        elif isinstance(repetition_thresholds, dict):
+            if not repetition_thresholds:
+                raise ValueError("repetition_thresholds dict is empty")
+            rep_thresholds = {k: float(v)
+                              for k, v in repetition_thresholds.items()}
+        else:
+            raise ValueError(
+                "repetition_thresholds must be the literal 'gopher' or "
+                f"a metric->max dict, got {repetition_thresholds!r}")
     nd_row = None
     nd_drops = None
     nd_index_action = None  # slice mode: ("create"|"append", kept_df)
@@ -1391,6 +1414,34 @@ def run_pipeline(
         from ..operators.toxicity import toxicity_score_col
         df = df.filter(toxicity_score_col(F.col("text"))
                        <= float(drop_toxic_above))
+    rep_drops = None
+    if rep_thresholds is not None:
+        # Gopher repetition battery: per-row-independent like toxicity
+        # but costs one explode per gram size, so it runs after the
+        # cheap regex gates and before the classifier.  (conv_id,
+        # turn_idx) must uniquely key the input (duplicate keys would
+        # merge two turns' counters -- run dedup=True first), the same
+        # documented requirement as the sampling/index operators.
+        from ..operators.repetition import (
+            repetition_keep_condition, repetition_stats,
+            threshold_gram_sizes)
+        r_tn, r_dn = threshold_gram_sizes(rep_thresholds)
+        r_keyed = df.withColumn("_rk", F.struct("conv_id", "turn_idx"))
+        r_stats = repetition_stats(r_keyed, "text", ["_rk"],
+                                   top_ns=r_tn, dup_ns=r_dn)
+        rep_drops = (r_stats.filter(
+            ~repetition_keep_condition(r_stats, rep_thresholds))
+            .select("_rk"))
+        rep_drops.persist()
+        n_rep = rep_drops.count()  # pins the drop set for the write
+        df = r_keyed.join(rep_drops, "_rk", "left_anti").drop("_rk")
+        thr_str = ",".join(f"{k}={v}"
+                           for k, v in sorted(rep_thresholds.items()))
+        spark.createDataFrame(
+            [("repetition", int(n_rep), thr_str)],
+            schema="stage string, n_dropped long, thresholds string",
+        ).write.mode("append").parquet(
+            f"{output_path}/_lineage_repetition")
     qc_model = None
     if quality_model_path is not None:
         # Model-based quality filter (CCNet/GPT-3-style): per-row-
@@ -1565,8 +1616,17 @@ def run_pipeline(
         # the re-run redetect the same keys and append byte-identical
         # rows (the MERGE source should dedupe by key), never lose them.
         retro_deletes = None
+        # n_contam > 0 gates the whole branch: with zero poisoned
+        # conversations the semi-join below is empty by construction,
+        # and building it anyway would make retro_deletes a non-None
+        # empty frame on EVERY converged steady-state run -- paying a
+        # committed-key scan per run and appending a zero-row
+        # _changed_upsert parquet (whose first write can be a
+        # _SUCCESS-only directory that breaks the caller's documented
+        # MERGE-source schema inference) plus a spurious all-zero
+        # lineage row
         if (reindex_changed and decontam_scope == "conversation"
-                and dc_drops is not None):
+                and dc_drops is not None and n_contam > 0):
             # Retroactive contamination: a conversation poisoned THIS
             # run (by a new or changed turn) may have clean turns in the
             # output from earlier slices; an uninterrupted run over the
@@ -1631,6 +1691,25 @@ def run_pipeline(
                               _W.partitionBy("conv_id", "turn_idx")
                                 .orderBy(F.col("text").asc_nulls_last())))
                       .filter(F.col("_rn") == 1).drop("_rn"))
+            up_cached = None
+            if up is not None:
+                # Persist + materialize NOW, at the ROOT frame every
+                # consumer below derives from (the sampling count, the
+                # gates -- the grouped probe alone instantiates it ~8x
+                # -- and the scrub input): its lineage carries the
+                # changed-detection joins over epoch-resolved index
+                # reads, and without the cache each consumer replays
+                # that whole subtree (observed: a toy-fixture
+                # conversation-scope run went from minutes to seconds).
+                # CacheManager substitutes subtrees matching the cached
+                # ANALYZED plan, so every derived frame must be built
+                # on top of THIS object, not re-derived from its
+                # ingredients.  The eager count serializes the
+                # materialization so the gate jobs race against a
+                # built cache, not each other.
+                up_cached = up
+                up_cached.persist()
+                up_cached.count()
             n_sampled_out = 0
             if up is not None and sample_fraction is not None:
                 from ..operators.sampling import sample_keep_condition
@@ -1643,19 +1722,6 @@ def run_pipeline(
             if up is not None:
                 up_keyed = up.withColumn(
                     "_ck", F.struct("conv_id", "turn_idx"))
-                # Persist + materialize NOW: the gates below reference
-                # this slice-sized frame many times (the grouped probe
-                # alone instantiates it ~8x), and its lineage carries
-                # the changed-detection joins over epoch-resolved index
-                # reads -- without the cache each reference replays
-                # that whole subtree and the broadcast-exchange fan-out
-                # multiplies into dozens of concurrent jobs (observed:
-                # a toy-fixture conversation-scope run went from
-                # minutes to seconds with this cache).  The eager
-                # count also serializes the materialization so the
-                # gate jobs race against a built cache, not each other.
-                up_keyed.persist()
-                up_keyed.count()
                 del_srcs = []  # one-column ``_ck`` frames to delete
                 if dc_flagger is not None:
                     if decontam_scope == "conversation":
@@ -1682,6 +1748,19 @@ def run_pipeline(
                         up_keyed.filter(
                             toxicity_score_col(F.col("text"))
                             > float(drop_toxic_above)).select("_ck"))
+                if rep_thresholds is not None:
+                    # same thresholds as the main repetition gate
+                    from ..operators.repetition import (
+                        repetition_keep_condition, repetition_stats,
+                        threshold_gram_sizes)
+                    u_tn, u_dn = threshold_gram_sizes(rep_thresholds)
+                    u_stats = repetition_stats(
+                        up_keyed, "text", ["_ck"],
+                        top_ns=u_tn, dup_ns=u_dn)
+                    del_srcs.append(
+                        u_stats.filter(~repetition_keep_condition(
+                            u_stats, rep_thresholds))
+                        .select("_ck"))
                 if qc_model is not None:
                     # same model, same threshold, evaluated pre-scrub
                     # like the main quality gate
@@ -1799,8 +1878,8 @@ def run_pipeline(
                     f"{output_path}/_lineage_upsert")
             finally:
                 out_up.unpersist()
-                if up is not None:
-                    up_keyed.unpersist()
+                if up_cached is not None:
+                    up_cached.unpersist()
         # reindex_changed runs LAST, after the appends (disjoint key
         # sets; changed_rows is persisted, so the reindex sees exactly
         # the rows the gate counted).  Delete-action replacements are
@@ -1863,6 +1942,8 @@ def run_pipeline(
             eb_drops.unpersist()
         if dc_drops is not None:
             dc_drops.unpersist()
+        if rep_drops is not None:
+            rep_drops.unpersist()
         if nd_changed_rows is not None:
             nd_changed_rows.unpersist()
         if eb_changed_rows is not None:
@@ -1994,6 +2075,12 @@ def add_pipeline_args(ap) -> None:
                     "--sample-n-per-stratum (e.g. role)")
     ap.add_argument("--drop-toxic-above", type=float, default=None,
                     metavar="T", help="drop turns with toxicity score > T")
+    ap.add_argument("--repetition-thresholds", default=None,
+                    metavar="GOPHER|JSON",
+                    help="drop turns breaching any Gopher repetition "
+                    "threshold: the literal 'gopher' for the standard "
+                    "catalog, or a JSON metric->max dict (counts land "
+                    "in the _lineage_repetition sidecar)")
     ap.add_argument("--quality-model-path", default=None, metavar="PATH",
                     help="persisted hashed-NB quality model "
                     "(operators/quality_classifier.py); requires "
@@ -2072,6 +2159,10 @@ def pipeline_kwargs(args) -> dict:
         sample_strata_cols=(args.sample_strata_cols.split(",")
                             if args.sample_strata_cols else None),
         drop_toxic_above=args.drop_toxic_above,
+        repetition_thresholds=(
+            args.repetition_thresholds
+            if args.repetition_thresholds in (None, "gopher")
+            else __import__("json").loads(args.repetition_thresholds)),
         quality_model_path=args.quality_model_path,
         quality_min_score=args.quality_min_score,
         decontaminate_against=args.decontaminate_against,
