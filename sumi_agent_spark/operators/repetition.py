@@ -50,6 +50,7 @@ windows over the corpus, no driver collects.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -241,6 +242,99 @@ def repetition_keep_condition(
     for k, v in sorted(thresholds.items()):
         cond = cond & (F.col(k) <= F.lit(float(v)))
     return cond
+
+
+def _py_repetition_metrics(
+    text: str | None,
+    top_ns: tuple[int, ...],
+    dup_ns: tuple[int, ...],
+) -> dict[str, float]:
+    """Pure-Python replica of :func:`repetition_stats` for ONE document
+    -- the streaming path's kernel, and the parity reference the tests
+    pin against the Spark aggregation.  Exactness notes: counters are
+    exact ints and each metric is one float division, identical to the
+    JVM's double division; rounding replicates Spark's
+    ``F.round(x, 6)`` (Java ``BigDecimal(double)`` HALF_UP on the exact
+    binary expansion) via ``Decimal(x).quantize(..., ROUND_HALF_UP)``
+    -- Python's builtin ``round`` is banker's and would diverge at
+    midpoints; string ties compare by code point, which equals the
+    JVM's binary UTF-8 collation order."""
+    import re as _re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("1e-6"),
+                                         rounding=ROUND_HALF_UP))
+
+    text = text or ""
+    total = len(text)
+    out: dict[str, float] = {}
+    for prefix, pattern in (("dup_line", LINE_SPLIT),
+                            ("dup_para", PARA_SPLIT)):
+        units = [u for u in _re.split(pattern, text) if u != ""]
+        c = Counter(units)
+        n = sum(c.values())
+        nd = sum(v for v in c.values() if v >= 2)
+        ch = sum(v * len(u) for u, v in c.items())
+        chd = sum(v * len(u) for u, v in c.items() if v >= 2)
+        out[f"{prefix}_frac"] = r6(nd / n) if n > 0 else 0.0
+        out[f"{prefix}_char_frac"] = r6(chd / ch) if ch > 0 else 0.0
+    toks = [t for t in _re.split(WS_CLASS, text) if t != ""]
+    for n in top_ns:
+        grams = [" ".join(toks[i:i + n])
+                 for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        if not c:
+            out[f"top{n}_char_frac"] = 0.0
+            continue
+        c_top = max(c.values())
+        if total <= 0 or c_top < 2:
+            out[f"top{n}_char_frac"] = 0.0
+            continue
+        g = min(g for g, v in c.items() if v == c_top)
+        out[f"top{n}_char_frac"] = r6(min(1.0, c_top * len(g) / total))
+    for n in dup_ns:
+        grams = [" ".join(toks[i:i + n])
+                 for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        dch = sum(v * len(g) for g, v in c.items() if v >= 2)
+        out[f"dup{n}_char_frac"] = (
+            r6(min(1.0, dch / total)) if total > 0 and dch > 0 else 0.0)
+    return out
+
+
+def make_repetition_keep_udf(thresholds: dict[str, float] | None = None):
+    """Arrow-batched keep/drop predicate over a text column for the
+    STATELESS streaming path: the batch operator's explode + groupBy is
+    a stateful aggregation under Structured Streaming, so the stream
+    gate recomputes the same per-document metrics row-locally
+    (:func:`_py_repetition_metrics` -- exact-int counters, one
+    division, HALF_UP rounding) and compares them to the same
+    thresholds.  Per-row Python, but documents are transcript turns
+    (short) and the batch path stays the JVM aggregation."""
+    from pyspark.sql.functions import pandas_udf
+
+    if thresholds is None:
+        thresholds = GOPHER_THRESHOLDS
+    thr = {k: float(v) for k, v in sorted(thresholds.items())}
+    known = ({"dup_line_frac", "dup_line_char_frac",
+              "dup_para_frac", "dup_para_char_frac"}
+             | {f"top{n}_char_frac" for n in range(2, 100)}
+             | {f"dup{n}_char_frac" for n in range(2, 100)})
+    unknown = [k for k in thr if k not in known]
+    if unknown:
+        raise ValueError(f"unknown repetition metrics: {unknown}")
+    top_ns, dup_ns = threshold_gram_sizes(thr)
+
+    @pandas_udf("boolean")
+    def keep(texts: pd.Series) -> pd.Series:
+        def one(t):
+            m = _py_repetition_metrics(t, top_ns, dup_ns)
+            return all(m[k] <= v for k, v in thr.items())
+        return texts.map(one)
+
+    return keep
 
 
 def threshold_gram_sizes(

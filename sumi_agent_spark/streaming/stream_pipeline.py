@@ -163,6 +163,29 @@ def decontaminate_stream(
             .drop("_n_hits"))
 
 
+def repetition_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    thresholds=None,
+) -> DataFrame:
+    """Drop stream rows breaching any Gopher repetition threshold
+    (operators/repetition.py semantics, online).
+
+    The metrics are per-row functions of the text, but the batch
+    operator computes them as explode + groupBy aggregations -- a
+    STATEFUL shape under Structured Streaming -- so the stream gate
+    recomputes them row-locally inside an Arrow-batched predicate
+    (``repetition.make_repetition_keep_udf``: the same exact-integer
+    counters, the same single division, the same HALF_UP rounding --
+    drop decisions are pinned identical to the batch gate by the parity
+    tests).  No state store, no watermark, immediate emission.
+    ``thresholds`` as in ``run_pipeline`` (None = the Gopher catalog)."""
+    from ..operators.repetition import make_repetition_keep_udf
+
+    keep = make_repetition_keep_udf(thresholds)
+    return stream.filter(keep(F.col(text_col)))
+
+
 def decontaminate_stream_fuzzy(
     stream: DataFrame,
     benchmark_df: DataFrame,

@@ -203,6 +203,68 @@ def test_pipeline_repetition_gate_resume(spark, tmp_path):
     assert len(spark.read.parquet(out).toPandas()) == 1
 
 
+EDGE_TEXTS = [
+    "a\nbb\na\nccc",
+    "x\ny\n\nzz\n\nx\ny",
+    "the cat the cat sat",
+    "b c b c a d a d",
+    "a b a b a b",
+    "buy now " * 50,
+    "x　y a x　y a",
+    "",
+    None,
+    "one",
+    "  \n \n ",
+    "tok0 tok1 tok2 " * 7 + "\nend\nend",
+]
+
+
+def test_python_replica_matches_spark_aggregation(spark):
+    """The streaming kernel (_py_repetition_metrics) must reproduce the
+    JVM aggregation byte-exactly on every edge text -- including the
+    HALF_UP rounding and the tie-break collation."""
+    from sumi_agent_spark.operators.repetition import (
+        _py_repetition_metrics)
+    rows = [(i, t) for i, t in enumerate(EDGE_TEXTS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           repetition_stats(df).collect()}
+    from sumi_agent_spark.operators.repetition import DUP_NS, TOP_NS
+    for i, t in rows:
+        py = _py_repetition_metrics(t, TOP_NS, DUP_NS)
+        sp = {k: v for k, v in got[i].items() if k != "doc_id"}
+        assert py == sp, (i, t, py, sp)
+
+
+def test_repetition_stream_matches_batch_filter(spark, tmp_path):
+    from sumi_agent_spark.streaming.stream_pipeline import (
+        repetition_stream)
+    src = str(tmp_path / "src")
+    rows = [(i, t) for i, t in enumerate(EDGE_TEXTS)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    out = str(tmp_path / "out")
+    q = (repetition_stream(stream).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    batch = {r["doc_id"] for r in
+             repetition_filter(spark.read.parquet(src)).collect()}
+    assert got == batch
+    assert 0 < len(got) < len(EDGE_TEXTS)  # both kept and dropped rows
+
+
+def test_keep_udf_rejects_unknown_metric():
+    from sumi_agent_spark.operators.repetition import (
+        make_repetition_keep_udf)
+    with pytest.raises(ValueError, match="unknown repetition metrics"):
+        make_repetition_keep_udf({"bogus_frac": 0.1})
+
+
 def test_gopher_threshold_catalog_matches_default_metrics(spark):
     df = spark.createDataFrame([(0, "a b c d e f g h i j k")],
                                ["doc_id", "text"])
