@@ -856,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": _q_token_budget_mix,
         "quality_classifier": _q_quality_classifier,
         "repetition_stats": _q_repetition,
+        "lm_perplexity": _q_lm_perplexity,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_stats": _q_winnow_stats,
         "scrub_docs": _q_scrub_docs,
@@ -1176,6 +1177,76 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id",
         F.round(F.col("quality_clf_score"), 6).alias("clf_score"))
+
+
+LM_MIN_COUNT = 2  # contract-query LM geometry, shared by query + twin
+LM_ALPHA = 1.0
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scorer
+    (operators/lm_perplexity.py): fit the smoothed unigram LM on the
+    even-doc_id half of ``documents`` (the same deterministic split
+    convention as the classifier query; real deployments train on a
+    clean reference corpus), score every document with the mean
+    negative token log-prob in nats.  Training is one word count;
+    scoring is explode + broadcast join, fully JVM-side.  The DuckDB
+    twin recomputes the whole model live -- token counts, min-count
+    vocabulary cutoff, UNK mass, smoothed log-probs -- from the raw
+    parquet."""
+    from sumi_agent_spark.operators.lm_perplexity import (
+        fit_unigram_lm, score_perplexity)
+    docs = _t(spark, sf_dir, "documents")
+    model = fit_unigram_lm(docs.filter(F.col("doc_id") % 2 == 0),
+                           min_count=LM_MIN_COUNT, alpha=LM_ALPHA)
+    return (score_perplexity(docs.select("doc_id", "text"), model,
+                             ["doc_id"])
+            .select("doc_id", "log_ppl").orderBy("doc_id"))
+
+
+def _lm_perplexity_twin_sql() -> str:
+    """Fully live DuckDB twin of the unigram-LM scorer: same tokenizer
+    as the classifier twin, same exact-integer counts, the denominator
+    assembled with the same IEEE operation order as the Python driver
+    (``n + alpha * (v + 1.0)``), one ln per probability; ``round(6)``
+    bridges per-document double-summation order, as in every
+    float-aggregating twin here."""
+    import string
+
+    from sumi_agent_spark.operators.quality_classifier import (
+        TOKEN_WS_CLASS)
+    up, lo = string.ascii_uppercase, string.ascii_lowercase
+    mc, al = int(LM_MIN_COUNT), repr(float(LM_ALPHA))
+    tok = (f"unnest(list_filter(regexp_split_to_array("
+           f"translate(coalesce(text, ''), '{up}', '{lo}'), "
+           f"'{TOKEN_WS_CLASS}'), x -> x <> ''))")
+    return f"""
+        WITH rtok AS (
+          SELECT {tok} AS token FROM documents WHERE doc_id % 2 = 0),
+        counts AS (
+          SELECT token, count(*) AS c FROM rtok GROUP BY token),
+        st AS (
+          SELECT CAST(sum(c) AS DOUBLE) AS n,
+                 CAST(sum(CASE WHEN c >= {mc} THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS v,
+                 CAST(sum(CASE WHEN c < {mc} THEN c ELSE 0 END)
+                      AS DOUBLE) AS cu
+          FROM counts),
+        dn AS (SELECT n + {al} * (v + 1.0) AS d, cu FROM st),
+        w AS (
+          SELECT token, ln((c::DOUBLE + {al}) / dn.d) AS lp
+          FROM counts, dn WHERE c >= {mc}),
+        unk AS (SELECT ln((cu + {al}) / d) AS v FROM dn),
+        dtok AS (SELECT doc_id, {tok} AS token FROM documents),
+        ds AS (
+          SELECT dtok.doc_id, sum(coalesce(w.lp, unk.v)) AS s,
+                 count(*) AS n
+          FROM dtok LEFT JOIN w USING (token), unk
+          GROUP BY dtok.doc_id)
+        SELECT d.doc_id, round(-(ds.s / ds.n), 6) AS log_ppl
+        FROM documents d LEFT JOIN ds USING (doc_id)
+        ORDER BY d.doc_id
+    """
 
 
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1529,6 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_mix": _token_budget_twin_sql(),
         "quality_classifier": _quality_clf_twin_sql(),
         "repetition_stats": _repetition_twin_sql(),
+        "lm_perplexity": _lm_perplexity_twin_sql(),
         "decontam_overlap": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents WHERE length(text) >= 20),

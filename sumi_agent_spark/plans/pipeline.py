@@ -803,6 +803,8 @@ def run_pipeline(
     repetition_thresholds=None,
     quality_model_path: Optional[str] = None,
     quality_min_score: Optional[float] = None,
+    perplexity_model_path: Optional[str] = None,
+    perplexity_max: Optional[float] = None,
     decontaminate_against: Optional[str] = None,
     decontam_text_col: str = "text",
     decontam_k: int = 13,
@@ -955,6 +957,14 @@ def run_pipeline(
     changed-upsert replacement rows are re-checked with the same model.
     Requires unique ``(conv_id, turn_idx)`` keys (run ``dedup=True``
     first on dirty input).
+    ``perplexity_model_path`` + ``perplexity_max`` apply the CCNet
+    pattern's other half: a persisted smoothed unigram LM
+    (:mod:`operators.lm_perplexity`) scores each turn's mean negative
+    token log-prob (nats) fully JVM-side and rows above the cutoff
+    drop pre-scrub; token-less rows score NULL and pass.  Drop counts
+    and the model geometry land in the ``_lineage_perplexity``
+    sidecar; changed-upsert replacement rows are re-checked with the
+    same model.  Same unique-key requirement as the classifier.
     ``decontaminate_against`` (a parquet path of benchmark rows with a
     ``decontam_text_col`` text column) drops turns that share at least
     ``decontam_min_hits`` exact ``decontam_k``-gram shingles with the
@@ -1030,6 +1040,11 @@ def run_pipeline(
     if (quality_model_path is None) != (quality_min_score is None):
         raise ValueError(
             "quality_model_path and quality_min_score must be set "
+            "together: a model without a threshold (or vice versa) "
+            "would be a silent no-op gate")
+    if (perplexity_model_path is None) != (perplexity_max is None):
+        raise ValueError(
+            "perplexity_model_path and perplexity_max must be set "
             "together: a model without a threshold (or vice versa) "
             "would be a silent no-op gate")
     rep_thresholds = None
@@ -1469,6 +1484,37 @@ def run_pipeline(
             schema="stage string, n_dropped long, min_score double, "
                    "model_path string, dim long, ngram long",
         ).write.mode("append").parquet(f"{output_path}/_lineage_quality")
+    lm_model = None
+    if perplexity_model_path is not None:
+        # CCNet-style LM perplexity gate: same shape and cost class as
+        # the classifier (explode + broadcast token join), same
+        # unique-key requirement.  A row whose mean token log-prob is
+        # worse (higher log-perplexity) than the cutoff drops; rows
+        # with NO tokens score NULL and pass, like NULL text in the
+        # toxicity gate -- emptiness is the length gates' concern.
+        from ..operators.lm_perplexity import (
+            read_unigram_lm, score_perplexity)
+        lm_model = read_unigram_lm(spark, perplexity_model_path)
+        p_scored = score_perplexity(
+            df.withColumn("_pk", F.struct("conv_id", "turn_idx")),
+            lm_model, ["_pk"], output_col="_ppl")
+        n_hippl = p_scored.filter(
+            F.col("_ppl") > float(perplexity_max)).count()
+        df = (p_scored.filter(
+                  F.col("_ppl").isNull()
+                  | (F.col("_ppl") <= float(perplexity_max)))
+              .drop("_pk", "_ppl"))
+        spark.createDataFrame(
+            [(str("lm_perplexity"), int(n_hippl),
+              float(perplexity_max), str(perplexity_model_path),
+              int(lm_model["meta"]["n_tokens"]),
+              int(lm_model["meta"]["vocab_size"]),
+              int(lm_model["meta"]["min_count"]))],
+            schema="stage string, n_dropped long, max_log_ppl double, "
+                   "model_path string, n_tokens long, vocab_size long, "
+                   "min_count long",
+        ).write.mode("append").parquet(
+            f"{output_path}/_lineage_perplexity")
 
     in_obs = Observation("retention_in")
     df = df.observe(in_obs, F.count(F.lit(1)).alias("rows_in"))
@@ -1772,6 +1818,17 @@ def run_pipeline(
                             output_col="_qscore")
                         .filter(F.col("_qscore")
                                 < float(quality_min_score))
+                        .select("_ck"))
+                if lm_model is not None:
+                    # same LM, same cutoff; NULL (token-less) passes
+                    from ..operators.lm_perplexity import (
+                        score_perplexity)
+                    del_srcs.append(
+                        score_perplexity(
+                            up_keyed, lm_model, ["_ck"],
+                            output_col="_ppl")
+                        .filter(F.col("_ppl")
+                                > float(perplexity_max))
                         .select("_ck"))
                 # replacement content re-checked against the near-dedup
                 # gates: the incremental operators exclude committed
@@ -2089,6 +2146,15 @@ def add_pipeline_args(ap) -> None:
                     metavar="S", help="drop turns whose classifier "
                     "quality score is below S (counts land in the "
                     "_lineage_quality sidecar)")
+    ap.add_argument("--perplexity-model-path", default=None,
+                    metavar="PATH",
+                    help="persisted unigram LM "
+                    "(operators/lm_perplexity.py); requires "
+                    "--perplexity-max")
+    ap.add_argument("--perplexity-max", type=float, default=None,
+                    metavar="P", help="drop turns whose mean negative "
+                    "token log-prob (nats) exceeds P (counts land in "
+                    "the _lineage_perplexity sidecar)")
     ap.add_argument("--decontaminate-against", default=None, metavar="PATH",
                     help="drop turns sharing exact k-gram shingles with "
                     "the benchmark parquet at PATH (eval-contamination "
@@ -2165,6 +2231,8 @@ def pipeline_kwargs(args) -> dict:
             else __import__("json").loads(args.repetition_thresholds)),
         quality_model_path=args.quality_model_path,
         quality_min_score=args.quality_min_score,
+        perplexity_model_path=args.perplexity_model_path,
+        perplexity_max=args.perplexity_max,
         decontaminate_against=args.decontaminate_against,
         decontam_text_col=args.decontam_text_col,
         decontam_k=args.decontam_k,
