@@ -126,24 +126,15 @@ def score_perplexity(
 def write_unigram_lm(spark: SparkSession, model: dict,
                      path: str) -> None:
     """Persist the model: ``weights/`` parquet + one-row ``meta/``,
-    weights first, meta LAST as the commit marker; existence is judged
-    by the marker, so a retry after a crash between the writes
-    overwrites the uncommitted weights instead of wedging (same
-    discipline as :func:`quality_classifier.write_quality_model`)."""
-    try:
-        spark.read.parquet(f"{path}/meta").first()
-        raise ValueError(
-            f"language model already committed at {path}; "
-            f"write to a fresh path or delete it first")
-    except ValueError:
-        raise
-    except Exception:
-        pass  # no committed meta -> any weights/ present are stale
-    model["weights"].write.mode("overwrite").parquet(f"{path}/weights")
+    weights first, meta LAST as the commit marker -- ONE shared
+    implementation with the classifier
+    (:func:`quality_classifier._write_committed_model`: marker-based
+    existence, torn-marker recovery, transient errors propagate)."""
+    from .quality_classifier import _write_committed_model
     meta = model["meta"]
-    spark.createDataFrame([tuple(meta[c] for c in _META_COLS)],
-                          schema=_META_COLS).write.mode(
-        "errorifexists").parquet(f"{path}/meta")
+    _write_committed_model(spark, model["weights"],
+                           tuple(meta[c] for c in _META_COLS),
+                           _META_COLS, path, "language model")
 
 
 def read_unigram_lm(spark: SparkSession, path: str) -> dict:

@@ -792,14 +792,26 @@ def _resolve_latest_bucket_restricted(
     restrict to keys with ANY row in a probe-touched bucket (broadcast
     map-side semi-join, no shuffle), resolve only those keys' rows,
     then re-apply the bucket restriction to the resolved rows.  At
-    ``live == 0`` this is exactly the single broadcast semi-join."""
+    ``live == 0`` this reduces to the single broadcast semi-join.
+
+    The key semi-join carries NO broadcast hint on purpose: the key set
+    is normally probe-sized (AQE broadcasts it at runtime), but one
+    degenerate hot bucket -- the boilerplate-collision shape the
+    callers' ``max_bucket_size`` capping exists to discard downstream
+    -- can make it corpus-scale, and a FORCED broadcast would then OOM
+    the driver.  Without the hint AQE degrades exactly that case to a
+    scalable shuffled semi-join, while the downstream capping window
+    still discards the hot bucket with its true membership intact.
+    (Pre-capping the bucket membership here instead would count
+    UNRESOLVED multi-epoch rows and could drop buckets the resolved
+    view keeps -- not pair-exact.)"""
     restricted = rows.join(F.broadcast(bucket_probe), bucket_cols,
                            "left_semi")
     if live == 0:
         return restricted.drop("_epoch")
     keys = restricted.select(key_col).distinct()
     return (_resolve_latest(
-                rows.join(F.broadcast(keys), key_col, "left_semi"),
+                rows.join(keys, key_col, "left_semi"),
                 key_col, live)
             .join(F.broadcast(bucket_probe), bucket_cols, "left_semi"))
 

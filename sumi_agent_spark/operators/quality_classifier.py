@@ -275,29 +275,53 @@ def write_quality_model(spark: SparkSession, model: dict,
     """Persist the model: ``weights/`` parquet + a one-row ``meta/``.
 
     Weights are written FIRST, meta LAST -- meta is the commit marker
-    (same discipline as the indexes: a crash between the writes leaves
-    no ``meta/``, so :func:`read_quality_model` raises instead of
-    serving a half-written model).  Refuses a COMMITTED model path --
-    existence is judged by the commit marker, not by ``weights/``, so a
-    retry after a crash-between-writes overwrites the uncommitted
-    weights instead of wedging on ``path already exists`` forever
-    (the same crash-recoverability the index writers it mirrors get
-    from their stale-marker deletion).
+    (:func:`_write_committed_model` has the full discipline).
     """
-    try:
-        spark.read.parquet(f"{path}/meta").first()
-        raise ValueError(
-            f"quality model already committed at {path}; "
-            f"write to a fresh path or delete it first")
-    except ValueError:
-        raise
-    except Exception:
-        pass  # no committed meta -> any weights/ present are stale
-    model["weights"].write.mode("overwrite").parquet(f"{path}/weights")
     meta = model["meta"]
-    spark.createDataFrame([tuple(meta[c] for c in _META_COLS)],
-                          schema=_META_COLS).write.mode(
-        "errorifexists").parquet(f"{path}/meta")
+    _write_committed_model(spark, model["weights"],
+                           tuple(meta[c] for c in _META_COLS),
+                           _META_COLS, path, "quality model")
+
+
+def _write_committed_model(spark: SparkSession, weights: DataFrame,
+                           meta_vals: tuple, meta_cols: list[str],
+                           path: str, kind: str) -> None:
+    """Weights-first / meta-last model commit, shared by the classifier
+    and the unigram LM so the discipline can never diverge.
+
+    Existence is judged by the meta COMMIT MARKER (``_SUCCESS``, the
+    same FS check the index epochs use -- ``minhash_index.
+    _marker_committed``), never by a parquet read: a committed model
+    refuses loudly; a TORN meta directory (crash DURING the meta write
+    left ``_temporary/`` but no marker) is deleted and the whole write
+    retried; any transient FS error PROPAGATES -- a blanket
+    except-and-proceed here could mistake a committed model for absent
+    and destroy its weights with the overwrite.  After the commit the
+    marker must be visible, or the deployment has success markers
+    disabled and every existence check would misread committed models
+    as stale (same guard as ``minhash_index._assert_marker_visible``)."""
+    from .minhash_index import _marker_committed
+    meta_path = f"{path}/meta"
+    if _marker_committed(spark, meta_path):
+        raise ValueError(
+            f"{kind} already committed at {path}; "
+            f"write to a fresh path or delete it first")
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path
+    fs = hp(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hp(meta_path)):
+        fs.delete(hp(meta_path), True)  # torn marker from a mid-write crash
+    weights.write.mode("overwrite").parquet(f"{path}/weights")
+    spark.createDataFrame([tuple(meta_vals)], schema=list(meta_cols)) \
+        .write.mode("errorifexists").parquet(meta_path)
+    if not _marker_committed(spark, meta_path):
+        raise RuntimeError(
+            f"{kind} meta at {meta_path} was written but its _SUCCESS "
+            f"marker is not visible -- this store/committer has success "
+            f"markers disabled "
+            f"(mapreduce.fileoutputcommitter.marksuccessfuljobs=false?), "
+            f"which would make every committed model unreadable to the "
+            f"existence check; re-enable success markers for model paths")
 
 
 def read_quality_model(spark: SparkSession, path: str) -> dict:

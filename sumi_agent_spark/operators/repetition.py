@@ -205,15 +205,11 @@ def repetition_stats(
                         / F.col("_len").cast("double")))
              .otherwise(F.lit(0.0)), 6)).drop("_dch")
 
-    metric_cols = ([f"dup_{u}_frac" for u in ("line", "para")]
-                   + [f"dup_{u}_char_frac" for u in ("line", "para")])
-    # fix ordering: line/para pairs first, then top ns, then dup ns
     cols = (list(id_cols)
             + ["dup_line_frac", "dup_line_char_frac",
                "dup_para_frac", "dup_para_char_frac"]
             + [f"top{n}_char_frac" for n in top_ns]
             + [f"dup{n}_char_frac" for n in dup_ns])
-    del metric_cols
     out = out.drop("_len")
     # a doc with no units (empty text) got NULL fracs from the left
     # joins -- normalize to 0.0

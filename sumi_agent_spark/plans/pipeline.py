@@ -1061,973 +1061,1006 @@ def run_pipeline(
             raise ValueError(
                 "repetition_thresholds must be the literal 'gopher' or "
                 f"a metric->max dict, got {repetition_thresholds!r}")
-    nd_row = None
     nd_drops = None
-    nd_index_action = None  # slice mode: ("create"|"append", kept_df)
-    nd_changed_rows = None  # slice rows of changed pre-indexed keys
-    # the embedding stage's changed-re-export detection must see the
-    # slice BEFORE the MinHash gate anti-joins its committed keys away:
-    # a doubly-committed key whose re-export changed text AND embedding
-    # is dropped there, and probing only the post-gate rows would freeze
-    # its stale vector in the embedding index forever
-    df_pre_index = df if (reindex_changed and eb_gate_on) else None
-    if near_dedup_threshold is not None:
-        if near_dedup_scope not in ("turn", "conversation"):
-            raise ValueError(
-                f"near_dedup_scope must be 'turn' or 'conversation', "
-                f"got {near_dedup_scope!r}")
-        if near_dedup_index_path is not None:
-            (df, nd_row, nd_drops, nd_index_action,
-             nd_changed_rows) = _near_dedup_slice_stage(
-                spark, df, float(near_dedup_threshold),
-                near_dedup_index_path, scope=near_dedup_scope,
-                collect_changed=reindex_changed)
-        else:
-            df, nd_row, nd_drops = _near_dedup_full_stage(
-                spark, df, float(near_dedup_threshold), output_path, resume,
-                scope=near_dedup_scope)
-        # persist the recall-risk counters BEFORE the main write: a run
-        # that later trips the retention guard is exactly the run whose
-        # capping metrics an operator needs to see
-        # (own sidecar: mixed schemas in one parquet dir read unreliably)
-        spark.createDataFrame([nd_row]).write.mode("append").parquet(
-            f"{output_path}/_lineage_neardup")
     eb_drops = None
-    eb_index_action = None  # ("create"|"append", kept_df)
-    eb_changed_rows = None
-    if embedding_dedup_threshold is not None:
-        (df, eb_row, eb_drops, eb_index_action,
-         eb_changed_rows) = _embedding_dedup_stage(
-            spark, df, float(embedding_dedup_threshold),
-            embedding_index_path, embedding_col, int(embedding_n_planes),
-            collect_changed=reindex_changed,
-            changed_probe_df=(df_pre_index if nd_gate_on else None))
-        spark.createDataFrame([eb_row]).write.mode("append").parquet(
-            f"{output_path}/_lineage_embdedup")
-    # one definition of the sampling key set, shared by the row-sampling
-    # gate, the token-mix gate, and the changed-upsert re-check
-    sp_keys = (list(sample_key_cols) if sample_key_cols
-               else ["conv_id", "turn_idx"])
-    if sample_fraction is not None or sample_n_per_stratum is not None:
-        # Sampling runs on the dedup survivors and BEFORE resume_filter,
-        # for the same reason the dedup stages do: fraction membership is
-        # a pure per-row function of key + seed (placement-independent),
-        # but the stratified rank-n keep set depends on the full stratum
-        # population -- ranking only the resume-unwritten rows would pick
-        # a different top-n than the uninterrupted run.  Lineage counts
-        # are computed eagerly from the SAME predicate / rank rule as the
-        # filter (one extra narrow agg pass per sub-gate, the price every
-        # counted gate here pays) and land in the _lineage_sample sidecar
-        # before the main write.
-        from ..operators.sampling import (
-            deterministic_sample, sample_keep_condition,
-            stratified_sample_n)
-        sp_rows_in = sp_rows_kept = None
-        if sample_fraction is not None:
-            cond = sample_keep_condition(sp_keys, float(sample_fraction),
-                                         int(sample_seed))
-            srow = df.agg(
-                F.count(F.lit(1)).alias("n_in"),
-                F.coalesce(F.sum(cond.cast("long")), F.lit(0))
-                 .alias("n_kept")).first()
-            sp_rows_in = int(srow["n_in"])
-            sp_rows_kept = int(srow["n_kept"])
-            df = deterministic_sample(df, sp_keys, float(sample_fraction),
-                                      int(sample_seed))
-        if sample_n_per_stratum is not None:
-            if not sample_strata_cols:
-                raise ValueError(
-                    "sample_n_per_stratum requires sample_strata_cols "
-                    "(the columns defining each stratum)")
-            strata = list(sample_strata_cols)
-            # kept count = sum over strata of min(n, stratum_size) --
-            # exact, from one groupBy pass, no second ranked scan
-            srow = (df.groupBy(*strata).agg(F.count(F.lit(1)).alias("c"))
-                    .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_in"),
-                         F.coalesce(
-                             F.sum(F.least(
-                                 F.col("c"),
-                                 F.lit(int(sample_n_per_stratum)))),
-                             F.lit(0)).alias("n_kept"))
-                    .first())
-            if sp_rows_in is None:
-                sp_rows_in = int(srow["n_in"])
-            sp_rows_kept = int(srow["n_kept"])
-            if resume:
-                # exact-n is a RANK over the full stratum population, so
-                # it is resume-stable only when the rank inputs are
-                # identical: on a grown/changed input (or with a changed
-                # seed / n / strata) a resumed run re-ranks, newly-top-n
-                # rows are written while previously-written rows that
-                # fell out stay -- the output would silently exceed n
-                # per stratum.  The sidecar records each run's full rank
-                # parameters; a mismatch is fatal only if the resume
-                # would actually APPEND rows (a completed prior run
-                # whose rows were all already written -- e.g. an
-                # upstream preindexed-drop gate emptied this re-run's
-                # slice -- is a harmless no-op and passes).
-                from pyspark.errors import AnalysisException
-                this_run = (sp_rows_in, int(sample_seed),
-                            int(sample_n_per_stratum), ",".join(sp_keys),
-                            ",".join(strata))
-                try:
-                    prior = (spark.read.option("mergeSchema", "true")
-                             .parquet(f"{output_path}/_lineage_sample")
-                             .filter(F.col("n_per_stratum").isNotNull())
-                             .select("rows_in", "seed", "n_per_stratum",
-                                     "key_cols", "strata_cols").collect())
-                except AnalysisException:
-                    prior = []  # first run: no sidecar yet
-                mismatch = [r for r in prior
-                            if (int(r["rows_in"]), int(r["seed"]),
-                                int(r["n_per_stratum"]), r["key_cols"],
-                                r["strata_cols"]) != this_run]
-                if mismatch and not resume_filter(
-                        df, output_path).isEmpty():
-                    r = mismatch[0]
-                    raise ValueError(
-                        f"sample_n_per_stratum under resume=True requires "
-                        f"the SAME input and rank parameters as the "
-                        f"original run (prior: rows_in={r['rows_in']}, "
-                        f"seed={r['seed']}, n={r['n_per_stratum']}, "
-                        f"keys={r['key_cols']}, strata={r['strata_cols']};"
-                        f" this run: {this_run}): the rank-n keep set "
-                        f"changes and the appended output would exceed n "
-                        f"per stratum -- write to a fresh output instead")
-            # strict=True: duplicate keys would make the rank-n boundary
-            # partitioning-dependent -- fail loudly, pointing at dedup
-            df = stratified_sample_n(df, strata,
-                                     int(sample_n_per_stratum), sp_keys,
-                                     int(sample_seed), strict=True)
-        sp_row = {"stage": "sample",
-                  "fraction": (float(sample_fraction)
-                               if sample_fraction is not None else None),
-                  "seed": int(sample_seed),
-                  "key_cols": ",".join(sp_keys),
-                  "n_per_stratum": (int(sample_n_per_stratum)
-                                    if sample_n_per_stratum is not None
-                                    else None),
-                  "strata_cols": (",".join(sample_strata_cols)
-                                  if sample_strata_cols else None),
-                  "rows_in": sp_rows_in, "rows_kept": sp_rows_kept,
-                  "n_dropped": sp_rows_in - sp_rows_kept}
-        # explicit schema: fraction / n_per_stratum are None when the
-        # other sub-gate is active, and inference cannot type all-None
-        spark.createDataFrame(
-            [sp_row],
-            schema="stage string, fraction double, seed long, "
-                   "key_cols string, n_per_stratum long, "
-                   "strata_cols string, rows_in long, rows_kept long, "
-                   "n_dropped long",
-        ).write.mode("append").parquet(f"{output_path}/_lineage_sample")
-    if sample_token_shares is not None:
-        # token-budget mixture gate: like the row-sampling gate it sits
-        # BEFORE resume_filter -- the per-stratum fractions are an
-        # aggregate of the FULL input, so a resumed run derives the same
-        # thresholds and membership stays a pure function of key + seed
-        if not sample_token_stratum_col:
-            raise ValueError(
-                "sample_token_shares requires sample_token_stratum_col "
-                "(the column whose values the shares key on)")
-        import json as _json
-
-        from ..operators.sampling import (
-            token_budget_keep_condition, token_budget_sample)
-        tok = (F.col(sample_token_col) if sample_token_col
-               else F.length(F.coalesce(F.col("text"), F.lit(""))))
-        keyed_tok = df.withColumn("_tok", tok)
-        sampled, tm_info = token_budget_sample(
-            keyed_tok, sample_token_stratum_col, sample_token_shares,
-            sp_keys, "_tok", total_tokens=sample_token_budget,
-            seed=int(sample_seed),
-            allow_short=bool(sample_token_allow_short))
-        df = sampled.drop("_tok")
-        # rows_in rides the operator's own stratum aggregate; rows_kept
-        # is one agg over the SAME keep condition the filter uses (the
-        # fraction gate's single-definition pattern) -- no extra full
-        # count passes
-        tm_in = int(tm_info["rows_in"])
-        cond = token_budget_keep_condition(
-            sample_token_stratum_col, tm_info["strata"], sp_keys,
-            int(sample_seed))
-        tm_kept = int(keyed_tok.agg(
-            F.coalesce(F.sum(cond.cast("long")), F.lit(0))).first()[0])
-        tm_row = {"stage": "sample_token_mix",
-                  "stratum_col": sample_token_stratum_col,
-                  "shares": _json.dumps(sample_token_shares,
-                                        sort_keys=True),
-                  "budget_tokens": float(tm_info["budget_tokens"]),
-                  "seed": int(sample_seed),
-                  "key_cols": ",".join(sp_keys),
-                  "token_col": sample_token_col,
-                  "strata": _json.dumps(tm_info["strata"],
-                                        sort_keys=True),
-                  "rows_in": tm_in, "rows_kept": tm_kept,
-                  "n_dropped": tm_in - tm_kept}
-        spark.createDataFrame(
-            [tm_row],
-            schema="stage string, stratum_col string, shares string, "
-                   "budget_tokens double, seed long, key_cols string, "
-                   "token_col string, strata string, rows_in long, "
-                   "rows_kept long, n_dropped long",
-        ).write.mode("append").parquet(f"{output_path}/_lineage_token_mix")
-    if resume:
-        df = resume_filter(df, output_path)
     dc_drops = None
-    dc_flagger = None  # the configured contamination rule, reused by
-    # the changed-upsert stage after the write
-    if decontaminate_against is not None:
-        # per-row-independent gate, so it sits AFTER resume_filter (a
-        # resumed run only re-checks still-unwritten turns); the flagged
-        # key set is small by construction, so persist + count it for
-        # lineage, then one anti-join -- the same drop-set pattern as
-        # near-dedup.  Runs before the toxicity filter so contaminated
-        # turns never pay the toxicity regex either.
-        if decontam_scope not in ("turn", "conversation"):
-            raise ValueError(
-                f"decontam_scope must be 'turn' or 'conversation', "
-                f"got {decontam_scope!r}")
-        if decontam_mode not in ("exact", "fuzzy"):
-            raise ValueError(
-                f"decontam_mode must be 'exact' or 'fuzzy', "
-                f"got {decontam_mode!r}")
-        from ..operators.decontaminate import (
-            benchmark_overlap_report, contaminated_keys,
-            flag_benchmark_near_overlap)
-        bench_df = spark.read.parquet(decontaminate_against)
-        keyed = df.withColumn("_ck", F.struct("conv_id", "turn_idx"))
-        # shared by both per-bench-row branches (fuzzy + containment):
-        # one definition, the two modes cannot drift
-        _bench_ided = bench_df.withColumn(
-            "_bid", F.md5(F.coalesce(F.col(decontam_text_col),
-                                     F.lit(""))))
-        if decontam_mode == "fuzzy":
-            # the fuzzy branch's extra parameter contract, validated
-            # up-front (the flagger below is also reused by the
-            # changed-upsert stage, which must fail here, not there)
-            if decontam_min_containment is None:
+    rep_drops = None
+    q_drops = None
+    p_drops = None
+    nd_changed_rows = None
+    eb_changed_rows = None
+    up_cached = None
+    # Outer cache guard: every persisted frame the body creates is
+    # released here even when a gate raises BEFORE the write-tail
+    # try/finally is entered (model reads, benchmark reads and
+    # sidecar writes all sit between a persist and that try) -- a
+    # long-lived session must not accumulate dead cache entries.
+    # The inner finally keeps its own unpersists; unpersist is
+    # idempotent.
+    try:
+        nd_row = None
+        nd_drops = None
+        nd_index_action = None  # slice mode: ("create"|"append", kept_df)
+        nd_changed_rows = None  # slice rows of changed pre-indexed keys
+        # the embedding stage's changed-re-export detection must see the
+        # slice BEFORE the MinHash gate anti-joins its committed keys away:
+        # a doubly-committed key whose re-export changed text AND embedding
+        # is dropped there, and probing only the post-gate rows would freeze
+        # its stale vector in the embedding index forever
+        df_pre_index = df if (reindex_changed and eb_gate_on) else None
+        if near_dedup_threshold is not None:
+            if near_dedup_scope not in ("turn", "conversation"):
                 raise ValueError(
-                    "decontam_mode='fuzzy' requires "
-                    "decontam_min_containment (the containment verify "
-                    "threshold)")
-            if decontam_ngrams != "char":
+                    f"near_dedup_scope must be 'turn' or 'conversation', "
+                    f"got {near_dedup_scope!r}")
+            if near_dedup_index_path is not None:
+                (df, nd_row, nd_drops, nd_index_action,
+                 nd_changed_rows) = _near_dedup_slice_stage(
+                    spark, df, float(near_dedup_threshold),
+                    near_dedup_index_path, scope=near_dedup_scope,
+                    collect_changed=reindex_changed)
+            else:
+                df, nd_row, nd_drops = _near_dedup_full_stage(
+                    spark, df, float(near_dedup_threshold), output_path, resume,
+                    scope=near_dedup_scope)
+            # persist the recall-risk counters BEFORE the main write: a run
+            # that later trips the retention guard is exactly the run whose
+            # capping metrics an operator needs to see
+            # (own sidecar: mixed schemas in one parquet dir read unreliably)
+            spark.createDataFrame([nd_row]).write.mode("append").parquet(
+                f"{output_path}/_lineage_neardup")
+        eb_drops = None
+        eb_index_action = None  # ("create"|"append", kept_df)
+        eb_changed_rows = None
+        if embedding_dedup_threshold is not None:
+            (df, eb_row, eb_drops, eb_index_action,
+             eb_changed_rows) = _embedding_dedup_stage(
+                spark, df, float(embedding_dedup_threshold),
+                embedding_index_path, embedding_col, int(embedding_n_planes),
+                collect_changed=reindex_changed,
+                changed_probe_df=(df_pre_index if nd_gate_on else None))
+            spark.createDataFrame([eb_row]).write.mode("append").parquet(
+                f"{output_path}/_lineage_embdedup")
+        # one definition of the sampling key set, shared by the row-sampling
+        # gate, the token-mix gate, and the changed-upsert re-check
+        sp_keys = (list(sample_key_cols) if sample_key_cols
+                   else ["conv_id", "turn_idx"])
+        if sample_fraction is not None or sample_n_per_stratum is not None:
+            # Sampling runs on the dedup survivors and BEFORE resume_filter,
+            # for the same reason the dedup stages do: fraction membership is
+            # a pure per-row function of key + seed (placement-independent),
+            # but the stratified rank-n keep set depends on the full stratum
+            # population -- ranking only the resume-unwritten rows would pick
+            # a different top-n than the uninterrupted run.  Lineage counts
+            # are computed eagerly from the SAME predicate / rank rule as the
+            # filter (one extra narrow agg pass per sub-gate, the price every
+            # counted gate here pays) and land in the _lineage_sample sidecar
+            # before the main write.
+            from ..operators.sampling import (
+                deterministic_sample, sample_keep_condition,
+                stratified_sample_n)
+            sp_rows_in = sp_rows_kept = None
+            if sample_fraction is not None:
+                cond = sample_keep_condition(sp_keys, float(sample_fraction),
+                                             int(sample_seed))
+                srow = df.agg(
+                    F.count(F.lit(1)).alias("n_in"),
+                    F.coalesce(F.sum(cond.cast("long")), F.lit(0))
+                     .alias("n_kept")).first()
+                sp_rows_in = int(srow["n_in"])
+                sp_rows_kept = int(srow["n_kept"])
+                df = deterministic_sample(df, sp_keys, float(sample_fraction),
+                                          int(sample_seed))
+            if sample_n_per_stratum is not None:
+                if not sample_strata_cols:
+                    raise ValueError(
+                        "sample_n_per_stratum requires sample_strata_cols "
+                        "(the columns defining each stratum)")
+                strata = list(sample_strata_cols)
+                # kept count = sum over strata of min(n, stratum_size) --
+                # exact, from one groupBy pass, no second ranked scan
+                srow = (df.groupBy(*strata).agg(F.count(F.lit(1)).alias("c"))
+                        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_in"),
+                             F.coalesce(
+                                 F.sum(F.least(
+                                     F.col("c"),
+                                     F.lit(int(sample_n_per_stratum)))),
+                                 F.lit(0)).alias("n_kept"))
+                        .first())
+                if sp_rows_in is None:
+                    sp_rows_in = int(srow["n_in"])
+                sp_rows_kept = int(srow["n_kept"])
+                if resume:
+                    # exact-n is a RANK over the full stratum population, so
+                    # it is resume-stable only when the rank inputs are
+                    # identical: on a grown/changed input (or with a changed
+                    # seed / n / strata) a resumed run re-ranks, newly-top-n
+                    # rows are written while previously-written rows that
+                    # fell out stay -- the output would silently exceed n
+                    # per stratum.  The sidecar records each run's full rank
+                    # parameters; a mismatch is fatal only if the resume
+                    # would actually APPEND rows (a completed prior run
+                    # whose rows were all already written -- e.g. an
+                    # upstream preindexed-drop gate emptied this re-run's
+                    # slice -- is a harmless no-op and passes).
+                    from pyspark.errors import AnalysisException
+                    this_run = (sp_rows_in, int(sample_seed),
+                                int(sample_n_per_stratum), ",".join(sp_keys),
+                                ",".join(strata))
+                    try:
+                        prior = (spark.read.option("mergeSchema", "true")
+                                 .parquet(f"{output_path}/_lineage_sample")
+                                 .filter(F.col("n_per_stratum").isNotNull())
+                                 .select("rows_in", "seed", "n_per_stratum",
+                                         "key_cols", "strata_cols").collect())
+                    except AnalysisException:
+                        prior = []  # first run: no sidecar yet
+                    mismatch = [r for r in prior
+                                if (int(r["rows_in"]), int(r["seed"]),
+                                    int(r["n_per_stratum"]), r["key_cols"],
+                                    r["strata_cols"]) != this_run]
+                    if mismatch and not resume_filter(
+                            df, output_path).isEmpty():
+                        r = mismatch[0]
+                        raise ValueError(
+                            f"sample_n_per_stratum under resume=True requires "
+                            f"the SAME input and rank parameters as the "
+                            f"original run (prior: rows_in={r['rows_in']}, "
+                            f"seed={r['seed']}, n={r['n_per_stratum']}, "
+                            f"keys={r['key_cols']}, strata={r['strata_cols']};"
+                            f" this run: {this_run}): the rank-n keep set "
+                            f"changes and the appended output would exceed n "
+                            f"per stratum -- write to a fresh output instead")
+                # strict=True: duplicate keys would make the rank-n boundary
+                # partitioning-dependent -- fail loudly, pointing at dedup
+                df = stratified_sample_n(df, strata,
+                                         int(sample_n_per_stratum), sp_keys,
+                                         int(sample_seed), strict=True)
+            sp_row = {"stage": "sample",
+                      "fraction": (float(sample_fraction)
+                                   if sample_fraction is not None else None),
+                      "seed": int(sample_seed),
+                      "key_cols": ",".join(sp_keys),
+                      "n_per_stratum": (int(sample_n_per_stratum)
+                                        if sample_n_per_stratum is not None
+                                        else None),
+                      "strata_cols": (",".join(sample_strata_cols)
+                                      if sample_strata_cols else None),
+                      "rows_in": sp_rows_in, "rows_kept": sp_rows_kept,
+                      "n_dropped": sp_rows_in - sp_rows_kept}
+            # explicit schema: fraction / n_per_stratum are None when the
+            # other sub-gate is active, and inference cannot type all-None
+            spark.createDataFrame(
+                [sp_row],
+                schema="stage string, fraction double, seed long, "
+                       "key_cols string, n_per_stratum long, "
+                       "strata_cols string, rows_in long, rows_kept long, "
+                       "n_dropped long",
+            ).write.mode("append").parquet(f"{output_path}/_lineage_sample")
+        if sample_token_shares is not None:
+            # token-budget mixture gate: like the row-sampling gate it sits
+            # BEFORE resume_filter -- the per-stratum fractions are an
+            # aggregate of the FULL input, so a resumed run derives the same
+            # thresholds and membership stays a pure function of key + seed
+            if not sample_token_stratum_col:
                 raise ValueError(
-                    "decontam_mode='fuzzy' supports char shingles only "
-                    f"(got ngrams={decontam_ngrams!r})")
+                    "sample_token_shares requires sample_token_stratum_col "
+                    "(the column whose values the shares key on)")
+            import json as _json
 
-        def dc_flagger(keyed_df):
-            """``_ck``-keyed rows -> distinct flagged ``_ck`` keys.
-
-            One definition of the configured contamination rule, applied
-            to the main slice here and to the changed-upsert rows after
-            the write -- the two call sites cannot drift."""
+            from ..operators.sampling import (
+                token_budget_keep_condition, token_budget_sample)
+            tok = (F.col(sample_token_col) if sample_token_col
+                   else F.length(F.coalesce(F.col("text"), F.lit(""))))
+            keyed_tok = df.withColumn("_tok", tok)
+            sampled, tm_info = token_budget_sample(
+                keyed_tok, sample_token_stratum_col, sample_token_shares,
+                sp_keys, "_tok", total_tokens=sample_token_budget,
+                seed=int(sample_seed),
+                allow_short=bool(sample_token_allow_short))
+            df = sampled.drop("_tok")
+            # rows_in rides the operator's own stratum aggregate; rows_kept
+            # is one agg over the SAME keep condition the filter uses (the
+            # fraction gate's single-definition pattern) -- no extra full
+            # count passes
+            tm_in = int(tm_info["rows_in"])
+            cond = token_budget_keep_condition(
+                sample_token_stratum_col, tm_info["strata"], sp_keys,
+                int(sample_seed))
+            tm_kept = int(keyed_tok.agg(
+                F.coalesce(F.sum(cond.cast("long")), F.lit(0))).first()[0])
+            tm_row = {"stage": "sample_token_mix",
+                      "stratum_col": sample_token_stratum_col,
+                      "shares": _json.dumps(sample_token_shares,
+                                            sort_keys=True),
+                      "budget_tokens": float(tm_info["budget_tokens"]),
+                      "seed": int(sample_seed),
+                      "key_cols": ",".join(sp_keys),
+                      "token_col": sample_token_col,
+                      "strata": _json.dumps(tm_info["strata"],
+                                            sort_keys=True),
+                      "rows_in": tm_in, "rows_kept": tm_kept,
+                      "n_dropped": tm_in - tm_kept}
+            spark.createDataFrame(
+                [tm_row],
+                schema="stage string, stratum_col string, shares string, "
+                       "budget_tokens double, seed long, key_cols string, "
+                       "token_col string, strata string, rows_in long, "
+                       "rows_kept long, n_dropped long",
+            ).write.mode("append").parquet(f"{output_path}/_lineage_token_mix")
+        if resume:
+            df = resume_filter(df, output_path)
+        dc_drops = None
+        dc_flagger = None  # the configured contamination rule, reused by
+        # the changed-upsert stage after the write
+        if decontaminate_against is not None:
+            # per-row-independent gate, so it sits AFTER resume_filter (a
+            # resumed run only re-checks still-unwritten turns); the flagged
+            # key set is small by construction, so persist + count it for
+            # lineage, then one anti-join -- the same drop-set pattern as
+            # near-dedup.  Runs before the toxicity filter so contaminated
+            # turns never pay the toxicity regex either.
+            if decontam_scope not in ("turn", "conversation"):
+                raise ValueError(
+                    f"decontam_scope must be 'turn' or 'conversation', "
+                    f"got {decontam_scope!r}")
+            if decontam_mode not in ("exact", "fuzzy"):
+                raise ValueError(
+                    f"decontam_mode must be 'exact' or 'fuzzy', "
+                    f"got {decontam_mode!r}")
+            from ..operators.decontaminate import (
+                benchmark_overlap_report, contaminated_keys,
+                flag_benchmark_near_overlap)
+            bench_df = spark.read.parquet(decontaminate_against)
+            keyed = df.withColumn("_ck", F.struct("conv_id", "turn_idx"))
+            # shared by both per-bench-row branches (fuzzy + containment):
+            # one definition, the two modes cannot drift
+            _bench_ided = bench_df.withColumn(
+                "_bid", F.md5(F.coalesce(F.col(decontam_text_col),
+                                         F.lit(""))))
             if decontam_mode == "fuzzy":
-                # paraphrase-tolerant rule: windowed MinHash-LSH
-                # candidates + short-shingle containment verify
-                # (flag_benchmark_near_overlap).  decontam_k is the
-                # SHINGLE size here -- keep it SHORT (operator default
-                # 7): short grams survive a light rewording, which is
-                # the whole point; decontam_min_containment is the
-                # required verify threshold.  Word grams have no fuzzy
-                # variant (the windowing is char-positional).
-                rep = flag_benchmark_near_overlap(
-                    keyed_df, "_ck", "text", _bench_ided, "_bid",
-                    bench_text_col=decontam_text_col,
-                    threshold=float(decontam_min_containment),
-                    shingle_k=int(decontam_k))
-                # min_hits applies as an absolute floor exactly as in
-                # the exact containment branch: a tiny eval row hits
-                # 100% containment on a handful of shared short grams
-                # otherwise
-                return (rep.filter(F.col("n_hits")
-                                   >= F.lit(int(decontam_min_hits)))
-                        .select("_ck").distinct())
-            if decontam_min_containment is not None:
-                # PaLM-style rule: flag a turn when >= this fraction of
-                # ANY single benchmark row's distinct k-grams appear in
-                # it -- per-row containment needs the attribution
-                # report, not the global-set hit count (a turn grazing
-                # 1 gram from each of 1000 eval rows is noise; 70% of
-                # one row is a quote).  min_hits still applies as a
-                # floor (tiny eval rows would otherwise hit 100%
-                # containment on one shared gram).  The benchmark row
-                # id is derived from the row's TEXT (md5):
-                # deterministic under retries, and duplicate benchmark
-                # texts collapsing into one id is exactly right --
-                # their gram sets are identical.
-                rep = benchmark_overlap_report(
-                    keyed_df, "_ck", "text", _bench_ided, "_bid",
+                # the fuzzy branch's extra parameter contract, validated
+                # up-front (the flagger below is also reused by the
+                # changed-upsert stage, which must fail here, not there)
+                if decontam_min_containment is None:
+                    raise ValueError(
+                        "decontam_mode='fuzzy' requires "
+                        "decontam_min_containment (the containment verify "
+                        "threshold)")
+                if decontam_ngrams != "char":
+                    raise ValueError(
+                        "decontam_mode='fuzzy' supports char shingles only "
+                        f"(got ngrams={decontam_ngrams!r})")
+
+            def dc_flagger(keyed_df):
+                """``_ck``-keyed rows -> distinct flagged ``_ck`` keys.
+
+                One definition of the configured contamination rule, applied
+                to the main slice here and to the changed-upsert rows after
+                the write -- the two call sites cannot drift."""
+                if decontam_mode == "fuzzy":
+                    # paraphrase-tolerant rule: windowed MinHash-LSH
+                    # candidates + short-shingle containment verify
+                    # (flag_benchmark_near_overlap).  decontam_k is the
+                    # SHINGLE size here -- keep it SHORT (operator default
+                    # 7): short grams survive a light rewording, which is
+                    # the whole point; decontam_min_containment is the
+                    # required verify threshold.  Word grams have no fuzzy
+                    # variant (the windowing is char-positional).
+                    rep = flag_benchmark_near_overlap(
+                        keyed_df, "_ck", "text", _bench_ided, "_bid",
+                        bench_text_col=decontam_text_col,
+                        threshold=float(decontam_min_containment),
+                        shingle_k=int(decontam_k))
+                    # min_hits applies as an absolute floor exactly as in
+                    # the exact containment branch: a tiny eval row hits
+                    # 100% containment on a handful of shared short grams
+                    # otherwise
+                    return (rep.filter(F.col("n_hits")
+                                       >= F.lit(int(decontam_min_hits)))
+                            .select("_ck").distinct())
+                if decontam_min_containment is not None:
+                    # PaLM-style rule: flag a turn when >= this fraction of
+                    # ANY single benchmark row's distinct k-grams appear in
+                    # it -- per-row containment needs the attribution
+                    # report, not the global-set hit count (a turn grazing
+                    # 1 gram from each of 1000 eval rows is noise; 70% of
+                    # one row is a quote).  min_hits still applies as a
+                    # floor (tiny eval rows would otherwise hit 100%
+                    # containment on one shared gram).  The benchmark row
+                    # id is derived from the row's TEXT (md5):
+                    # deterministic under retries, and duplicate benchmark
+                    # texts collapsing into one id is exactly right --
+                    # their gram sets are identical.
+                    rep = benchmark_overlap_report(
+                        keyed_df, "_ck", "text", _bench_ided, "_bid",
+                        bench_text_col=decontam_text_col,
+                        k=int(decontam_k), min_hits=int(decontam_min_hits),
+                        ngrams=decontam_ngrams,
+                        min_containment=float(decontam_min_containment))
+                    return rep.select("_ck").distinct()
+                return contaminated_keys(
+                    keyed_df, "_ck", "text", bench_df,
                     bench_text_col=decontam_text_col,
                     k=int(decontam_k), min_hits=int(decontam_min_hits),
-                    ngrams=decontam_ngrams,
-                    min_containment=float(decontam_min_containment))
-                return rep.select("_ck").distinct()
-            return contaminated_keys(
-                keyed_df, "_ck", "text", bench_df,
-                bench_text_col=decontam_text_col,
-                k=int(decontam_k), min_hits=int(decontam_min_hits),
-                ngrams=decontam_ngrams)
+                    ngrams=decontam_ngrams)
 
-        if decontam_scope == "conversation":
-            # one contaminated turn poisons the whole conversation (a
-            # quoted eval question makes the surrounding dialog eval-
-            # correlated too -- the standard document-level drop rule);
-            # n_dropped then counts CONVERSATIONS, cheap by construction
-            # (no extra full-input scan for a turn recount).
-            # Changed re-exports' CURRENT content joins the flag source:
-            # a changed committed turn quoting a benchmark poisons its
-            # conversation, but that turn is not in ``keyed`` (the index
-            # gate dropped it as committed) -- without the union the main
-            # gate would write the conversation's clean sibling turns
-            # while the upsert stage deleted only the changed row.  Only
-            # collected under reindex_changed; otherwise the changed
-            # content stays counted-not-acted, as documented.
-            flag_src = keyed.select("_ck", "text")
-            for ch in (nd_changed_rows, eb_changed_rows):
-                if ch is not None:
-                    flag_src = flag_src.unionByName(
-                        ch.withColumn(
-                            "_ck", F.struct("conv_id", "turn_idx"))
-                        .select("_ck", "text"))
-            flagged = dc_flagger(flag_src)
-            dc_drops = flagged.select(F.col("_ck.conv_id").alias(
-                "conv_id")).distinct()
-            dc_drops.persist()
-            n_contam = dc_drops.count()
-            # NULL-SAFE anti-join: a plain equi-join never matches NULL
-            # keys, so a contaminated turn with conv_id=NULL would pass
-            # straight through the supposedly-stricter conversation
-            # scope (the turn-scope struct join is null-safe for
-            # embedded fields already)
-            base_df = keyed.drop("_ck")
-            dc = dc_drops.withColumnRenamed("conv_id", "_dc_conv")
-            df = base_df.join(
-                dc, base_df["conv_id"].eqNullSafe(dc["_dc_conv"]),
-                "left_anti")
-        else:
-            dc_drops = dc_flagger(keyed)
-            dc_drops.persist()
-            n_contam = dc_drops.count()  # pins the drop set for the write
-            df = keyed.join(dc_drops, "_ck", "left_anti").drop("_ck")
-        dc_row = {"stage": "decontaminate", "n_dropped": n_contam,
-                  "k": int(decontam_k), "min_hits": int(decontam_min_hits),
-                  "ngrams": decontam_ngrams, "scope": decontam_scope,
-                  "min_containment": (float(decontam_min_containment)
-                                      if decontam_min_containment
-                                      is not None else None),
-                  "mode": decontam_mode,
-                  "benchmark_path": decontaminate_against}
-        # explicit schema: min_containment is NULL when the hit-count
-        # rule is active, and inference cannot type an all-None field
-        spark.createDataFrame(
-            [dc_row],
-            schema="stage string, n_dropped long, k long, min_hits long, "
-                   "ngrams string, scope string, min_containment double, "
-                   "mode string, benchmark_path string",
-        ).write.mode("append").parquet(f"{output_path}/_lineage_decontam")
-    if drop_toxic_above is not None:
-        from ..operators.toxicity import toxicity_score_col
-        df = df.filter(toxicity_score_col(F.col("text"))
-                       <= float(drop_toxic_above))
-    rep_drops = None
-    if rep_thresholds is not None:
-        # Gopher repetition battery: per-row-independent like toxicity
-        # but costs one explode per gram size, so it runs after the
-        # cheap regex gates and before the classifier.  (conv_id,
-        # turn_idx) must uniquely key the input (duplicate keys would
-        # merge two turns' counters -- run dedup=True first), the same
-        # documented requirement as the sampling/index operators.
-        from ..operators.repetition import (
-            repetition_keep_condition, repetition_stats,
-            threshold_gram_sizes)
-        r_tn, r_dn = threshold_gram_sizes(rep_thresholds)
-        r_keyed = df.withColumn("_rk", F.struct("conv_id", "turn_idx"))
-        r_stats = repetition_stats(r_keyed, "text", ["_rk"],
-                                   top_ns=r_tn, dup_ns=r_dn)
-        rep_drops = (r_stats.filter(
-            ~repetition_keep_condition(r_stats, rep_thresholds))
-            .select("_rk"))
-        rep_drops.persist()
-        n_rep = rep_drops.count()  # pins the drop set for the write
-        df = r_keyed.join(rep_drops, "_rk", "left_anti").drop("_rk")
-        thr_str = ",".join(f"{k}={v}"
-                           for k, v in sorted(rep_thresholds.items()))
-        spark.createDataFrame(
-            [("repetition", int(n_rep), thr_str)],
-            schema="stage string, n_dropped long, thresholds string",
-        ).write.mode("append").parquet(
-            f"{output_path}/_lineage_repetition")
-    qc_model = None
-    if quality_model_path is not None:
-        # Model-based quality filter (CCNet/GPT-3-style): per-row-
-        # independent like toxicity, but costs an explode + broadcast
-        # join, so it runs LAST among the row gates -- rows the cheaper
-        # gates drop never pay the classifier.  (conv_id, turn_idx)
-        # must uniquely key the input (the per-row token aggregate is
-        # joined back on it -- same documented requirement as the
-        # sampling/index operators; run dedup=True first otherwise).
-        from ..operators.quality_classifier import (
-            read_quality_model, score_quality_classifier)
-        qc_model = read_quality_model(spark, quality_model_path)
-        scored = score_quality_classifier(
-            df.withColumn("_qk", F.struct("conv_id", "turn_idx")),
-            qc_model, ["_qk"], output_col="_qscore")
-        n_lowq = scored.filter(
-            F.col("_qscore") < float(quality_min_score)).count()
-        df = (scored.filter(F.col("_qscore") >= float(quality_min_score))
-              .drop("_qk", "_qscore"))
-        spark.createDataFrame(
-            [(str("quality_classifier"), int(n_lowq),
-              float(quality_min_score), str(quality_model_path),
-              int(qc_model["meta"]["dim"]),
-              int(qc_model["meta"]["ngram"]))],
-            schema="stage string, n_dropped long, min_score double, "
-                   "model_path string, dim long, ngram long",
-        ).write.mode("append").parquet(f"{output_path}/_lineage_quality")
-    lm_model = None
-    if perplexity_model_path is not None:
-        # CCNet-style LM perplexity gate: same shape and cost class as
-        # the classifier (explode + broadcast token join), same
-        # unique-key requirement.  A row whose mean token log-prob is
-        # worse (higher log-perplexity) than the cutoff drops; rows
-        # with NO tokens score NULL and pass, like NULL text in the
-        # toxicity gate -- emptiness is the length gates' concern.
-        from ..operators.lm_perplexity import (
-            read_unigram_lm, score_perplexity)
-        lm_model = read_unigram_lm(spark, perplexity_model_path)
-        p_scored = score_perplexity(
-            df.withColumn("_pk", F.struct("conv_id", "turn_idx")),
-            lm_model, ["_pk"], output_col="_ppl")
-        n_hippl = p_scored.filter(
-            F.col("_ppl") > float(perplexity_max)).count()
-        df = (p_scored.filter(
-                  F.col("_ppl").isNull()
-                  | (F.col("_ppl") <= float(perplexity_max)))
-              .drop("_pk", "_ppl"))
-        spark.createDataFrame(
-            [(str("lm_perplexity"), int(n_hippl),
-              float(perplexity_max), str(perplexity_model_path),
-              int(lm_model["meta"]["n_tokens"]),
-              int(lm_model["meta"]["vocab_size"]),
-              int(lm_model["meta"]["min_count"]))],
-            schema="stage string, n_dropped long, max_log_ppl double, "
-                   "model_path string, n_tokens long, vocab_size long, "
-                   "min_count long",
-        ).write.mode("append").parquet(
-            f"{output_path}/_lineage_perplexity")
-
-    in_obs = Observation("retention_in")
-    df = df.observe(in_obs, F.count(F.lit(1)).alias("rows_in"))
-    scrubbed = scrub_transform(df, **scrub_kwargs)
-    out_obs = Observation("retention_out")
-    scrubbed = scrubbed.observe(
-        out_obs,
-        F.count(F.lit(1)).alias("rows_out"),
-        F.sum(_nonempty_lines(F.col("text")).cast("long")).alias("lines_in"),
-        F.sum(_nonempty_lines(F.col("masked_text")).cast("long"))
-         .alias("lines_out"))
-
-    # the finally guards the whole tail -- write, guards, AND index
-    # maintenance: the index create/append consumes ``kept``, whose plan
-    # anti-joins the persisted drop set, so unpersisting right after the
-    # write would make index maintenance recompute the full near-dedup
-    # LSH subtree instead of the claimed one signature pass over the
-    # kept rows (deterministic either way; this is purely the cost)
-    try:
-        n = write_with_lineage(ordered(scrubbed), output_path, stage="scrub")
-
-        def _obs(o) -> dict:
-            # a fully-empty write (e.g. resume found no new keys) lets AQE
-            # empty-propagation prune the observed subtree; the metrics row
-            # is then absent and .get raises -- all-zero is correct
-            try:
-                return o.get
-            except Exception:
-                return {}
-
-        m_in, m_out = _obs(in_obs), _obs(out_obs)
-        # Both observations sit BELOW the range exchange, whose
-        # boundary-sampling job executes the child plan an extra time --
-        # every metric is scaled by the same pass count, so the ==/ratio
-        # guards stay exact; normalize the reported numbers back to
-        # single-pass values via the true written count (observed once,
-        # above the exchange, by write_with_lineage).
-        rows_in = int(m_in.get("rows_in") or 0)
-        rows_out = int(m_out.get("rows_out") or 0)
-        lines_in = int(m_out.get("lines_in") or 0)
-        lines_out = int(m_out.get("lines_out") or 0)
-        passes = rows_out // n if n and rows_out % n == 0 else 1
-        guard_row = _assert_retention(
-            "scrub", rows_in // passes, rows_out // passes,
-            lines_in // passes, lines_out // passes, min_line_ratio)
-        spark.createDataFrame([guard_row]).write.mode("append").parquet(
-            f"{output_path}/_lineage_guards")
-        if nd_index_action is not None:
-            # Index content = dedup-kept turns, BEFORE the toxicity/resume
-            # gates: the index answers "what has this corpus already seen",
-            # so a toxic turn dropped from the OUTPUT still anchors dedup of
-            # its future near-copies (which the toxicity gate would drop
-            # anyway -- near-copies of toxic text score toxic).
-            # index maintenance runs LAST, only after the write + guards
-            # succeeded: a crash anywhere above leaves the index in its
-            # pre-slice state, so a resumed run recomputes the same drops
-            # against the same index (idempotent restart).  Cost: one extra
-            # signature pass over the kept slice rows.
-            from ..operators.minhash_index import (
-                append_grouped_to_minhash_index, append_to_minhash_index,
-                write_grouped_minhash_index, write_minhash_index)
-            action, kept = nd_index_action
-            conv_scope = near_dedup_scope == "conversation"
-            if conv_scope:
-                kept_keyed, key_col = kept, "conv_id"
+            if decontam_scope == "conversation":
+                # one contaminated turn poisons the whole conversation (a
+                # quoted eval question makes the surrounding dialog eval-
+                # correlated too -- the standard document-level drop rule);
+                # n_dropped then counts CONVERSATIONS, cheap by construction
+                # (no extra full-input scan for a turn recount).
+                # Changed re-exports' CURRENT content joins the flag source:
+                # a changed committed turn quoting a benchmark poisons its
+                # conversation, but that turn is not in ``keyed`` (the index
+                # gate dropped it as committed) -- without the union the main
+                # gate would write the conversation's clean sibling turns
+                # while the upsert stage deleted only the changed row.  Only
+                # collected under reindex_changed; otherwise the changed
+                # content stays counted-not-acted, as documented.
+                flag_src = keyed.select("_ck", "text")
+                for ch in (nd_changed_rows, eb_changed_rows):
+                    if ch is not None:
+                        flag_src = flag_src.unionByName(
+                            ch.withColumn(
+                                "_ck", F.struct("conv_id", "turn_idx"))
+                            .select("_ck", "text"))
+                flagged = dc_flagger(flag_src)
+                dc_drops = flagged.select(F.col("_ck.conv_id").alias(
+                    "conv_id")).distinct()
+                dc_drops.persist()
+                n_contam = dc_drops.count()
+                # NULL-SAFE anti-join: a plain equi-join never matches NULL
+                # keys, so a contaminated turn with conv_id=NULL would pass
+                # straight through the supposedly-stricter conversation
+                # scope (the turn-scope struct join is null-safe for
+                # embedded fields already)
+                base_df = keyed.drop("_ck")
+                dc = dc_drops.withColumnRenamed("conv_id", "_dc_conv")
+                df = base_df.join(
+                    dc, base_df["conv_id"].eqNullSafe(dc["_dc_conv"]),
+                    "left_anti")
             else:
-                kept_keyed = kept.withColumn(
-                    "_nk", F.struct("conv_id", "turn_idx"))
-                key_col = "_nk"
-            if action == "create":
-                # gate on the KEPT set, not rows written this call: a
-                # bootstrap that crashed mid-create and RESUMED writes zero
-                # new output rows (resume_filter removed them) but must
-                # still create the index, or the whole bootstrap corpus
-                # silently never enters it and later slices dedup against
-                # nothing
-                if not kept_keyed.isEmpty():  # empty input: no index
-                    create = (write_grouped_minhash_index if conv_scope
-                              else write_minhash_index)
-                    create(kept_keyed, key_col, "text",
-                           near_dedup_index_path,
-                           threshold=float(near_dedup_threshold))
-            else:
-                # idempotent by construction: the append fns anti-join each
-                # store's already-committed keys, so a completed-slice
-                # re-run appends nothing and a half-crashed append
-                # completes exactly-once
-                append = (append_grouped_to_minhash_index if conv_scope
-                          else append_to_minhash_index)
-                append(kept_keyed, key_col, "text", near_dedup_index_path)
-        if eb_index_action is not None:
-            # same last-step commit protocol as the MinHash index: a
-            # crash anywhere above leaves the embedding index in its
-            # pre-slice state, and the append functions are idempotent
-            from ..operators.embedding_index import (
-                append_to_embedding_index, write_embedding_index)
-            eb_action, eb_kept = eb_index_action
-            eb_keyed = eb_kept.withColumn(
-                "_ek", F.struct("conv_id", "turn_idx"))
-            if eb_action == "create":
-                # the index needs >= 1 non-null vector to pin its dim; a
-                # bootstrap slice without any stays index-less and the
-                # next run bootstraps again
-                if not eb_keyed.filter(
-                        F.col(embedding_col).isNotNull()).isEmpty():
-                    write_embedding_index(
-                        eb_keyed, "_ek", embedding_col,
-                        embedding_index_path,
-                        threshold=float(embedding_dedup_threshold),
-                        n_planes=int(embedding_n_planes))
-            else:
-                append_to_embedding_index(
-                    eb_keyed, "_ek", embedding_col, embedding_index_path)
-        # Processed replacement rows for changed re-exports: the
-        # changed keys' CURRENT content run through the same content
-        # gates (decontamination, toxicity, near-dedup probes, the pure
-        # sampling rule) and the same scrub as the main path, written to
-        # ``_changed_upsert`` with an ``_action`` column so the caller's
-        # documented MERGE (Iceberg in the nominal deployment) has
-        # pipeline-PROCESSED rows to apply -- without this the only
-        # route to the new content would bypass the gates entirely, or
-        # the content would be lost while the reindexed signature
-        # actively blocks its re-ingestion.  Actions:
-        #   ``upsert``  replace the matched output row, or insert (a
-        #               grown conversation's new turns);
-        #   ``update``  replace IF MATCHED, never insert -- emitted
-        #               instead of ``upsert`` whenever a rank-based
-        #               sampling gate (exact-n stratified / token-budget
-        #               mix) is active, because membership in a rank
-        #               gate is a property of the original run's full
-        #               population and cannot be re-derived per key:
-        #               inserting an unmatched key could exceed the
-        #               original sample.  The pure fraction gate IS
-        #               re-derived (same hash rule, same seed), so
-        #               fraction-excluded replacement keys are dropped
-        #               from the sidecar outright (``n_sampled_out``);
-        #   ``delete``  the NEW content fails a drop gate (contaminated,
-        #               toxic, or a near-duplicate of a DIFFERENT
-        #               surviving committed key -- the replacement
-        #               probes), or the key belongs to a conversation
-        #               retroactively poisoned this run: remove the
-        #               stale output row.  Retro-delete rows carry only
-        #               the key columns (content fields NULL).
-        # Written BEFORE the reindex commits: a crash in between makes
-        # the re-run redetect the same keys and append byte-identical
-        # rows (the MERGE source should dedupe by key), never lose them.
-        retro_deletes = None
-        # n_contam > 0 gates the whole branch: with zero poisoned
-        # conversations the semi-join below is empty by construction,
-        # and building it anyway would make retro_deletes a non-None
-        # empty frame on EVERY converged steady-state run -- paying a
-        # committed-key scan per run and appending a zero-row
-        # _changed_upsert parquet (whose first write can be a
-        # _SUCCESS-only directory that breaks the caller's documented
-        # MERGE-source schema inference) plus a spurious all-zero
-        # lineage row
-        if (reindex_changed and decontam_scope == "conversation"
-                and dc_drops is not None and n_contam > 0):
-            # Retroactive contamination: a conversation poisoned THIS
-            # run (by a new or changed turn) may have clean turns in the
-            # output from earlier slices; an uninterrupted run over the
-            # same content would have dropped the whole conversation.
-            # Enumerate the poisoned conversations' committed keys from
-            # a turn-keyed index and emit deletes for them.  (A group-
-            # granularity index alone cannot enumerate turn keys --
-            # documented gap.  Keys the index holds but the output never
-            # wrote -- decontam/toxicity-dropped at their own ingest --
-            # produce deletes that match nothing; harmless.)
-            ck_src = None
-            if (nd_gate_on and near_dedup_scope == "turn"
-                    and _try_read_first(
-                        spark, f"{near_dedup_index_path}/meta") is not None):
-                from ..operators.minhash_index import _committed_doc_ids
-                ck_src = _committed_doc_ids(spark, near_dedup_index_path)
-            elif eb_gate_on and _try_read_first(
-                    spark, f"{embedding_index_path}/meta") is not None:
-                from ..operators.embedding_index import _committed_ids
-                ck_src = _committed_ids(spark, embedding_index_path)
-            if ck_src is not None:
-                dcv_r = dc_drops.withColumnRenamed("conv_id", "_dc_conv")
-                retro_deletes = (
-                    ck_src.select(
-                        F.col("doc_id.conv_id").alias("conv_id"),
-                        F.col("doc_id.turn_idx").alias("turn_idx"))
-                    .join(F.broadcast(dcv_r),
-                          F.col("conv_id").eqNullSafe(F.col("_dc_conv")),
-                          "left_semi"))
-        if (nd_changed_rows is not None or eb_changed_rows is not None
-                or retro_deletes is not None):
-            from pyspark.sql.window import Window as _W
+                dc_drops = dc_flagger(keyed)
+                dc_drops.persist()
+                n_contam = dc_drops.count()  # pins the drop set for the write
+                df = keyed.join(dc_drops, "_ck", "left_anti").drop("_ck")
+            dc_row = {"stage": "decontaminate", "n_dropped": n_contam,
+                      "k": int(decontam_k), "min_hits": int(decontam_min_hits),
+                      "ngrams": decontam_ngrams, "scope": decontam_scope,
+                      "min_containment": (float(decontam_min_containment)
+                                          if decontam_min_containment
+                                          is not None else None),
+                      "mode": decontam_mode,
+                      "benchmark_path": decontaminate_against}
+            # explicit schema: min_containment is NULL when the hit-count
+            # rule is active, and inference cannot type an all-None field
+            spark.createDataFrame(
+                [dc_row],
+                schema="stage string, n_dropped long, k long, min_hits long, "
+                       "ngrams string, scope string, min_containment double, "
+                       "mode string, benchmark_path string",
+            ).write.mode("append").parquet(f"{output_path}/_lineage_decontam")
+        if drop_toxic_above is not None:
+            from ..operators.toxicity import toxicity_score_col
+            df = df.filter(toxicity_score_col(F.col("text"))
+                           <= float(drop_toxic_above))
+        rep_drops = None
+        if rep_thresholds is not None:
+            # Gopher repetition battery: per-row-independent like toxicity
+            # but costs one explode per gram size, so it runs after the
+            # cheap regex gates and before the classifier.  (conv_id,
+            # turn_idx) must uniquely key the input (duplicate keys would
+            # merge two turns' counters -- run dedup=True first), the same
+            # documented requirement as the sampling/index operators.
+            from ..operators.repetition import (
+                repetition_keep_condition, repetition_stats,
+                threshold_gram_sizes)
+            r_tn, r_dn = threshold_gram_sizes(rep_thresholds)
+            r_keyed = df.withColumn("_rk", F.struct("conv_id", "turn_idx"))
+            r_stats = repetition_stats(r_keyed, "text", ["_rk"],
+                                       top_ns=r_tn, dup_ns=r_dn)
+            rep_drops = (r_stats.filter(
+                ~repetition_keep_condition(r_stats, rep_thresholds))
+                .select("_rk"))
+            rep_drops.persist()
+            n_rep = rep_drops.count()  # pins the drop set for the write
+            df = r_keyed.join(rep_drops, "_rk", "left_anti").drop("_rk")
+            thr_str = ",".join(f"{k}={v}"
+                               for k, v in sorted(rep_thresholds.items()))
+            spark.createDataFrame(
+                [("repetition", int(n_rep), thr_str)],
+                schema="stage string, n_dropped long, thresholds string",
+            ).write.mode("append").parquet(
+                f"{output_path}/_lineage_repetition")
+        qc_model = None
+        if quality_model_path is not None:
+            # Model-based quality filter (CCNet/GPT-3-style): per-row-
+            # independent like toxicity, but costs an explode + broadcast
+            # join, so it runs LAST among the row gates -- rows the cheaper
+            # gates drop never pay the classifier.  (conv_id, turn_idx)
+            # must uniquely key the input (the per-row token aggregate is
+            # joined back on it -- same documented requirement as the
+            # sampling/index operators; run dedup=True first otherwise).
+            from ..operators.quality_classifier import (
+                read_quality_model, score_quality_classifier)
+            qc_model = read_quality_model(spark, quality_model_path)
+            scored = score_quality_classifier(
+                df.withColumn("_qk", F.struct("conv_id", "turn_idx")),
+                qc_model, ["_qk"], output_col="_qscore")
+            # persist the drop KEYS and anti-join them, instead of counting
+            # and filtering in two independent jobs: the score is a sum of
+            # doubles, so a row at the threshold boundary could flip
+            # between the two executions and the lineage count would
+            # misstate the rows actually dropped (same pinning the
+            # decontam/near-dedup drop sets get)
+            q_drops = (scored.filter(
+                F.col("_qscore") < float(quality_min_score)).select("_qk"))
+            q_drops.persist()
+            n_lowq = q_drops.count()
+            df = (scored.join(q_drops, "_qk", "left_anti")
+                  .drop("_qk", "_qscore"))
+            spark.createDataFrame(
+                [(str("quality_classifier"), int(n_lowq),
+                  float(quality_min_score), str(quality_model_path),
+                  int(qc_model["meta"]["dim"]),
+                  int(qc_model["meta"]["ngram"]))],
+                schema="stage string, n_dropped long, min_score double, "
+                       "model_path string, dim long, ngram long",
+            ).write.mode("append").parquet(f"{output_path}/_lineage_quality")
+        lm_model = None
+        if perplexity_model_path is not None:
+            # CCNet-style LM perplexity gate: same shape and cost class as
+            # the classifier (explode + broadcast token join), same
+            # unique-key requirement.  A row whose mean token log-prob is
+            # worse (higher log-perplexity) than the cutoff drops; rows
+            # with NO tokens score NULL and pass, like NULL text in the
+            # toxicity gate -- emptiness is the length gates' concern.
+            from ..operators.lm_perplexity import (
+                read_unigram_lm, score_perplexity)
+            lm_model = read_unigram_lm(spark, perplexity_model_path)
+            p_scored = score_perplexity(
+                df.withColumn("_pk", F.struct("conv_id", "turn_idx")),
+                lm_model, ["_pk"], output_col="_ppl")
+            # pinned drop keys, for the same float-boundary reason as the
+            # classifier gate above (NULL scores never match `>` -> pass)
+            p_drops = (p_scored.filter(
+                F.col("_ppl") > float(perplexity_max)).select("_pk"))
+            p_drops.persist()
+            n_hippl = p_drops.count()
+            df = (p_scored.join(p_drops, "_pk", "left_anti")
+                  .drop("_pk", "_ppl"))
+            spark.createDataFrame(
+                [(str("lm_perplexity"), int(n_hippl),
+                  float(perplexity_max), str(perplexity_model_path),
+                  int(lm_model["meta"]["n_tokens"]),
+                  int(lm_model["meta"]["vocab_size"]),
+                  int(lm_model["meta"]["min_count"]))],
+                schema="stage string, n_dropped long, max_log_ppl double, "
+                       "model_path string, n_tokens long, vocab_size long, "
+                       "min_count long",
+            ).write.mode("append").parquet(
+                f"{output_path}/_lineage_perplexity")
 
-            from ..operators.minhash_index import incremental_drop_keys
-            rank_gated = (sample_n_per_stratum is not None
-                          or sample_token_shares is not None)
-            srcs = []
-            if nd_changed_rows is not None:
-                srcs.append(nd_changed_rows.drop("_nk"))
-            if eb_changed_rows is not None:
-                srcs.append(eb_changed_rows.drop("_ek"))
-            up = None
-            if srcs:
-                up = srcs[0]
-                for s in srcs[1:]:
-                    # the sets can overlap (a doubly-committed key whose
-                    # text AND embedding changed); the collapse below
-                    # dedupes the identical rows
-                    up = up.unionByName(s, allowMissingColumns=True)
-                # duplicate keys (reachable with dedup=False) collapse
-                # to the min-text row: asc_nulls_last matches the
-                # null-IGNORING F.min(text) winner the doc index's
-                # _unique_doc_rows applies, so the upsert row carries
-                # the text the reindexed signature describes.  (The
-                # grouped reindex unions ALL duplicate rows' shingles --
-                # strictly more conservative than any single kept row;
-                # the embedding index collapses by min VECTOR.  Both
-                # divergences are reachable only with dedup=False AND
-                # conflicting duplicate content for one key.)
-                up = (up.withColumn(
-                          "_rn", F.row_number().over(
-                              _W.partitionBy("conv_id", "turn_idx")
-                                .orderBy(F.col("text").asc_nulls_last())))
-                      .filter(F.col("_rn") == 1).drop("_rn"))
-            up_cached = None
-            if up is not None:
-                # Persist + materialize NOW, at the ROOT frame every
-                # consumer below derives from (the sampling count, the
-                # gates -- the grouped probe alone instantiates it ~8x
-                # -- and the scrub input): its lineage carries the
-                # changed-detection joins over epoch-resolved index
-                # reads, and without the cache each consumer replays
-                # that whole subtree (observed: a toy-fixture
-                # conversation-scope run went from minutes to seconds).
-                # CacheManager substitutes subtrees matching the cached
-                # ANALYZED plan, so every derived frame must be built
-                # on top of THIS object, not re-derived from its
-                # ingredients.  The eager count serializes the
-                # materialization so the gate jobs race against a
-                # built cache, not each other.
-                up_cached = up
-                up_cached.persist()
-                up_cached.count()
-            n_sampled_out = 0
-            if up is not None and sample_fraction is not None:
-                from ..operators.sampling import sample_keep_condition
-                cond = sample_keep_condition(
-                    sp_keys, float(sample_fraction), int(sample_seed))
-                n_sampled_out = up.filter(~cond).count()
-                if n_sampled_out:
-                    up = up.filter(cond)
-            out_up = None
-            if up is not None:
-                up_keyed = up.withColumn(
-                    "_ck", F.struct("conv_id", "turn_idx"))
-                del_srcs = []  # one-column ``_ck`` frames to delete
-                if dc_flagger is not None:
-                    if decontam_scope == "conversation":
-                        # the main gate's poisoned-conversation set
-                        # already includes convs flagged by changed rows
-                        # (the flag source unions them) -- reuse it, one
-                        # rule, no second flagger pass
-                        dcv = dc_drops.withColumnRenamed(
-                            "conv_id", "_dc_conv")
+        in_obs = Observation("retention_in")
+        df = df.observe(in_obs, F.count(F.lit(1)).alias("rows_in"))
+        scrubbed = scrub_transform(df, **scrub_kwargs)
+        out_obs = Observation("retention_out")
+        scrubbed = scrubbed.observe(
+            out_obs,
+            F.count(F.lit(1)).alias("rows_out"),
+            F.sum(_nonempty_lines(F.col("text")).cast("long")).alias("lines_in"),
+            F.sum(_nonempty_lines(F.col("masked_text")).cast("long"))
+             .alias("lines_out"))
+
+        # the finally guards the whole tail -- write, guards, AND index
+        # maintenance: the index create/append consumes ``kept``, whose plan
+        # anti-joins the persisted drop set, so unpersisting right after the
+        # write would make index maintenance recompute the full near-dedup
+        # LSH subtree instead of the claimed one signature pass over the
+        # kept rows (deterministic either way; this is purely the cost)
+        try:
+            n = write_with_lineage(ordered(scrubbed), output_path, stage="scrub")
+
+            def _obs(o) -> dict:
+                # a fully-empty write (e.g. resume found no new keys) lets AQE
+                # empty-propagation prune the observed subtree; the metrics row
+                # is then absent and .get raises -- all-zero is correct
+                try:
+                    return o.get
+                except Exception:
+                    return {}
+
+            m_in, m_out = _obs(in_obs), _obs(out_obs)
+            # Both observations sit BELOW the range exchange, whose
+            # boundary-sampling job executes the child plan an extra time --
+            # every metric is scaled by the same pass count, so the ==/ratio
+            # guards stay exact; normalize the reported numbers back to
+            # single-pass values via the true written count (observed once,
+            # above the exchange, by write_with_lineage).
+            rows_in = int(m_in.get("rows_in") or 0)
+            rows_out = int(m_out.get("rows_out") or 0)
+            lines_in = int(m_out.get("lines_in") or 0)
+            lines_out = int(m_out.get("lines_out") or 0)
+            passes = rows_out // n if n and rows_out % n == 0 else 1
+            guard_row = _assert_retention(
+                "scrub", rows_in // passes, rows_out // passes,
+                lines_in // passes, lines_out // passes, min_line_ratio)
+            spark.createDataFrame([guard_row]).write.mode("append").parquet(
+                f"{output_path}/_lineage_guards")
+            if nd_index_action is not None:
+                # Index content = dedup-kept turns, BEFORE the toxicity/resume
+                # gates: the index answers "what has this corpus already seen",
+                # so a toxic turn dropped from the OUTPUT still anchors dedup of
+                # its future near-copies (which the toxicity gate would drop
+                # anyway -- near-copies of toxic text score toxic).
+                # index maintenance runs LAST, only after the write + guards
+                # succeeded: a crash anywhere above leaves the index in its
+                # pre-slice state, so a resumed run recomputes the same drops
+                # against the same index (idempotent restart).  Cost: one extra
+                # signature pass over the kept slice rows.
+                from ..operators.minhash_index import (
+                    append_grouped_to_minhash_index, append_to_minhash_index,
+                    write_grouped_minhash_index, write_minhash_index)
+                action, kept = nd_index_action
+                conv_scope = near_dedup_scope == "conversation"
+                if conv_scope:
+                    kept_keyed, key_col = kept, "conv_id"
+                else:
+                    kept_keyed = kept.withColumn(
+                        "_nk", F.struct("conv_id", "turn_idx"))
+                    key_col = "_nk"
+                if action == "create":
+                    # gate on the KEPT set, not rows written this call: a
+                    # bootstrap that crashed mid-create and RESUMED writes zero
+                    # new output rows (resume_filter removed them) but must
+                    # still create the index, or the whole bootstrap corpus
+                    # silently never enters it and later slices dedup against
+                    # nothing
+                    if not kept_keyed.isEmpty():  # empty input: no index
+                        create = (write_grouped_minhash_index if conv_scope
+                                  else write_minhash_index)
+                        create(kept_keyed, key_col, "text",
+                               near_dedup_index_path,
+                               threshold=float(near_dedup_threshold))
+                else:
+                    # idempotent by construction: the append fns anti-join each
+                    # store's already-committed keys, so a completed-slice
+                    # re-run appends nothing and a half-crashed append
+                    # completes exactly-once
+                    append = (append_grouped_to_minhash_index if conv_scope
+                              else append_to_minhash_index)
+                    append(kept_keyed, key_col, "text", near_dedup_index_path)
+            if eb_index_action is not None:
+                # same last-step commit protocol as the MinHash index: a
+                # crash anywhere above leaves the embedding index in its
+                # pre-slice state, and the append functions are idempotent
+                from ..operators.embedding_index import (
+                    append_to_embedding_index, write_embedding_index)
+                eb_action, eb_kept = eb_index_action
+                eb_keyed = eb_kept.withColumn(
+                    "_ek", F.struct("conv_id", "turn_idx"))
+                if eb_action == "create":
+                    # the index needs >= 1 non-null vector to pin its dim; a
+                    # bootstrap slice without any stays index-less and the
+                    # next run bootstraps again
+                    if not eb_keyed.filter(
+                            F.col(embedding_col).isNotNull()).isEmpty():
+                        write_embedding_index(
+                            eb_keyed, "_ek", embedding_col,
+                            embedding_index_path,
+                            threshold=float(embedding_dedup_threshold),
+                            n_planes=int(embedding_n_planes))
+                else:
+                    append_to_embedding_index(
+                        eb_keyed, "_ek", embedding_col, embedding_index_path)
+            # Processed replacement rows for changed re-exports: the
+            # changed keys' CURRENT content run through the same content
+            # gates (decontamination, toxicity, near-dedup probes, the pure
+            # sampling rule) and the same scrub as the main path, written to
+            # ``_changed_upsert`` with an ``_action`` column so the caller's
+            # documented MERGE (Iceberg in the nominal deployment) has
+            # pipeline-PROCESSED rows to apply -- without this the only
+            # route to the new content would bypass the gates entirely, or
+            # the content would be lost while the reindexed signature
+            # actively blocks its re-ingestion.  Actions:
+            #   ``upsert``  replace the matched output row, or insert (a
+            #               grown conversation's new turns);
+            #   ``update``  replace IF MATCHED, never insert -- emitted
+            #               instead of ``upsert`` whenever a rank-based
+            #               sampling gate (exact-n stratified / token-budget
+            #               mix) is active, because membership in a rank
+            #               gate is a property of the original run's full
+            #               population and cannot be re-derived per key:
+            #               inserting an unmatched key could exceed the
+            #               original sample.  The pure fraction gate IS
+            #               re-derived (same hash rule, same seed), so
+            #               fraction-excluded replacement keys are dropped
+            #               from the sidecar outright (``n_sampled_out``);
+            #   ``delete``  the NEW content fails a drop gate (contaminated,
+            #               toxic, or a near-duplicate of a DIFFERENT
+            #               surviving committed key -- the replacement
+            #               probes), or the key belongs to a conversation
+            #               retroactively poisoned this run: remove the
+            #               stale output row.  Retro-delete rows carry only
+            #               the key columns (content fields NULL).
+            # Written BEFORE the reindex commits: a crash in between makes
+            # the re-run redetect the same keys and append byte-identical
+            # rows (the MERGE source should dedupe by key), never lose them.
+            retro_deletes = None
+            # n_contam > 0 gates the whole branch: with zero poisoned
+            # conversations the semi-join below is empty by construction,
+            # and building it anyway would make retro_deletes a non-None
+            # empty frame on EVERY converged steady-state run -- paying a
+            # committed-key scan per run and appending a zero-row
+            # _changed_upsert parquet (whose first write can be a
+            # _SUCCESS-only directory that breaks the caller's documented
+            # MERGE-source schema inference) plus a spurious all-zero
+            # lineage row
+            if (reindex_changed and decontam_scope == "conversation"
+                    and dc_drops is not None and n_contam > 0):
+                # Retroactive contamination: a conversation poisoned THIS
+                # run (by a new or changed turn) may have clean turns in the
+                # output from earlier slices; an uninterrupted run over the
+                # same content would have dropped the whole conversation.
+                # Enumerate the poisoned conversations' committed keys from
+                # a turn-keyed index and emit deletes for them.  (A group-
+                # granularity index alone cannot enumerate turn keys --
+                # documented gap.  Keys the index holds but the output never
+                # wrote -- decontam/toxicity-dropped at their own ingest --
+                # produce deletes that match nothing; harmless.)
+                ck_src = None
+                if (nd_gate_on and near_dedup_scope == "turn"
+                        and _try_read_first(
+                            spark, f"{near_dedup_index_path}/meta") is not None):
+                    from ..operators.minhash_index import _committed_doc_ids
+                    ck_src = _committed_doc_ids(spark, near_dedup_index_path)
+                elif eb_gate_on and _try_read_first(
+                        spark, f"{embedding_index_path}/meta") is not None:
+                    from ..operators.embedding_index import _committed_ids
+                    ck_src = _committed_ids(spark, embedding_index_path)
+                if ck_src is not None:
+                    dcv_r = dc_drops.withColumnRenamed("conv_id", "_dc_conv")
+                    retro_deletes = (
+                        ck_src.select(
+                            F.col("doc_id.conv_id").alias("conv_id"),
+                            F.col("doc_id.turn_idx").alias("turn_idx"))
+                        .join(F.broadcast(dcv_r),
+                              F.col("conv_id").eqNullSafe(F.col("_dc_conv")),
+                              "left_semi"))
+            if (nd_changed_rows is not None or eb_changed_rows is not None
+                    or retro_deletes is not None):
+                from pyspark.sql.window import Window as _W
+
+                from ..operators.minhash_index import incremental_drop_keys
+                rank_gated = (sample_n_per_stratum is not None
+                              or sample_token_shares is not None)
+                srcs = []
+                if nd_changed_rows is not None:
+                    srcs.append(nd_changed_rows.drop("_nk"))
+                if eb_changed_rows is not None:
+                    srcs.append(eb_changed_rows.drop("_ek"))
+                up = None
+                if srcs:
+                    up = srcs[0]
+                    for s in srcs[1:]:
+                        # the sets can overlap (a doubly-committed key whose
+                        # text AND embedding changed); the collapse below
+                        # dedupes the identical rows
+                        up = up.unionByName(s, allowMissingColumns=True)
+                    # duplicate keys (reachable with dedup=False) collapse
+                    # to the min-text row: asc_nulls_last matches the
+                    # null-IGNORING F.min(text) winner the doc index's
+                    # _unique_doc_rows applies, so the upsert row carries
+                    # the text the reindexed signature describes.  (The
+                    # grouped reindex unions ALL duplicate rows' shingles --
+                    # strictly more conservative than any single kept row;
+                    # the embedding index collapses by min VECTOR.  Both
+                    # divergences are reachable only with dedup=False AND
+                    # conflicting duplicate content for one key.)
+                    up = (up.withColumn(
+                              "_rn", F.row_number().over(
+                                  _W.partitionBy("conv_id", "turn_idx")
+                                    .orderBy(F.col("text").asc_nulls_last())))
+                          .filter(F.col("_rn") == 1).drop("_rn"))
+                up_cached = None
+                if up is not None:
+                    # Persist + materialize NOW, at the ROOT frame every
+                    # consumer below derives from (the sampling count, the
+                    # gates -- the grouped probe alone instantiates it ~8x
+                    # -- and the scrub input): its lineage carries the
+                    # changed-detection joins over epoch-resolved index
+                    # reads, and without the cache each consumer replays
+                    # that whole subtree (observed: a toy-fixture
+                    # conversation-scope run went from minutes to seconds).
+                    # CacheManager substitutes subtrees matching the cached
+                    # ANALYZED plan, so every derived frame must be built
+                    # on top of THIS object, not re-derived from its
+                    # ingredients.  The eager count serializes the
+                    # materialization so the gate jobs race against a
+                    # built cache, not each other.
+                    up_cached = up
+                    up_cached.persist()
+                    up_cached.count()
+                n_sampled_out = 0
+                if up is not None and sample_fraction is not None:
+                    from ..operators.sampling import sample_keep_condition
+                    cond = sample_keep_condition(
+                        sp_keys, float(sample_fraction), int(sample_seed))
+                    n_sampled_out = up.filter(~cond).count()
+                    if n_sampled_out:
+                        up = up.filter(cond)
+                out_up = None
+                if up is not None:
+                    up_keyed = up.withColumn(
+                        "_ck", F.struct("conv_id", "turn_idx"))
+                    del_srcs = []  # one-column ``_ck`` frames to delete
+                    if dc_flagger is not None:
+                        if decontam_scope == "conversation":
+                            # the main gate's poisoned-conversation set
+                            # already includes convs flagged by changed rows
+                            # (the flag source unions them) -- reuse it, one
+                            # rule, no second flagger pass
+                            dcv = dc_drops.withColumnRenamed(
+                                "conv_id", "_dc_conv")
+                            del_srcs.append(
+                                up_keyed.join(
+                                    F.broadcast(dcv),
+                                    up_keyed["conv_id"].eqNullSafe(
+                                        F.col("_dc_conv")),
+                                    "left_semi").select("_ck"))
+                        else:
+                            del_srcs.append(dc_flagger(up_keyed))
+                    if drop_toxic_above is not None:
+                        from ..operators.toxicity import toxicity_score_col
+                        # evaluated PRE-scrub like the main gate (the post-
+                        # scrub frame's columns belong to scrub_transform; a
+                        # grouped transform has no ``text`` column)
                         del_srcs.append(
-                            up_keyed.join(
-                                F.broadcast(dcv),
-                                up_keyed["conv_id"].eqNullSafe(
-                                    F.col("_dc_conv")),
-                                "left_semi").select("_ck"))
-                    else:
-                        del_srcs.append(dc_flagger(up_keyed))
-                if drop_toxic_above is not None:
-                    from ..operators.toxicity import toxicity_score_col
-                    # evaluated PRE-scrub like the main gate (the post-
-                    # scrub frame's columns belong to scrub_transform; a
-                    # grouped transform has no ``text`` column)
-                    del_srcs.append(
-                        up_keyed.filter(
-                            toxicity_score_col(F.col("text"))
-                            > float(drop_toxic_above)).select("_ck"))
-                if rep_thresholds is not None:
-                    # same thresholds as the main repetition gate
-                    from ..operators.repetition import (
-                        repetition_keep_condition, repetition_stats,
-                        threshold_gram_sizes)
-                    u_tn, u_dn = threshold_gram_sizes(rep_thresholds)
-                    u_stats = repetition_stats(
-                        up_keyed, "text", ["_ck"],
-                        top_ns=u_tn, dup_ns=u_dn)
-                    del_srcs.append(
-                        u_stats.filter(~repetition_keep_condition(
-                            u_stats, rep_thresholds))
-                        .select("_ck"))
-                if qc_model is not None:
-                    # same model, same threshold, evaluated pre-scrub
-                    # like the main quality gate
-                    from ..operators.quality_classifier import (
-                        score_quality_classifier)
-                    del_srcs.append(
-                        score_quality_classifier(
-                            up_keyed, qc_model, ["_ck"],
-                            output_col="_qscore")
-                        .filter(F.col("_qscore")
-                                < float(quality_min_score))
-                        .select("_ck"))
-                if lm_model is not None:
-                    # same LM, same cutoff; NULL (token-less) passes
-                    from ..operators.lm_perplexity import (
-                        score_perplexity)
-                    del_srcs.append(
-                        score_perplexity(
-                            up_keyed, lm_model, ["_ck"],
-                            output_col="_ppl")
-                        .filter(F.col("_ppl")
-                                > float(perplexity_max))
-                        .select("_ck"))
-                # replacement content re-checked against the near-dedup
-                # gates: the incremental operators exclude committed
-                # keys, so without these probes a re-export rewritten
-                # into a near-copy of a DIFFERENT committed doc (or
-                # conversation) would sail in as its replacement
-                if (nd_gate_on and _try_read_first(
-                        spark, f"{near_dedup_index_path}/meta")
-                        is not None):
-                    if near_dedup_scope == "turn":
-                        from ..operators.minhash_index import (
-                            probe_index_near_duplicates)
+                            up_keyed.filter(
+                                toxicity_score_col(F.col("text"))
+                                > float(drop_toxic_above)).select("_ck"))
+                    if rep_thresholds is not None:
+                        # same thresholds as the main repetition gate
+                        from ..operators.repetition import (
+                            repetition_keep_condition, repetition_stats,
+                            threshold_gram_sizes)
+                        u_tn, u_dn = threshold_gram_sizes(rep_thresholds)
+                        u_stats = repetition_stats(
+                            up_keyed, "text", ["_ck"],
+                            top_ns=u_tn, dup_ns=u_dn)
+                        del_srcs.append(
+                            u_stats.filter(~repetition_keep_condition(
+                                u_stats, rep_thresholds))
+                            .select("_ck"))
+                    if qc_model is not None:
+                        # same model, same threshold, evaluated pre-scrub
+                        # like the main quality gate
+                        from ..operators.quality_classifier import (
+                            score_quality_classifier)
+                        del_srcs.append(
+                            score_quality_classifier(
+                                up_keyed, qc_model, ["_ck"],
+                                output_col="_qscore")
+                            .filter(F.col("_qscore")
+                                    < float(quality_min_score))
+                            .select("_ck"))
+                    if lm_model is not None:
+                        # same LM, same cutoff; NULL (token-less) passes
+                        from ..operators.lm_perplexity import (
+                            score_perplexity)
+                        del_srcs.append(
+                            score_perplexity(
+                                up_keyed, lm_model, ["_ck"],
+                                output_col="_ppl")
+                            .filter(F.col("_ppl")
+                                    > float(perplexity_max))
+                            .select("_ck"))
+                    # replacement content re-checked against the near-dedup
+                    # gates: the incremental operators exclude committed
+                    # keys, so without these probes a re-export rewritten
+                    # into a near-copy of a DIFFERENT committed doc (or
+                    # conversation) would sail in as its replacement
+                    if (nd_gate_on and _try_read_first(
+                            spark, f"{near_dedup_index_path}/meta")
+                            is not None):
+                        if near_dedup_scope == "turn":
+                            from ..operators.minhash_index import (
+                                probe_index_near_duplicates)
+                            del_srcs.append(
+                                incremental_drop_keys(
+                                    probe_index_near_duplicates(
+                                        up_keyed, "_ck", "text",
+                                        near_dedup_index_path))
+                                .withColumnRenamed("doc_id", "_ck"))
+                        else:
+                            # conversation scope: a dropped gid deletes ALL
+                            # of the conversation's replacement rows
+                            # (eqNullSafe: a NULL conv_id group must not
+                            # slip the drop, same as the decontam drop)
+                            from ..operators.minhash_index import (
+                                probe_grouped_index_near_duplicates)
+                            gdrop = incremental_drop_keys(
+                                probe_grouped_index_near_duplicates(
+                                    up_keyed, "conv_id", "text",
+                                    near_dedup_index_path)
+                            ).withColumnRenamed("doc_id", "_gdrop")
+                            del_srcs.append(
+                                up_keyed.join(
+                                    F.broadcast(gdrop),
+                                    up_keyed["conv_id"].eqNullSafe(
+                                        F.col("_gdrop")),
+                                    "left_semi").select("_ck"))
+                    if eb_gate_on and _try_read_first(
+                            spark, f"{embedding_index_path}/meta") is not None:
+                        from ..operators.embedding_index import (
+                            probe_embedding_index_near_duplicates)
                         del_srcs.append(
                             incremental_drop_keys(
-                                probe_index_near_duplicates(
-                                    up_keyed, "_ck", "text",
-                                    near_dedup_index_path))
+                                probe_embedding_index_near_duplicates(
+                                    up_keyed, "_ck", embedding_col,
+                                    embedding_index_path))
                             .withColumnRenamed("doc_id", "_ck"))
+                    out_up = scrub_transform(up, **scrub_kwargs).withColumn(
+                        "_ck", F.struct("conv_id", "turn_idx"))
+                    if del_srcs:
+                        dset = del_srcs[0]
+                        for s in del_srcs[1:]:
+                            dset = dset.union(s)
+                        dset = (dset.distinct()
+                                .withColumn("_del", F.lit(True)))
+                        out_up = out_up.join(F.broadcast(dset), "_ck", "left")
                     else:
-                        # conversation scope: a dropped gid deletes ALL
-                        # of the conversation's replacement rows
-                        # (eqNullSafe: a NULL conv_id group must not
-                        # slip the drop, same as the decontam drop)
-                        from ..operators.minhash_index import (
-                            probe_grouped_index_near_duplicates)
-                        gdrop = incremental_drop_keys(
-                            probe_grouped_index_near_duplicates(
-                                up_keyed, "conv_id", "text",
-                                near_dedup_index_path)
-                        ).withColumnRenamed("doc_id", "_gdrop")
-                        del_srcs.append(
-                            up_keyed.join(
-                                F.broadcast(gdrop),
-                                up_keyed["conv_id"].eqNullSafe(
-                                    F.col("_gdrop")),
-                                "left_semi").select("_ck"))
-                if eb_gate_on and _try_read_first(
-                        spark, f"{embedding_index_path}/meta") is not None:
-                    from ..operators.embedding_index import (
-                        probe_embedding_index_near_duplicates)
-                    del_srcs.append(
-                        incremental_drop_keys(
-                            probe_embedding_index_near_duplicates(
-                                up_keyed, "_ck", embedding_col,
-                                embedding_index_path))
-                        .withColumnRenamed("doc_id", "_ck"))
-                out_up = scrub_transform(up, **scrub_kwargs).withColumn(
-                    "_ck", F.struct("conv_id", "turn_idx"))
-                if del_srcs:
-                    dset = del_srcs[0]
-                    for s in del_srcs[1:]:
-                        dset = dset.union(s)
-                    dset = (dset.distinct()
-                            .withColumn("_del", F.lit(True)))
-                    out_up = out_up.join(F.broadcast(dset), "_ck", "left")
-                else:
-                    out_up = out_up.withColumn(
-                        "_del", F.lit(None).cast("boolean"))
-                out_up = (out_up.withColumn(
-                              "_action",
-                              F.when(F.coalesce(F.col("_del"), F.lit(False)),
-                                     F.lit("delete"))
-                               .otherwise(F.lit("update" if rank_gated
-                                                else "upsert")))
-                          .drop("_ck", "_del"))
-            if retro_deletes is not None:
-                retro_rows = retro_deletes.withColumn(
-                    "_action", F.lit("delete"))
-                if out_up is not None:
-                    # keys already in the changed set keep their computed
-                    # action; retro deletes cover only the REST of the
-                    # poisoned conversations' committed keys
-                    have = out_up.select(
-                        F.struct("conv_id", "turn_idx").alias("_k"))
-                    retro_rows = (retro_rows.withColumn(
-                                      "_k",
-                                      F.struct("conv_id", "turn_idx"))
-                                  .join(have, "_k", "left_anti")
-                                  .drop("_k"))
-                    out_up = out_up.unionByName(
-                        retro_rows, allowMissingColumns=True)
-                else:
-                    out_up = retro_rows
-            out_up.persist()
-            try:
-                uc = out_up.agg(*[
-                    F.coalesce(F.sum((F.col("_action") == a).cast("long")),
-                               F.lit(0)).alias(f"n_{a}")
-                    for a in ("upsert", "update", "delete")]).first()
-                out_up.write.mode("append").parquet(
-                    f"{output_path}/_changed_upsert")
-                # additive schema (n_update / n_sampled_out joined the
-                # row): read the sidecar with mergeSchema=true, like
-                # every lineage sidecar here
+                        out_up = out_up.withColumn(
+                            "_del", F.lit(None).cast("boolean"))
+                    out_up = (out_up.withColumn(
+                                  "_action",
+                                  F.when(F.coalesce(F.col("_del"), F.lit(False)),
+                                         F.lit("delete"))
+                                   .otherwise(F.lit("update" if rank_gated
+                                                    else "upsert")))
+                              .drop("_ck", "_del"))
+                if retro_deletes is not None:
+                    retro_rows = retro_deletes.withColumn(
+                        "_action", F.lit("delete"))
+                    if out_up is not None:
+                        # keys already in the changed set keep their computed
+                        # action; retro deletes cover only the REST of the
+                        # poisoned conversations' committed keys
+                        have = out_up.select(
+                            F.struct("conv_id", "turn_idx").alias("_k"))
+                        retro_rows = (retro_rows.withColumn(
+                                          "_k",
+                                          F.struct("conv_id", "turn_idx"))
+                                      .join(have, "_k", "left_anti")
+                                      .drop("_k"))
+                        out_up = out_up.unionByName(
+                            retro_rows, allowMissingColumns=True)
+                    else:
+                        out_up = retro_rows
+                out_up.persist()
+                try:
+                    uc = out_up.agg(*[
+                        F.coalesce(F.sum((F.col("_action") == a).cast("long")),
+                                   F.lit(0)).alias(f"n_{a}")
+                        for a in ("upsert", "update", "delete")]).first()
+                    out_up.write.mode("append").parquet(
+                        f"{output_path}/_changed_upsert")
+                    # additive schema (n_update / n_sampled_out joined the
+                    # row): read the sidecar with mergeSchema=true, like
+                    # every lineage sidecar here
+                    spark.createDataFrame(
+                        [{"stage": "changed_upsert",
+                          "n_upsert": int(uc["n_upsert"]),
+                          "n_update": int(uc["n_update"]),
+                          "n_delete": int(uc["n_delete"]),
+                          "n_sampled_out": int(n_sampled_out)}],
+                        schema="stage string, n_upsert long, n_update long, "
+                               "n_delete long, n_sampled_out long",
+                    ).write.mode("append").parquet(
+                        f"{output_path}/_lineage_upsert")
+                finally:
+                    out_up.unpersist()
+                    if up_cached is not None:
+                        up_cached.unpersist()
+            # reindex_changed runs LAST, after the appends (disjoint key
+            # sets; changed_rows is persisted, so the reindex sees exactly
+            # the rows the gate counted).  Delete-action replacements are
+            # reindexed TOO: skipping them would leave the stale signature,
+            # and every later run would re-detect the key as changed and
+            # commit a fresh epoch forever (non-convergent).  The resulting
+            # ghost entries (index content for rows the output deleted) are
+            # exactly what the replacement probes' predecessor-shadow
+            # carve-out accounts for.  Each reindex commits one fresh
+            # epoch (meta_eN marker last -- a crash BEFORE the marker leaves
+            # the old epoch live and the next run redetects the same changed
+            # keys); a completed re-run finds zero changed keys and adds no
+            # epoch.  A crash in the window between the marker commit and
+            # the _lineage_reindex append loses only the ADVISORY lineage
+            # row: the index itself is correct and the append-only meta_eN
+            # markers at the index path remain the authoritative record of
+            # every committed reindex.
+            def _reindex_sidecar(stage, n_keys, epoch):
                 spark.createDataFrame(
-                    [{"stage": "changed_upsert",
-                      "n_upsert": int(uc["n_upsert"]),
-                      "n_update": int(uc["n_update"]),
-                      "n_delete": int(uc["n_delete"]),
-                      "n_sampled_out": int(n_sampled_out)}],
-                    schema="stage string, n_upsert long, n_update long, "
-                           "n_delete long, n_sampled_out long",
+                    [{"stage": stage, "n_keys": n_keys, "epoch": int(epoch)}],
+                    schema="stage string, n_keys long, epoch long",
                 ).write.mode("append").parquet(
-                    f"{output_path}/_lineage_upsert")
-            finally:
-                out_up.unpersist()
-                if up_cached is not None:
-                    up_cached.unpersist()
-        # reindex_changed runs LAST, after the appends (disjoint key
-        # sets; changed_rows is persisted, so the reindex sees exactly
-        # the rows the gate counted).  Delete-action replacements are
-        # reindexed TOO: skipping them would leave the stale signature,
-        # and every later run would re-detect the key as changed and
-        # commit a fresh epoch forever (non-convergent).  The resulting
-        # ghost entries (index content for rows the output deleted) are
-        # exactly what the replacement probes' predecessor-shadow
-        # carve-out accounts for.  Each reindex commits one fresh
-        # epoch (meta_eN marker last -- a crash BEFORE the marker leaves
-        # the old epoch live and the next run redetects the same changed
-        # keys); a completed re-run finds zero changed keys and adds no
-        # epoch.  A crash in the window between the marker commit and
-        # the _lineage_reindex append loses only the ADVISORY lineage
-        # row: the index itself is correct and the append-only meta_eN
-        # markers at the index path remain the authoritative record of
-        # every committed reindex.
-        def _reindex_sidecar(stage, n_keys, epoch):
-            spark.createDataFrame(
-                [{"stage": stage, "n_keys": n_keys, "epoch": int(epoch)}],
-                schema="stage string, n_keys long, epoch long",
-            ).write.mode("append").parquet(
-                f"{output_path}/_lineage_reindex")
-        if nd_changed_rows is not None:
-            from ..operators.minhash_index import (
-                reindex_docs, reindex_groups)
-            # Every turn contributes >=1 shingle row to the exploded
-            # grouped store -- sub-shingle_k texts are padded
-            # (``_batch_shingles``: "always >=1 per row") -- so a
-            # changed conversation ALWAYS gains epoch-N rows here and
-            # the per-gid max-epoch window resolves to them; an
-            # all-short re-export cannot strand a key on its stale
-            # epoch-0 state.
-            if near_dedup_scope == "conversation":
-                ri_meta = reindex_groups(
-                    nd_changed_rows, "conv_id", "text",
-                    near_dedup_index_path)
-                ri_keys = (nd_changed_rows.select("conv_id")
-                           .distinct().count())
-            else:
-                ri_meta = reindex_docs(
-                    nd_changed_rows, "_nk", "text", near_dedup_index_path)
-                ri_keys = nd_changed_rows.select("_nk").distinct().count()
-            _reindex_sidecar("near_dedup_reindex", ri_keys,
-                             ri_meta["epoch"])
-        if eb_changed_rows is not None:
-            from ..operators.embedding_index import reindex_embeddings
-            ri_meta = reindex_embeddings(
-                eb_changed_rows, "_ek", embedding_col,
-                embedding_index_path)
-            ri_keys = eb_changed_rows.select("_ek").distinct().count()
-            _reindex_sidecar("embedding_reindex", ri_keys,
-                             ri_meta["epoch"])
+                    f"{output_path}/_lineage_reindex")
+            if nd_changed_rows is not None:
+                from ..operators.minhash_index import (
+                    reindex_docs, reindex_groups)
+                # Every turn contributes >=1 shingle row to the exploded
+                # grouped store -- sub-shingle_k texts are padded
+                # (``_batch_shingles``: "always >=1 per row") -- so a
+                # changed conversation ALWAYS gains epoch-N rows here and
+                # the per-gid max-epoch window resolves to them; an
+                # all-short re-export cannot strand a key on its stale
+                # epoch-0 state.
+                if near_dedup_scope == "conversation":
+                    ri_meta = reindex_groups(
+                        nd_changed_rows, "conv_id", "text",
+                        near_dedup_index_path)
+                    ri_keys = (nd_changed_rows.select("conv_id")
+                               .distinct().count())
+                else:
+                    ri_meta = reindex_docs(
+                        nd_changed_rows, "_nk", "text", near_dedup_index_path)
+                    ri_keys = nd_changed_rows.select("_nk").distinct().count()
+                _reindex_sidecar("near_dedup_reindex", ri_keys,
+                                 ri_meta["epoch"])
+            if eb_changed_rows is not None:
+                from ..operators.embedding_index import reindex_embeddings
+                ri_meta = reindex_embeddings(
+                    eb_changed_rows, "_ek", embedding_col,
+                    embedding_index_path)
+                ri_keys = eb_changed_rows.select("_ek").distinct().count()
+                _reindex_sidecar("embedding_reindex", ri_keys,
+                                 ri_meta["epoch"])
+        finally:
+            # the cached drop sets must not outlive the run even when the
+            # write or a downstream guard raises (long-lived sessions)
+            if nd_drops is not None:
+                nd_drops.unpersist()
+            if eb_drops is not None:
+                eb_drops.unpersist()
+            if dc_drops is not None:
+                dc_drops.unpersist()
+            if rep_drops is not None:
+                rep_drops.unpersist()
+            if nd_changed_rows is not None:
+                nd_changed_rows.unpersist()
+            if eb_changed_rows is not None:
+                eb_changed_rows.unpersist()
+        wall = time.time() - t0
+        stats = {"rows": n, "wall_sec": round(wall, 3),
+                 "rows_per_sec": round(n / wall, 1) if wall > 0 else None,
+                 **{k: v for k, v in guard_row.items() if k != "stage"}}
+        if nd_row is not None:
+            stats["n_near_dup_dropped"] = nd_row["n_dropped"]
+            stats["n_capped_buckets"] = nd_row["n_capped_buckets"]
+            stats["n_preindexed_rows_dropped"] = \
+                nd_row["n_preindexed_rows_dropped"]
+            stats["n_preindexed_changed"] = nd_row["n_preindexed_changed"]
+        if embedding_dedup_threshold is not None:
+            stats["n_embedding_dup_dropped"] = eb_row["n_dropped"]
+            stats["n_emb_preindexed_rows_dropped"] = \
+                eb_row["n_preindexed_rows_dropped"]
+            stats["n_emb_preindexed_changed"] = eb_row["n_preindexed_changed"]
+        if decontaminate_against is not None:
+            stats["n_contaminated_dropped"] = n_contam
+        if sample_fraction is not None or sample_n_per_stratum is not None:
+            stats["n_sample_dropped"] = sp_row["n_dropped"]
+        if sample_token_shares is not None:
+            stats["n_token_mix_dropped"] = tm_row["n_dropped"]
+            stats["token_mix_budget"] = tm_row["budget_tokens"]
+        return stats
     finally:
-        # the cached drop sets must not outlive the run even when the
-        # write or a downstream guard raises (long-lived sessions)
-        if nd_drops is not None:
-            nd_drops.unpersist()
-        if eb_drops is not None:
-            eb_drops.unpersist()
-        if dc_drops is not None:
-            dc_drops.unpersist()
-        if rep_drops is not None:
-            rep_drops.unpersist()
-        if nd_changed_rows is not None:
-            nd_changed_rows.unpersist()
-        if eb_changed_rows is not None:
-            eb_changed_rows.unpersist()
-    wall = time.time() - t0
-    stats = {"rows": n, "wall_sec": round(wall, 3),
-             "rows_per_sec": round(n / wall, 1) if wall > 0 else None,
-             **{k: v for k, v in guard_row.items() if k != "stage"}}
-    if nd_row is not None:
-        stats["n_near_dup_dropped"] = nd_row["n_dropped"]
-        stats["n_capped_buckets"] = nd_row["n_capped_buckets"]
-        stats["n_preindexed_rows_dropped"] = \
-            nd_row["n_preindexed_rows_dropped"]
-        stats["n_preindexed_changed"] = nd_row["n_preindexed_changed"]
-    if embedding_dedup_threshold is not None:
-        stats["n_embedding_dup_dropped"] = eb_row["n_dropped"]
-        stats["n_emb_preindexed_rows_dropped"] = \
-            eb_row["n_preindexed_rows_dropped"]
-        stats["n_emb_preindexed_changed"] = eb_row["n_preindexed_changed"]
-    if decontaminate_against is not None:
-        stats["n_contaminated_dropped"] = n_contam
-    if sample_fraction is not None or sample_n_per_stratum is not None:
-        stats["n_sample_dropped"] = sp_row["n_dropped"]
-    if sample_token_shares is not None:
-        stats["n_token_mix_dropped"] = tm_row["n_dropped"]
-        stats["token_mix_budget"] = tm_row["budget_tokens"]
-    return stats
+        for _f in (nd_drops, eb_drops, dc_drops, rep_drops, q_drops,
+                   p_drops, nd_changed_rows, eb_changed_rows,
+                   up_cached):
+            if _f is not None:
+                _f.unpersist()
 
 
 # note: run_pipeline's "rows" counts rows written by THIS invocation; under

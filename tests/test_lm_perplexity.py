@@ -105,6 +105,14 @@ def test_model_roundtrip_and_crash_retry(spark, tmp_path):
     m["weights"].write.parquet(f"{path2}/weights")
     write_unigram_lm(spark, m, path2)
     assert read_unigram_lm(spark, path2)["meta"] == m["meta"]
+    # crash DURING the meta write (torn directory, no _SUCCESS marker):
+    # the retry must delete the torn marker and commit normally
+    import os
+    path3 = str(tmp_path / "lm3")
+    m["weights"].write.parquet(f"{path3}/weights")
+    os.makedirs(f"{path3}/meta/_temporary")
+    write_unigram_lm(spark, m, path3)
+    assert read_unigram_lm(spark, path3)["meta"] == m["meta"]
 
 
 REF_TURN = "the committee measured the detailed policy report records"
