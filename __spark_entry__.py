@@ -856,6 +856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": _q_token_budget_mix,
         "quality_classifier": _q_quality_classifier,
         "repetition_stats": _q_repetition,
+        "gopher_quality": _q_gopher_quality,
+        "c4_stats": _q_c4_stats,
+        "line_dedup": _q_line_dedup,
         "lm_perplexity": _q_lm_perplexity,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_stats": _q_winnow_stats,
@@ -1263,6 +1266,201 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality battery (operators/doc_quality.py::
+    gopher_quality_stats): word count, mean word length, hash/ellipsis
+    symbol-to-word ratios, bullet/ellipsis line fractions, alphabetic-
+    word fraction and the 8-stopword count -- all row-local column
+    expressions (the plan has no Exchange).  Every fraction is one
+    division of exact integer counters, so the live DuckDB twin
+    matches hash-exact."""
+    from sumi_agent_spark.operators.doc_quality import (
+        gopher_quality_stats)
+    docs = _t(spark, sf_dir, "documents")
+    return (gopher_quality_stats(docs.select("doc_id", "text"))
+            .orderBy("doc_id"))
+
+
+def _q_c4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning verdicts (operators/doc_quality.py::c4_stats):
+    per-document non-empty line count, kept-line count under C4's line
+    rules (terminal punctuation, >= 5 words, no javascript/policy
+    substring), the rebuilt clean text, the deterministic sentence
+    count, and the document keep verdict (>= 3 sentences, no lorem
+    ipsum, no brace).  Row-local; the twin recomputes the same string
+    predicates."""
+    from sumi_agent_spark.operators.doc_quality import c4_stats
+    docs = _t(spark, sf_dir, "documents")
+    return c4_stats(docs.select("doc_id", "text")).orderBy("doc_id")
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (operators/doc_quality.py::
+    corpus_line_dedup, the CCNet cross-document move): every duplicated
+    content line survives only at its globally-first (doc_id, line_idx)
+    occurrence; whitespace-only lines are structure and pass through.
+    Returns the rebuilt text plus per-doc line/drop counts.  The twin
+    replays the same keep-first rule with a window."""
+    from sumi_agent_spark.operators.doc_quality import corpus_line_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return (corpus_line_dedup(docs.select("doc_id", "text"))
+            .orderBy("doc_id"))
+
+
+def _gopher_quality_twin_sql() -> str:
+    """Fully live DuckDB twin of the Gopher quality battery: the same
+    ASCII-lowercase + explicit-ws tokenizer the classifier twin uses,
+    the same replace-based non-overlapping substring counts, the same
+    line splits and regexes (interpolated from the shared constants),
+    one division per fraction, round(6)."""
+    import string
+
+    from sumi_agent_spark.operators.doc_quality import (
+        BULLET_CHARS, GOPHER_STOP_WORDS)
+    from sumi_agent_spark.operators.quality_classifier import (
+        TOKEN_WS_CLASS)
+    from sumi_agent_spark.operators.repetition import LINE_SPLIT
+    up, lo = string.ascii_uppercase, string.ascii_lowercase
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOP_WORDS)
+
+    def frac(num: str, den: str) -> str:
+        return (f"round(CASE WHEN {den} > 0 THEN "
+                f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) "
+                f"ELSE 0.0 END, 6)")
+
+    return f"""
+        WITH base AS (
+          SELECT doc_id, coalesce(text, '') AS raw,
+                 list_filter(regexp_split_to_array(
+                   translate(coalesce(text, ''), '{up}', '{lo}'),
+                   '{TOKEN_WS_CLASS}'), x -> x <> '') AS toks,
+                 list_filter(regexp_split_to_array(
+                   coalesce(text, ''), '{_sq(LINE_SPLIT)}'),
+                   x -> x <> '') AS lines
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(toks) AS nw,
+                 coalesce(list_sum(list_transform(toks,
+                                                  x -> length(x))), 0)
+                   AS tchars,
+                 length(raw) - length(replace(raw, '#', '')) AS nhash,
+                 CAST((length(raw)
+                       - length(replace(raw, '...', ''))) / 3 AS BIGINT)
+                   + (length(raw) - length(replace(raw, '…', '')))
+                   AS nell,
+                 len(lines) AS nl,
+                 len(list_filter(lines, x -> regexp_matches(x,
+                   '^[ \t]*[{BULLET_CHARS}]'))) AS nbull,
+                 len(list_filter(lines, x -> regexp_matches(x,
+                   '(\\.\\.\\.|…)[ \t]*$'))) AS nelll,
+                 len(list_filter(toks,
+                   x -> regexp_matches(x, '\\p{{L}}'))) AS nalpha,
+                 CAST(len(list_intersect(toks, [{stops}])) AS BIGINT)
+                   AS stop_word_count
+          FROM base)
+        SELECT doc_id,
+               CAST(nw AS BIGINT) AS word_count,
+               {frac('tchars', 'nw')} AS mean_word_len,
+               {frac('nhash', 'nw')} AS hash_word_ratio,
+               {frac('nell', 'nw')} AS ellipsis_word_ratio,
+               {frac('nbull', 'nl')} AS bullet_line_frac,
+               {frac('nelll', 'nl')} AS ellipsis_line_frac,
+               {frac('nalpha', 'nw')} AS alpha_word_frac,
+               stop_word_count
+        FROM m ORDER BY doc_id
+    """
+
+
+def _c4_twin_sql() -> str:
+    """Fully live DuckDB twin of the C4 verdicts: line keep predicate
+    (terminal punctuation via ends_with over the shared end-mark
+    tuple, no trailing ellipsis, >= 5 explicit-ws words, no bad
+    substring after ASCII lowercase), clean-text rebuild, the shared
+    sentence-terminator regex, and the raw-text document rules."""
+    import string
+
+    from sumi_agent_spark.operators.doc_quality import (
+        C4_BAD_LINE_SUBSTRINGS, C4_BRACE, C4_END_MARKS, C4_LOREM,
+        C4_MIN_SENTENCES, C4_MIN_WORDS_PER_LINE, SENTENCE_END_RE)
+    from sumi_agent_spark.operators.quality_classifier import (
+        TOKEN_WS_CLASS)
+    from sumi_agent_spark.operators.repetition import LINE_SPLIT
+    up, lo = string.ascii_uppercase, string.ascii_lowercase
+    ends = " OR ".join(f"ends_with(x, '{_sq(m)}')" for m in C4_END_MARKS)
+    bad = " OR ".join(
+        f"contains(translate(x, '{up}', '{lo}'), '{_sq(s)}')"
+        for s in C4_BAD_LINE_SUBSTRINGS)
+    sent = f"len(regexp_extract_all(clean_text, '{_sq(SENTENCE_END_RE)}'))"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, coalesce(text, '') AS raw,
+                 list_filter(regexp_split_to_array(
+                   coalesce(text, ''), '{_sq(LINE_SPLIT)}'),
+                   x -> x <> '') AS lines
+          FROM documents),
+        k AS (
+          SELECT doc_id, raw, lines,
+                 list_filter(lines, x ->
+                   ({ends})
+                   AND NOT regexp_matches(x, '(\\.\\.\\.|…)$')
+                   AND len(list_filter(
+                         regexp_split_to_array(x, '{TOKEN_WS_CLASS}'),
+                         t -> t <> '')) >= {int(C4_MIN_WORDS_PER_LINE)}
+                   AND NOT ({bad})) AS kept
+          FROM base),
+        s AS (
+          SELECT doc_id, raw,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                 coalesce(array_to_string(kept, chr(10)), '')
+                   AS clean_text
+          FROM k)
+        SELECT doc_id, n_lines, n_kept_lines, clean_text,
+               CAST({sent} AS BIGINT) AS n_sentences,
+               (NOT contains(translate(raw, '{up}', '{lo}'),
+                             '{_sq(C4_LOREM)}')
+                AND NOT contains(raw, '{_sq(C4_BRACE)}')
+                AND {sent} >= {int(C4_MIN_SENTENCES)}) AS c4_keep
+        FROM s ORDER BY doc_id
+    """
+
+
+def _line_dedup_twin_sql() -> str:
+    """Fully live DuckDB twin of the corpus line dedup: same split
+    (trailing empties kept), same participation rule (>= 1 non-ws
+    char), keep-first replayed as row_number() over (line) ordered by
+    (doc_id, idx) -- binary collation in both engines -- and the same
+    ordered rebuild."""
+    from sumi_agent_spark.operators.quality_classifier import (
+        TOKEN_WS_CLASS)
+    from sumi_agent_spark.operators.repetition import LINE_SPLIT
+    split = (f"regexp_split_to_array(coalesce(text, ''), "
+             f"'{_sq(LINE_SPLIT)}')")
+    return f"""
+        WITH lines AS (
+          SELECT doc_id,
+                 unnest({split}) AS line,
+                 unnest(range(1, len({split}) + 1)) AS idx
+          FROM documents),
+        f AS (
+          SELECT doc_id, idx, line,
+                 length(regexp_replace(line, '{TOKEN_WS_CLASS}', '',
+                                       'g')) >= 1 AS p,
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, idx) AS rn
+          FROM lines)
+        SELECT doc_id,
+               coalesce(string_agg(
+                 CASE WHEN (NOT p) OR rn = 1 THEN line END,
+                 chr(10) ORDER BY idx), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN p AND rn > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped_lines
+        FROM f GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _repetition_twin_sql() -> str:
     """Fully live DuckDB twin of the repetition battery: the same
     explicit-ASCII tokenizer, the same unit splits, the same integer
@@ -1600,6 +1798,9 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_mix": _token_budget_twin_sql(),
         "quality_classifier": _quality_clf_twin_sql(),
         "repetition_stats": _repetition_twin_sql(),
+        "gopher_quality": _gopher_quality_twin_sql(),
+        "c4_stats": _c4_twin_sql(),
+        "line_dedup": _line_dedup_twin_sql(),
         "lm_perplexity": _lm_perplexity_twin_sql(),
         "decontam_overlap": """
             WITH corpus AS (

@@ -1,0 +1,421 @@
+"""Gopher/C4 document-quality heuristics and corpus-level line dedup.
+
+Reference anchor: the reference's quality screens are per-file density /
+sparseness checks (``src/app/RedactPro.tsx:1124-1539``, re-expressed in
+``functions/quality.py``) plus the Gopher *repetition* battery
+(``operators/repetition.py``).  This module adds the remaining two rule
+families every web-scale quality-filter pipeline carries, and the one
+corpus-level text transform:
+
+* **Gopher quality rules** (Rae et al. 2021, Table A1, non-repetition
+  side): word count bounds, mean word length bounds, ``#``/ellipsis
+  symbol-to-word ratios, bullet- and ellipsis-line fractions, the
+  alphabetic-word fraction, and the famous >= 2-of-8 English stopword
+  check.  All eight metrics are ROW-LOCAL column expressions -- one
+  select, zero shuffles, zero UDFs; the filter is a single codegen'd
+  ``WHERE``.  (Contrast the repetition battery, which genuinely needs
+  per-doc unit counting and one groupBy per gram size.)
+* **C4 heuristics** (Raffel et al. 2020, the ``c4.py`` cleaning pass):
+  keep lines that end in terminal punctuation, have >= 5 words, don't
+  contain ``javascript`` or a cookie/terms-of-use policy phrase; drop
+  documents with fewer than 3 sentences, a ``{``, or ``lorem ipsum``.
+  The line verdicts and the document rebuild are again row-local
+  (``filter`` over the split array + ``array_join``) -- no shuffle.
+  C4's bad-words list is deliberately NOT duplicated here: the
+  toxicity scorer (``operators/toxicity.py``) is this repo's analog.
+* **Corpus-level line dedup** (the CCNet move: drop duplicated
+  paragraphs/lines ACROSS documents, keeping one global first
+  occurrence).  This is the one operator here that must shuffle -- it
+  is a word-count-shaped aggregation over exploded lines plus one
+  join back, detailed at :func:`corpus_line_dedup`.
+
+Determinism contract (shared with the classifier / repetition twins):
+tokens split on the explicit ASCII class ``[ \\t\\n\\r\\f\\x0B]+``
+(U+3000 must NOT split; Java reads ``\\v`` as a class), lowercasing for
+stopword / substring matching is ASCII-only ``translate`` (JVM vs
+utf8proc disagree on U+0130), fractions are one division of exact
+integer counters rounded to 6 places, and tie-breaks compare in binary
+collation -- so a DuckDB auditor recomputes every value hash-exact.
+
+``\\p{L}`` (any Unicode letter) is used for the alphabetic-word check:
+Java regex and RE2 both implement the Unicode ``L`` category and agree
+on all assigned codepoints in practice (the category predates both
+engines' minimum Unicode versions for the scripts this corpus carries).
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .quality_classifier import TOKEN_WS_CLASS, token_col
+
+_ASCII_UPPER = string.ascii_uppercase
+_ASCII_LOWER = string.ascii_lowercase
+
+#: Gopher's 8-stopword list (Rae et al. 2021 A1.1): a document must
+#: contain at least two of these to pass the stopword rule.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+
+#: Bullet glyphs for the bullet-line rule: the common typographic
+#: bullets plus the ASCII markdown markers.  A line is a bullet line
+#: when its first non-(space|tab) character is one of these.  The
+#: hyphen stays LAST so the character class ``[{BULLET_CHARS}]`` reads
+#: it as a literal, not a range.
+BULLET_CHARS = "•‣▪◦*-"
+
+#: Gopher Table A1 quality rules as ``metric -> (min, max)`` (``None``
+#: = unbounded on that side).  A document breaching ANY rule is
+#: dropped.  NOTE: the stopword and alpha rules are English-centric by
+#: construction -- for the ja/en transcript corpus, gate only the
+#: metrics that apply (pass a custom dict) or run after a language
+#: split.
+GOPHER_QUALITY_RULES: dict[str, tuple[float | None, float | None]] = {
+    "word_count": (50, 100_000),
+    "mean_word_len": (3.0, 10.0),
+    "hash_word_ratio": (None, 0.1),
+    "ellipsis_word_ratio": (None, 0.1),
+    "bullet_line_frac": (None, 0.90),
+    "ellipsis_line_frac": (None, 0.30),
+    "alpha_word_frac": (0.80, None),
+    "stop_word_count": (2, None),
+}
+
+GOPHER_QUALITY_METRICS = tuple(GOPHER_QUALITY_RULES)
+
+
+def _substr_count(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of a literal ``needle`` --
+    implemented as a length delta over ``replace`` (left-to-right
+    non-overlapping in Spark, DuckDB and Python alike) so the twin
+    can recompute it without regex-escaping worries."""
+    return ((F.length(text)
+             - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+            / F.lit(len(needle))).cast("long")
+
+
+def _nonempty_lines(text: Column) -> Column:
+    """``array<string>`` of the text's non-empty lines (split on
+    ``\\n``; empties dropped -- line-FRACTION rules count only lines
+    that exist as content)."""
+    return F.filter(F.split(F.coalesce(text, F.lit("")), "\n", -1),
+                    lambda ln: ln != F.lit(""))
+
+
+def _frac(num: Column, den: Column) -> Column:
+    """``num / den`` as double rounded to 6 places, 0.0 when the
+    denominator is 0 -- the shared exact-counters-one-division shape
+    every live twin relies on."""
+    return F.round(F.when(den > 0, num.cast("double")
+                          / den.cast("double")).otherwise(F.lit(0.0)), 6)
+
+
+def gopher_quality_cols(text: Column) -> dict[str, Column]:
+    """The eight Gopher quality metrics as row-local column
+    expressions over ``text`` (see module docstring for definitions).
+    Zero shuffles, zero UDFs -- usable directly inside a ``select`` or
+    a ``filter``."""
+    toks = token_col(text)  # ASCII-lowercased, explicit-ws split
+    n_words = F.size(toks)
+    raw = F.coalesce(text, F.lit(""))
+    lines = _nonempty_lines(text)
+    n_lines = F.size(lines)
+    # ASCII-trim the line start, then test the first char: keeps the
+    # regex trivially identical under Java and RE2
+    bullet_re = f"^[ \t]*[{BULLET_CHARS}]"
+    ellipsis_end_re = r"(\.\.\.|…)[ \t]*$"
+    is_alpha = lambda w: w.rlike(r"\p{L}")  # noqa: E731
+    return {
+        "word_count": n_words.cast("long"),
+        "mean_word_len": _frac(
+            F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.length(w)), n_words),
+        "hash_word_ratio": _frac(_substr_count(raw, "#"), n_words),
+        "ellipsis_word_ratio": _frac(
+            _substr_count(raw, "...") + _substr_count(raw, "…"),
+            n_words),
+        "bullet_line_frac": _frac(
+            F.size(F.filter(lines, lambda ln: ln.rlike(bullet_re))),
+            n_lines),
+        "ellipsis_line_frac": _frac(
+            F.size(F.filter(lines,
+                            lambda ln: ln.rlike(ellipsis_end_re))),
+            n_lines),
+        "alpha_word_frac": _frac(F.size(F.filter(toks, is_alpha)),
+                                 n_words),
+        "stop_word_count": F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS])))
+        .cast("long"),
+    }
+
+
+def gopher_quality_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per input row: ``id_cols`` + the eight Gopher quality
+    metrics.  Pure projection -- the plan contains no Exchange."""
+    id_cols = list(id_cols) if id_cols is not None else ["doc_id"]
+    cols = gopher_quality_cols(F.col(text_col))
+    return df.select(*id_cols,
+                     *[c.alias(name) for name, c in cols.items()])
+
+
+def validate_gopher_quality_rules(
+    rules: dict[str, tuple[float | None, float | None]] | str | None,
+) -> dict[str, tuple[float | None, float | None]]:
+    if rules is None or rules == "gopher":
+        return dict(GOPHER_QUALITY_RULES)
+    if not isinstance(rules, dict) or not rules:
+        raise ValueError("rules must be the literal 'gopher' or a "
+                         f"non-empty metric->(min,max) dict, got {rules!r}")
+    bad = set(rules) - set(GOPHER_QUALITY_METRICS)
+    if bad:
+        raise ValueError(f"unknown gopher quality metrics: {sorted(bad)}; "
+                         f"known: {list(GOPHER_QUALITY_METRICS)}")
+    out = {}
+    for k, v in rules.items():
+        if (not isinstance(v, (tuple, list)) or len(v) != 2
+                or all(b is None for b in v)):
+            raise ValueError(
+                f"rule {k!r} must be a (min, max) pair with at least one "
+                f"bound, got {v!r}")
+        out[k] = (None if v[0] is None else float(v[0]),
+                  None if v[1] is None else float(v[1]))
+    return out
+
+
+def gopher_quality_keep_condition(
+    text: Column,
+    rules: dict[str, tuple[float | None, float | None]] | str | None
+    = None,
+) -> Column:
+    """Boolean keep column: ``text`` passes every bound in ``rules``
+    (default: the full Gopher catalog).  Row-local -- compose it into
+    any ``filter``."""
+    rules = validate_gopher_quality_rules(rules)
+    cols = gopher_quality_cols(text)
+    cond = F.lit(True)
+    for metric, (lo, hi) in rules.items():
+        if lo is not None:
+            cond = cond & (cols[metric] >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (cols[metric] <= F.lit(hi))
+    return cond
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: dict[str, tuple[float | None, float | None]] | str | None
+    = None,
+) -> DataFrame:
+    """``df`` minus rows breaching any Gopher quality rule.  One
+    codegen'd filter; no shuffle, no join -- the cheapest gate in the
+    battery, so pipelines should run it before the aggregation-shaped
+    ones (repetition, classifier)."""
+    return df.filter(gopher_quality_keep_condition(F.col(text_col),
+                                                   rules))
+
+
+# ---------------------------------------------------------------------------
+# C4 (Raffel et al. 2020) cleaning heuristics
+
+
+#: A kept line must end with one of these (C4's ``_END_MARKS``); a
+#: line ending in an ellipsis is dropped even though it ends in ``.``.
+C4_END_MARKS = (".", "!", "?", '"')
+
+#: Lines containing any of these (ASCII-lowercased substring match)
+#: are dropped -- C4's ``javascript`` rule plus its cookie/policy
+#: phrases.
+C4_BAD_LINE_SUBSTRINGS = (
+    "javascript",
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+#: Documents containing any of these (first entry lowercased-substring,
+#: second raw) are dropped entirely.
+C4_LOREM = "lorem ipsum"
+C4_BRACE = "{"
+
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+
+# a sentence ends at . ! or ? optionally followed by a closing quote,
+# then ASCII whitespace or end-of-string -- a deterministic stand-in
+# for C4's NLTK sentence splitter that both engines count identically.
+# Raw string: the escapes reach Java regex and RE2 verbatim (same
+# convention as TOKEN_WS_CLASS).
+SENTENCE_END_RE = r"""[.!?]["']?([ \t\n\r\f\x0B]|$)"""
+
+
+def _ascii_lower(c: Column) -> Column:
+    return F.translate(c, _ASCII_UPPER, _ASCII_LOWER)
+
+
+def c4_line_keep_expr(line: Column,
+                      min_words: int = C4_MIN_WORDS_PER_LINE) -> Column:
+    """C4's per-line verdict: ends in terminal punctuation (not an
+    ellipsis), has at least ``min_words`` whitespace words, and
+    contains no bad substring."""
+    low = _ascii_lower(line)
+    ends_ok = F.lit(False)
+    for m in C4_END_MARKS:
+        ends_ok = ends_ok | line.endswith(F.lit(m))
+    ends_ok = ends_ok & ~line.rlike(r"(\.\.\.|…)$")
+    n_words = F.size(F.filter(F.split(line, TOKEN_WS_CLASS),
+                              lambda t: t != F.lit("")))
+    bad = F.lit(False)
+    for s in C4_BAD_LINE_SUBSTRINGS:
+        bad = bad | low.contains(F.lit(s))
+    return ends_ok & (n_words >= F.lit(int(min_words))) & ~bad
+
+
+def c4_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> DataFrame:
+    """Per-document C4 verdicts: ``n_lines`` (non-empty),
+    ``n_kept_lines``, the rebuilt ``clean_text`` (kept lines joined
+    with ``\\n``), ``n_sentences`` (sentence-terminator count over the
+    KEPT text), and the document verdict ``c4_keep`` (enough
+    sentences, no ``lorem ipsum``, no ``{`` -- evaluated on the RAW
+    text, as C4 does).  Entirely row-local: no shuffle."""
+    id_cols = list(id_cols) if id_cols is not None else ["doc_id"]
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = _nonempty_lines(F.col(text_col))
+    kept = F.filter(lines,
+                    lambda ln: c4_line_keep_expr(ln, min_words_per_line))
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(
+        clean, F.lit(SENTENCE_END_RE), F.lit(0))).cast("long")
+    low_raw = _ascii_lower(text)
+    doc_ok = (~low_raw.contains(F.lit(C4_LOREM))
+              & ~text.contains(F.lit(C4_BRACE)))
+    out = df.select(
+        *id_cols,
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        clean.alias("clean_text"),
+        n_sent.alias("n_sentences"),
+        doc_ok.alias("_doc_ok"),
+    )
+    return out.withColumn(
+        "c4_keep",
+        (F.col("_doc_ok")
+         & (F.col("n_sentences") >= F.lit(int(min_sentences))))
+    ).drop("_doc_ok")
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> DataFrame:
+    """C4's cleaning pass as a transform: rebuild ``text_col`` from the
+    kept lines and drop documents failing the document rules.  All
+    other columns pass through unchanged.  Row-local; no shuffle."""
+    lines = _nonempty_lines(F.col(text_col))
+    kept = F.filter(lines,
+                    lambda ln: c4_line_keep_expr(ln, min_words_per_line))
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(
+        clean, F.lit(SENTENCE_END_RE), F.lit(0)))
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    doc_ok = (~_ascii_lower(raw).contains(F.lit(C4_LOREM))
+              & ~raw.contains(F.lit(C4_BRACE))
+              & (n_sent >= F.lit(int(min_sentences))))
+    return (df.filter(doc_ok)
+            .withColumn(text_col, clean))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (CCNet-style cross-document duplicate removal)
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Remove CORPUS-WIDE duplicate lines, keeping one global first
+    occurrence (CCNet's cross-shard paragraph dedup, at line
+    granularity): any line whose exact text appears elsewhere in the
+    corpus survives only at the smallest ``(id_cols..., line_idx)``
+    position.  Lines with fewer than ``min_chars`` non-whitespace
+    characters never participate (whitespace-only / empty lines are
+    structure, not content -- deduping them would splice unrelated
+    paragraphs together) and are preserved verbatim.
+
+    ``id_cols`` (default ``["doc_id"]``) must UNIQUELY key the input
+    rows -- the keep-first order is ``struct(id_cols..., line_idx)``
+    compared lexicographically, so duplicate keys would make the
+    winner partitioning-dependent (same documented requirement as the
+    sampling/index operators).
+
+    Returns ``id_cols`` + ``text_col`` (rebuilt: surviving lines
+    re-joined with ``\\n`` -- byte-identical to the input when nothing
+    was dropped) + ``n_lines`` + ``n_dropped_lines``.
+
+    Scale shape (the one operator in this module that shuffles, and
+    the canonical shape for it): ``posexplode`` lines ->
+    ``groupBy(line)`` with a map-side-combinable ``min(struct(...))``
+    (one shuffle of ``(line, winner-key)`` pairs -- a word count) ->
+    one hash join back on the line text (the exploded side shuffles
+    once; a hot boilerplate line is N:1 against a single winner row,
+    which AQE skew-join splits) -> ``groupBy(id)`` rebuild (one
+    shuffle of the surviving lines, keyed by document -- no hot
+    reducer beyond a document's own rows).  No windows over the
+    corpus, no driver collects, no UDFs.
+    """
+    if min_chars < 1:
+        raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    id_cols = list(id_cols) if id_cols is not None else ["doc_id"]
+    lines = df.select(
+        *id_cols,
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             "\n", -1)).alias("_idx", "_line"))
+    ord_key = F.struct(*[F.col(c) for c in id_cols], F.col("_idx"))
+    participates = (F.length(F.regexp_replace(
+        F.col("_line"), TOKEN_WS_CLASS, "")) >= F.lit(int(min_chars)))
+    lines = lines.withColumn("_p", participates).withColumn("_ok", ord_key)
+    winners = (lines.filter("_p")
+               .groupBy("_line")
+               .agg(F.min("_ok").alias("_win"),
+                    F.count("*").alias("_n_occ")))
+    # non-participating lines always survive; participating ones only
+    # at the global first occurrence.  Duplicate-only winners join:
+    # unique lines (the overwhelming majority) keep _n_occ = 1 and
+    # survive without consulting the winner.
+    dup_winners = winners.filter(F.col("_n_occ") >= 2).drop("_n_occ")
+    joined = lines.join(dup_winners, "_line", "left")
+    keep = (~F.col("_p")) | F.col("_win").isNull() \
+        | (F.col("_ok") == F.col("_win"))
+    flagged = joined.withColumn("_keep", keep)
+    rebuilt = (flagged.groupBy(*id_cols)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("_idx"), F.col("_line"))))),
+                            lambda s: s["_line"]),
+                        "\n").alias(text_col),
+                    F.count("*").alias("n_lines"),
+                    F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                    .cast("long").alias("n_dropped_lines")))
+    return rebuilt

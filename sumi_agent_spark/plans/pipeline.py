@@ -800,6 +800,7 @@ def run_pipeline(
     sample_token_col: Optional[str] = None,
     sample_token_allow_short: bool = False,
     drop_toxic_above: Optional[float] = None,
+    gopher_quality_rules=None,
     repetition_thresholds=None,
     quality_model_path: Optional[str] = None,
     quality_min_score: Optional[float] = None,
@@ -940,6 +941,17 @@ def run_pipeline(
     whose lexicon toxicity score exceeds the threshold, also pre-scrub so
     toxic turns never pay detection cost (operators/toxicity.py; NULL text
     scores 0 and is never dropped by this gate).
+    ``gopher_quality_rules`` (the literal ``"gopher"`` or a
+    metric->(min, max) dict) drops turns breaching any Gopher quality
+    rule (:mod:`operators.doc_quality`: word count / mean word length
+    bounds, hash/ellipsis symbol ratios, bullet/ellipsis line
+    fractions, alphabetic-word fraction, stopword count).  Row-local
+    column expressions -- the cheapest gate, so it runs first among
+    the text-quality gates; drop count and the rule catalog land in
+    the ``_lineage_docquality`` sidecar, and changed-upsert
+    replacement rows are re-checked against the same rules.  NOTE:
+    the full catalog's stopword/alpha rules are English-centric --
+    pass a custom dict for the ja/en transcript mix.
     ``repetition_thresholds`` (the literal ``"gopher"`` or a metric->max
     dict) drops turns breaching any Gopher/MassiveText repetition rule
     (:mod:`operators.repetition`: duplicate line/paragraph fractions,
@@ -1061,6 +1073,10 @@ def run_pipeline(
             raise ValueError(
                 "repetition_thresholds must be the literal 'gopher' or "
                 f"a metric->max dict, got {repetition_thresholds!r}")
+    gq_rules = None
+    if gopher_quality_rules is not None:
+        from ..operators.doc_quality import validate_gopher_quality_rules
+        gq_rules = validate_gopher_quality_rules(gopher_quality_rules)
     nd_drops = None
     eb_drops = None
     dc_drops = None
@@ -1446,6 +1462,28 @@ def run_pipeline(
             from ..operators.toxicity import toxicity_score_col
             df = df.filter(toxicity_score_col(F.col("text"))
                            <= float(drop_toxic_above))
+        if gq_rules is not None:
+            # Gopher quality battery: row-local column expressions --
+            # the cheapest gate in the battery, so it runs before the
+            # aggregation-shaped ones (repetition, classifier, LM).
+            # The keep verdict is a pure per-row function of text, so
+            # counting and filtering in two jobs cannot disagree (no
+            # cross-row float accumulation -- unlike the classifier
+            # score, which pins its drop keys).
+            from ..operators.doc_quality import (
+                gopher_quality_keep_condition)
+            gq_keep = gopher_quality_keep_condition(F.col("text"),
+                                                    gq_rules)
+            n_gq = df.filter(~gq_keep).count()
+            df = df.filter(gq_keep)
+            gq_str = ",".join(
+                f"{k}=[{lo},{hi}]" for k, (lo, hi) in
+                sorted(gq_rules.items()))
+            spark.createDataFrame(
+                [("gopher_quality", int(n_gq), gq_str)],
+                schema="stage string, n_dropped long, rules string",
+            ).write.mode("append").parquet(
+                f"{output_path}/_lineage_docquality")
         rep_drops = None
         if rep_thresholds is not None:
             # Gopher repetition battery: per-row-independent like toxicity
@@ -1821,6 +1859,16 @@ def run_pipeline(
                             up_keyed.filter(
                                 toxicity_score_col(F.col("text"))
                                 > float(drop_toxic_above)).select("_ck"))
+                    if gq_rules is not None:
+                        # same rules as the main gopher-quality gate,
+                        # evaluated pre-scrub like the other row gates
+                        from ..operators.doc_quality import (
+                            gopher_quality_keep_condition)
+                        del_srcs.append(
+                            up_keyed.filter(
+                                ~gopher_quality_keep_condition(
+                                    F.col("text"), gq_rules))
+                            .select("_ck"))
                     if rep_thresholds is not None:
                         # same thresholds as the main repetition gate
                         from ..operators.repetition import (
@@ -2165,6 +2213,13 @@ def add_pipeline_args(ap) -> None:
                     "--sample-n-per-stratum (e.g. role)")
     ap.add_argument("--drop-toxic-above", type=float, default=None,
                     metavar="T", help="drop turns with toxicity score > T")
+    ap.add_argument("--gopher-quality-rules", default=None,
+                    metavar="GOPHER|JSON",
+                    help="drop turns breaching any Gopher quality rule: "
+                    "the literal 'gopher' for the full Table A1 catalog "
+                    "(English-centric), or a JSON metric->[min,max] dict "
+                    "with nulls for unbounded sides (counts land in the "
+                    "_lineage_docquality sidecar)")
     ap.add_argument("--repetition-thresholds", default=None,
                     metavar="GOPHER|JSON",
                     help="drop turns breaching any Gopher repetition "
@@ -2262,6 +2317,10 @@ def pipeline_kwargs(args) -> dict:
             args.repetition_thresholds
             if args.repetition_thresholds in (None, "gopher")
             else __import__("json").loads(args.repetition_thresholds)),
+        gopher_quality_rules=(
+            args.gopher_quality_rules
+            if args.gopher_quality_rules in (None, "gopher")
+            else __import__("json").loads(args.gopher_quality_rules)),
         quality_model_path=args.quality_model_path,
         quality_min_score=args.quality_min_score,
         perplexity_model_path=args.perplexity_model_path,
