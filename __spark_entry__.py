@@ -859,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "c4_stats": _q_c4_stats,
         "line_dedup": _q_line_dedup,
+        "dup_clusters": _q_dup_clusters,
         "lm_perplexity": _q_lm_perplexity,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_stats": _q_winnow_stats,
@@ -1305,6 +1306,60 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (corpus_line_dedup(docs.select("doc_id", "text"))
             .orderBy("doc_id"))
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering (operators/clusters.py): connected
+    components over the exact 5-gram Jaccard>=0.3 pair set (the same
+    pair definition as the ngram_jaccard contract query, so the twin
+    is brute-force recomputable), attached back to every doc as
+    (cluster_rep, cluster_size) with singletons rep=self.  The Spark
+    side runs the production pointer-jumping label propagation; the
+    DuckDB twin computes min-reachable-id with a recursive CTE -- a
+    hash match certifies the iterative algorithm's exact fixpoint."""
+    from sumi_agent_spark.operators.clusters import (
+        near_duplicate_clusters)
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200).select("doc_id", "text"))
+    pairs = _q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return (near_duplicate_clusters(docs, pairs=pairs)
+            .select("doc_id", "cluster_rep", "cluster_size")
+            .orderBy("doc_id"))
+
+
+_DUP_CLUSTERS_TWIN_SQL = """
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(text) - 4, 1) + 1),
+               i -> substr(text, i, 5))) AS s
+      FROM documents WHERE doc_id < 200),
+    pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND round(len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE,
+                  4) >= 0.3),
+    sym AS (SELECT ia AS x, ib AS y FROM pairs
+            UNION SELECT ib, ia FROM pairs),
+    nodes AS (SELECT DISTINCT x AS id FROM sym),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT s.y, r.r FROM reach r JOIN sym s ON s.x = r.id),
+    comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+    sizes AS (SELECT rep, count(*) AS csize FROM comp GROUP BY rep)
+    SELECT d.doc_id,
+           CAST(coalesce(comp.rep, d.doc_id) AS BIGINT) AS cluster_rep,
+           CAST(coalesce(sizes.csize, 1) AS BIGINT) AS cluster_size
+    FROM documents d
+    LEFT JOIN comp ON comp.id = d.doc_id
+    LEFT JOIN sizes ON sizes.rep = comp.rep
+    WHERE d.doc_id < 200
+    ORDER BY d.doc_id
+"""
 
 
 def _gopher_quality_twin_sql() -> str:
@@ -1801,6 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_quality_twin_sql(),
         "c4_stats": _c4_twin_sql(),
         "line_dedup": _line_dedup_twin_sql(),
+        "dup_clusters": _DUP_CLUSTERS_TWIN_SQL,
         "lm_perplexity": _lm_perplexity_twin_sql(),
         "decontam_overlap": """
             WITH corpus AS (
