@@ -859,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "c4_stats": _q_c4_stats,
         "line_dedup": _q_line_dedup,
+        "para_dedup_norm": _q_para_dedup_norm,
         "dup_clusters": _q_dup_clusters,
         "lm_perplexity": _q_lm_perplexity,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -1300,12 +1301,18 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_line_dedup, the CCNet cross-document move): every duplicated
     content line survives only at its globally-first (doc_id, line_idx)
     occurrence; whitespace-only lines are structure and pass through.
-    Returns the rebuilt text plus per-doc line/drop counts.  The twin
-    replays the same keep-first rule with a window."""
+    The fixture docs are unique single-line prose, so the query
+    prepends a per-``source`` boilerplate line (computed identically
+    in the twin -- still fully live) to actually exercise the
+    keep-first drop path: each source's header survives only in its
+    smallest doc_id."""
     from sumi_agent_spark.operators.doc_quality import corpus_line_dedup
     docs = _t(spark, sf_dir, "documents")
-    return (corpus_line_dedup(docs.select("doc_id", "text"))
-            .orderBy("doc_id"))
+    df = docs.select(
+        "doc_id",
+        F.concat(F.lit("src "), F.col("source"), F.lit("\n"),
+                 F.col("text")).alias("text"))
+    return corpus_line_dedup(df).orderBy("doc_id")
 
 
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1493,11 +1500,15 @@ def _line_dedup_twin_sql() -> str:
     split = (f"regexp_split_to_array(coalesce(text, ''), "
              f"'{_sq(LINE_SPLIT)}')")
     return f"""
-        WITH lines AS (
+        WITH docs2 AS (
+          SELECT doc_id,
+                 'src ' || source || chr(10) || text AS text
+          FROM documents),
+        lines AS (
           SELECT doc_id,
                  unnest({split}) AS line,
                  unnest(range(1, len({split}) + 1)) AS idx
-          FROM documents),
+          FROM docs2),
         f AS (
           SELECT doc_id, idx, line,
                  length(regexp_replace(line, '{TOKEN_WS_CLASS}', '',
@@ -1509,9 +1520,83 @@ def _line_dedup_twin_sql() -> str:
                coalesce(string_agg(
                  CASE WHEN (NOT p) OR rn = 1 THEN line END,
                  chr(10) ORDER BY idx), '') AS text,
-               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(*) AS BIGINT) AS n_units,
                CAST(sum(CASE WHEN p AND rn > 1 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_dropped_lines
+                    AS BIGINT) AS n_dropped_units
+        FROM f GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _q_para_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus paragraph dedup under CCNet normalization
+    (operators/doc_quality.py::corpus_line_dedup(unit='paragraph',
+    normalize=True)): paragraphs deduplicate on their case/digit/
+    punctuation/whitespace-insensitive key while the raw text is
+    preserved; rebuild uses the canonical blank-line separator.  The
+    prepended boilerplate paragraph comes in two RAW spellings by
+    doc_id parity that normalize to one key -- exercising both the
+    cross-doc drop and the normalization itself (twin recomputes the
+    same synthesis live)."""
+    from sumi_agent_spark.operators.doc_quality import corpus_line_dedup
+    docs = _t(spark, sf_dir, "documents")
+    hdr = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("Boilerplate: "), F.col("source"), F.lit("!!")),
+    ).otherwise(F.concat(F.lit("boilerplate   "), F.col("source")))
+    df = docs.select(
+        "doc_id",
+        F.concat(hdr, F.lit("\n\n"), F.col("text")).alias("text"))
+    return (corpus_line_dedup(df, unit="paragraph", normalize=True)
+            .orderBy("doc_id"))
+
+
+def _para_dedup_twin_sql() -> str:
+    """Fully live DuckDB twin of the normalized paragraph dedup: same
+    run-of-newlines split, the same ASCII-only CCNet normalization
+    (translate lowercase, strip digits+punctuation, collapse ws,
+    trim), keep-first replayed as a window over the normalized key."""
+    import string
+
+    from sumi_agent_spark.operators.doc_quality import PARA_SPLIT_RE
+    from sumi_agent_spark.operators.quality_classifier import (
+        TOKEN_WS_CLASS)
+    up, lo = string.ascii_uppercase, string.ascii_lowercase
+    strip = _sq(string.digits + string.punctuation)
+    split = (f"regexp_split_to_array(coalesce(text, ''), "
+             f"'{_sq(PARA_SPLIT_RE)}')")
+    norm = (f"trim(regexp_replace(translate(translate(line, "
+            f"'{up}', '{lo}'), '{strip}', ''), "
+            f"'{TOKEN_WS_CLASS}', ' ', 'g'))")
+    return f"""
+        WITH docs2 AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0
+                       THEN 'Boilerplate: ' || source || '!!'
+                       ELSE 'boilerplate   ' || source END)
+                 || chr(10) || chr(10) || text AS text
+          FROM documents),
+        lines AS (
+          SELECT doc_id,
+                 unnest({split}) AS line,
+                 unnest(range(1, len({split}) + 1)) AS idx
+          FROM docs2),
+        n AS (
+          SELECT doc_id, idx, line, {norm} AS key
+          FROM lines),
+        f AS (
+          SELECT doc_id, idx, line,
+                 length(regexp_replace(key, '{TOKEN_WS_CLASS}', '',
+                                       'g')) >= 1 AS p,
+                 row_number() OVER (PARTITION BY key
+                                    ORDER BY doc_id, idx) AS rn
+          FROM n)
+        SELECT doc_id,
+               coalesce(string_agg(
+                 CASE WHEN (NOT p) OR rn = 1 THEN line END,
+                 chr(10) || chr(10) ORDER BY idx), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(CASE WHEN p AND rn > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped_units
         FROM f GROUP BY doc_id ORDER BY doc_id
     """
 
@@ -1856,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_quality_twin_sql(),
         "c4_stats": _c4_twin_sql(),
         "line_dedup": _line_dedup_twin_sql(),
+        "para_dedup_norm": _para_dedup_twin_sql(),
         "dup_clusters": _DUP_CLUSTERS_TWIN_SQL,
         "lm_perplexity": _lm_perplexity_twin_sql(),
         "decontam_overlap": """

@@ -347,63 +347,102 @@ def c4_clean(
 # Corpus-level line dedup (CCNet-style cross-document duplicate removal)
 
 
+#: Paragraph split for :func:`corpus_line_dedup`'s paragraph mode --
+#: a run of 2+ newlines, same definition the repetition battery uses.
+PARA_SPLIT_RE = r"\n{2,}"
+
+
+def ccnet_normalize_expr(c: Column) -> Column:
+    """CCNet's dedup normalization, restricted to cross-engine-exact
+    pieces: ASCII lowercase (translate -- full Unicode lowercase
+    differs between engines), strip ASCII digits and punctuation,
+    collapse whitespace runs to one space, trim.  CCNet additionally
+    strips accents and Unicode punctuation; those depend on the
+    engine's Unicode tables and are deliberately left out so a DuckDB
+    auditor reproduces the key byte-exactly."""
+    low = F.translate(c, _ASCII_UPPER, _ASCII_LOWER)
+    stripped = F.translate(low, string.digits + string.punctuation, "")
+    return F.trim(F.regexp_replace(stripped, TOKEN_WS_CLASS, " "))
+
+
 def corpus_line_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_cols: list[str] | None = None,
     min_chars: int = 1,
+    unit: str = "line",
+    normalize: bool = False,
 ) -> DataFrame:
-    """Remove CORPUS-WIDE duplicate lines, keeping one global first
-    occurrence (CCNet's cross-shard paragraph dedup, at line
-    granularity): any line whose exact text appears elsewhere in the
-    corpus survives only at the smallest ``(id_cols..., line_idx)``
-    position.  Lines with fewer than ``min_chars`` non-whitespace
-    characters never participate (whitespace-only / empty lines are
+    """Remove CORPUS-WIDE duplicate lines or paragraphs, keeping one
+    global first occurrence (CCNet's cross-shard dedup): any unit
+    whose dedup key appears elsewhere in the corpus survives only at
+    the smallest ``(id_cols..., unit_idx)`` position.
+
+    ``unit``: ``"line"`` splits on single newlines and the rebuild is
+    byte-identical to the input when nothing was dropped;
+    ``"paragraph"`` splits on runs of 2+ newlines and rebuilds with
+    the canonical ``\\n\\n`` separator (the run lengths are not
+    recoverable -- the same canonicalization CCNet applies).
+
+    ``normalize=True`` deduplicates on :func:`ccnet_normalize_expr`
+    of the unit (case/digit/punctuation/whitespace-insensitive, the
+    CCNet recipe) while preserving the RAW unit text in the output;
+    the default deduplicates on exact unit text.
+
+    Units whose dedup key has fewer than ``min_chars`` non-whitespace
+    characters never participate (whitespace-only / empty units are
     structure, not content -- deduping them would splice unrelated
     paragraphs together) and are preserved verbatim.
 
     ``id_cols`` (default ``["doc_id"]``) must UNIQUELY key the input
-    rows -- the keep-first order is ``struct(id_cols..., line_idx)``
+    rows -- the keep-first order is ``struct(id_cols..., unit_idx)``
     compared lexicographically, so duplicate keys would make the
     winner partitioning-dependent (same documented requirement as the
     sampling/index operators).
 
-    Returns ``id_cols`` + ``text_col`` (rebuilt: surviving lines
-    re-joined with ``\\n`` -- byte-identical to the input when nothing
-    was dropped) + ``n_lines`` + ``n_dropped_lines``.
+    Returns ``id_cols`` + ``text_col`` (rebuilt from surviving units)
+    + ``n_units`` + ``n_dropped_units``.
 
     Scale shape (the one operator in this module that shuffles, and
-    the canonical shape for it): ``posexplode`` lines ->
-    ``groupBy(line)`` with a map-side-combinable ``min(struct(...))``
-    (one shuffle of ``(line, winner-key)`` pairs -- a word count) ->
-    one hash join back on the line text (the exploded side shuffles
-    once; a hot boilerplate line is N:1 against a single winner row,
-    which AQE skew-join splits) -> ``groupBy(id)`` rebuild (one
-    shuffle of the surviving lines, keyed by document -- no hot
-    reducer beyond a document's own rows).  No windows over the
-    corpus, no driver collects, no UDFs.
+    the canonical shape for it): ``posexplode`` units ->
+    ``groupBy(key)`` with a map-side-combinable ``min(struct(...))``
+    (one shuffle of ``(key, winner-key)`` pairs -- a word count) ->
+    one hash join back on the key (the exploded side shuffles once; a
+    hot boilerplate unit is N:1 against a single winner row, which
+    AQE skew-join splits) -> ``groupBy(id)`` rebuild (one shuffle of
+    the surviving units, keyed by document -- no hot reducer beyond a
+    document's own rows).  No windows over the corpus, no driver
+    collects, no UDFs.
     """
     if min_chars < 1:
         raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    if unit not in ("line", "paragraph"):
+        raise ValueError(f"unit must be 'line' or 'paragraph', "
+                         f"got {unit!r}")
+    split_re, sep = (("\n", "\n") if unit == "line"
+                     else (PARA_SPLIT_RE, "\n\n"))
     id_cols = list(id_cols) if id_cols is not None else ["doc_id"]
     lines = df.select(
         *id_cols,
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
-                             "\n", -1)).alias("_idx", "_line"))
+                             split_re, -1)).alias("_idx", "_line"))
+    key = (ccnet_normalize_expr(F.col("_line")) if normalize
+           else F.col("_line"))
     ord_key = F.struct(*[F.col(c) for c in id_cols], F.col("_idx"))
+    lines = lines.withColumn("_key", key).withColumn("_ok", ord_key)
     participates = (F.length(F.regexp_replace(
-        F.col("_line"), TOKEN_WS_CLASS, "")) >= F.lit(int(min_chars)))
-    lines = lines.withColumn("_p", participates).withColumn("_ok", ord_key)
+        F.col("_key"), TOKEN_WS_CLASS, "")) >= F.lit(int(min_chars)))
+    lines = lines.withColumn("_p", participates)
     winners = (lines.filter("_p")
-               .groupBy("_line")
+               .groupBy("_key")
                .agg(F.min("_ok").alias("_win"),
                     F.count("*").alias("_n_occ")))
-    # non-participating lines always survive; participating ones only
+    # non-participating units always survive; participating ones only
     # at the global first occurrence.  Duplicate-only winners join:
-    # unique lines (the overwhelming majority) keep _n_occ = 1 and
+    # unique units (the overwhelming majority) keep _n_occ = 1 and
     # survive without consulting the winner.
     dup_winners = winners.filter(F.col("_n_occ") >= 2).drop("_n_occ")
-    joined = lines.join(dup_winners, "_line", "left")
+    joined = lines.join(dup_winners, "_key", "left")
     keep = (~F.col("_p")) | F.col("_win").isNull() \
         | (F.col("_ok") == F.col("_win"))
     flagged = joined.withColumn("_keep", keep)
@@ -414,8 +453,8 @@ def corpus_line_dedup(
                                 F.col("_keep"),
                                 F.struct(F.col("_idx"), F.col("_line"))))),
                             lambda s: s["_line"]),
-                        "\n").alias(text_col),
-                    F.count("*").alias("n_lines"),
+                        sep).alias(text_col),
+                    F.count("*").alias("n_units"),
                     F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
-                    .cast("long").alias("n_dropped_lines")))
+                    .cast("long").alias("n_dropped_units")))
     return rebuilt

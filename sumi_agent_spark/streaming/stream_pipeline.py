@@ -186,6 +186,26 @@ def repetition_stream(
     return stream.filter(keep(F.col(text_col)))
 
 
+def gopher_quality_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    rules=None,
+) -> DataFrame:
+    """Drop stream rows breaching any Gopher quality rule
+    (operators/doc_quality.py semantics, online).
+
+    Unlike the repetition battery, these metrics are ALREADY row-local
+    Catalyst expressions in the batch operator, so the stream gate is
+    the identical filter -- no UDF, no state store, no watermark; batch
+    parity is by construction (one shared keep-condition), not by a
+    Python replica.  ``rules`` as in ``run_pipeline`` (None = the full
+    Gopher catalog)."""
+    from ..operators.doc_quality import gopher_quality_keep_condition
+
+    return stream.filter(
+        gopher_quality_keep_condition(F.col(text_col), rules))
+
+
 def decontaminate_stream_fuzzy(
     stream: DataFrame,
     benchmark_df: DataFrame,

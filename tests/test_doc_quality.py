@@ -211,14 +211,14 @@ class TestCorpusLineDedup:
         ])
         assert got["a"]["text"] == \
             "unique alpha\nshared boilerplate line\ntail a"
-        assert got["a"]["n_dropped_lines"] == 0
+        assert got["a"]["n_dropped_units"] == 0
         assert got["b"]["text"] == "unique beta\ntail b"
-        assert got["b"]["n_dropped_lines"] == 1
+        assert got["b"]["n_dropped_units"] == 1
 
     def test_within_doc_duplicates(self, spark):
         got = self._run(spark, [("a", "same line\nother\nsame line")])
         assert got["a"]["text"] == "same line\nother"
-        assert got["a"]["n_dropped_lines"] == 1
+        assert got["a"]["n_dropped_units"] == 1
 
     def test_roundtrip_when_no_duplicates(self, spark):
         texts = ["a\n\nb\n", "", "x\ny", None]
@@ -226,7 +226,7 @@ class TestCorpusLineDedup:
                                 for i, t in enumerate(texts)])
         for i, t in enumerate(texts):
             assert got[f"d{i}"]["text"] == (t or "")
-            assert got[f"d{i}"]["n_dropped_lines"] == 0
+            assert got[f"d{i}"]["n_dropped_units"] == 0
 
     def test_whitespace_lines_never_participate(self, spark):
         got = self._run(spark, [
@@ -237,7 +237,7 @@ class TestCorpusLineDedup:
         # line survives only in doc a
         assert got["a"]["text"] == "x\n   \nyes this dupes"
         assert got["b"]["text"] == "   \n   "
-        assert got["b"]["n_dropped_lines"] == 1
+        assert got["b"]["n_dropped_units"] == 1
 
     def test_min_chars_guard(self, spark):
         rows = [("a", "hi\nlong enough line"),
@@ -245,7 +245,7 @@ class TestCorpusLineDedup:
         got = self._run(spark, rows, min_chars=5)
         # "hi" (2 non-ws chars) is below the bar -> survives in both
         assert got["b"]["text"] == "hi"
-        assert got["b"]["n_dropped_lines"] == 1
+        assert got["b"]["n_dropped_units"] == 1
         with pytest.raises(ValueError, match="min_chars"):
             self._run(spark, rows, min_chars=0)
 
@@ -264,9 +264,70 @@ class TestCorpusLineDedup:
 
     def test_counts(self, spark):
         got = self._run(spark, [("a", "x\nx\nx"), ("b", "x")])
-        assert got["a"]["n_lines"] == 3
-        assert got["a"]["n_dropped_lines"] == 2
-        assert got["b"]["n_dropped_lines"] == 1
+        assert got["a"]["n_units"] == 3
+        assert got["a"]["n_dropped_units"] == 2
+        assert got["b"]["n_dropped_units"] == 1
+
+    def test_paragraph_unit(self, spark):
+        got = self._run(spark, [
+            ("a", "first para\nstill first\n\nshared para"),
+            ("b", "shared para\n\n\nown para"),
+        ], unit="paragraph")
+        # multi-line paragraphs dedup as one unit; the 3-newline run in
+        # doc b canonicalizes to one blank-line separator
+        assert got["a"]["text"] == \
+            "first para\nstill first\n\nshared para"
+        assert got["b"]["text"] == "own para"
+        assert got["b"]["n_dropped_units"] == 1
+        with pytest.raises(ValueError, match="unit"):
+            self._run(spark, [("a", "x")], unit="sentence")
+
+    def test_ccnet_normalize_dedup_keeps_raw_text(self, spark):
+        got = self._run(spark, [
+            ("a", "Visit Example Corp, suite 101!"),
+            ("b", "visit example corp suite"),
+            ("c", "completely unrelated content here"),
+        ], normalize=True)
+        # same normalized key -> doc b's variant drops; doc a keeps its
+        # RAW punctuation/case
+        assert got["a"]["text"] == "Visit Example Corp, suite 101!"
+        assert got["b"]["text"] == ""
+        assert got["b"]["n_dropped_units"] == 1
+        assert got["c"]["n_dropped_units"] == 0
+
+    def test_normalized_whitespace_only_key_never_participates(
+            self, spark):
+        # "123 !!!" normalizes to empty -> structure, not content
+        got = self._run(spark, [("a", "123 !!!"), ("b", "123 !!!")],
+                        normalize=True)
+        assert got["a"]["text"] == got["b"]["text"] == "123 !!!"
+
+
+def test_gopher_quality_stream_matches_batch_filter(spark, tmp_path):
+    """The stream gate IS the batch keep condition (one shared
+    Catalyst expression), verified end-to-end under availableNow."""
+    from sumi_agent_spark.streaming.stream_pipeline import (
+        gopher_quality_stream)
+    rows = [(0, TestGopherQualityFilter.GOOD),
+            (1, "tiny."),
+            (2, ("the be to of and that have with " * 8) + "# " * 20),
+            (3, None)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    out = str(tmp_path / "out")
+    q = (gopher_quality_stream(stream).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    batch = {r["doc_id"] for r in
+             gopher_quality_filter(
+                 spark.read.parquet(src)).collect()}
+    assert got == batch == {0}
 
 
 def _write_turns(rows, path):
