@@ -1334,21 +1334,37 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-_DUP_CLUSTERS_TWIN_SQL = """
-    WITH RECURSIVE
-    sh AS (
+# ONE pinned brute-force pair definition (5-gram shingles, doc_id<200,
+# Jaccard >= 0.3) shared by the ngram_jaccard twin and the dup_clusters
+# twin -- a retune edits exactly one site on the SQL side (the Spark
+# side already shares _q_ngram_jaccard).
+_NGRAM_SH_CTE = """sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(length(text) - 4, 1) + 1),
                i -> substr(text, i, 5))) AS s
-      FROM documents WHERE doc_id < 200),
+      FROM documents WHERE doc_id < 200)"""
+_NGRAM_JACCARD_EXPR = (
+    "round(len(list_intersect(a.s, b.s))::DOUBLE"
+    " / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 4)")
+
+_NGRAM_JACCARD_TWIN_SQL = f"""
+    WITH {_NGRAM_SH_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {_NGRAM_JACCARD_EXPR} AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND {_NGRAM_JACCARD_EXPR} >= 0.3
+"""
+
+_DUP_CLUSTERS_TWIN_SQL = f"""
+    WITH RECURSIVE
+    {_NGRAM_SH_CTE},
     pairs AS (
       SELECT a.doc_id AS ia, b.doc_id AS ib
       FROM sh a, sh b
       WHERE a.doc_id < b.doc_id
-        AND round(len(list_intersect(a.s, b.s))::DOUBLE
-                  / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE,
-                  4) >= 0.3),
+        AND {_NGRAM_JACCARD_EXPR} >= 0.3),
     sym AS (SELECT ia AS x, ib AS y FROM pairs
             UNION SELECT ib, ia FROM pairs),
     nodes AS (SELECT DISTINCT x AS id FROM sym),
@@ -1378,7 +1394,7 @@ def _gopher_quality_twin_sql() -> str:
     import string
 
     from sumi_agent_spark.operators.doc_quality import (
-        BULLET_CHARS, GOPHER_STOP_WORDS)
+        BULLET_LINE_RE, ELLIPSIS_END_RE, GOPHER_STOP_WORDS)
     from sumi_agent_spark.operators.quality_classifier import (
         TOKEN_WS_CLASS)
     from sumi_agent_spark.operators.repetition import LINE_SPLIT
@@ -1413,9 +1429,9 @@ def _gopher_quality_twin_sql() -> str:
                    AS nell,
                  len(lines) AS nl,
                  len(list_filter(lines, x -> regexp_matches(x,
-                   '^[ \t]*[{BULLET_CHARS}]'))) AS nbull,
+                   '{_sq(BULLET_LINE_RE)}'))) AS nbull,
                  len(list_filter(lines, x -> regexp_matches(x,
-                   '(\\.\\.\\.|…)[ \t]*$'))) AS nelll,
+                   '{_sq(ELLIPSIS_END_RE)}'))) AS nelll,
                  len(list_filter(toks,
                    x -> regexp_matches(x, '\\p{{L}}'))) AS nalpha,
                  CAST(len(list_intersect(toks, [{stops}])) AS BIGINT)
@@ -1465,7 +1481,7 @@ def _c4_twin_sql() -> str:
           SELECT doc_id, raw, lines,
                  list_filter(lines, x ->
                    ({ends})
-                   AND NOT regexp_matches(x, '(\\.\\.\\.|…)$')
+                   AND NOT regexp_matches(x, '(\\.\\.\\.|…)\\z')
                    AND len(list_filter(
                          regexp_split_to_array(x, '{TOKEN_WS_CLASS}'),
                          t -> t <> '')) >= {int(C4_MIN_WORDS_PER_LINE)}
@@ -1907,23 +1923,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ingest_post_clean": _post_clean_twin_sql(),
         "csv_pipe_lines": _csv_twin_sql(),
-        "ngram_jaccard": """
-            WITH sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       range(1, greatest(length(text) - 4, 1) + 1),
-                       i -> substr(text, i, 5))) AS s
-              FROM documents WHERE doc_id < 200)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.s, b.s))::DOUBLE
-                         / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE,
-                         4) AS jaccard
-            FROM sh a, sh b
-            WHERE a.doc_id < b.doc_id
-              AND round(len(list_intersect(a.s, b.s))::DOUBLE
-                        / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE,
-                        4) >= 0.3
-        """,
+        "ngram_jaccard": _NGRAM_JACCARD_TWIN_SQL,
         "rtf_strip": _rtf_twin_sql(),
         "ann_containment": _ann_containment_twin_sql(),
         "content_fingerprint": r"""

@@ -114,7 +114,13 @@ def near_duplicate_clusters(
     Pair discovery defaults to :func:`dedup.minhash_near_duplicates`
     with the given geometry; pass ``pairs`` (``id_a``/``id_b``
     columns) to cluster over pairs from any other source (SimHash,
-    embedding cosine, an exact-Jaccard audit set).
+    embedding cosine, an exact-Jaccard audit set).  Pairs may
+    reference ids absent from ``df`` (e.g. rows already dropped by an
+    earlier gate): components are computed over the full pair graph
+    (absent nodes still CONNECT the family), but ``cluster_rep`` and
+    ``cluster_size`` are then re-rooted to the nodes PRESENT in
+    ``df`` -- so the canonical-representative filter always keeps
+    exactly one live row per family instead of none.
 
     Scale: the pairs stage is the banded/capped LSH operator (never
     all-pairs); the component stage touches only nodes that APPEAR in
@@ -128,11 +134,14 @@ def near_duplicate_clusters(
             n_hashes=n_hashes, bands=bands, shingle_k=shingle_k,
             max_bucket_size=max_bucket_size)
     comp = connected_components(pairs, "id_a", "id_b")
-    sizes = comp.groupBy("rep").agg(F.count("*").alias("cluster_size"))
-    attach = (comp.join(sizes, "rep")
+    present = df.select(F.col(id_col).alias("id")).distinct()
+    comp = comp.join(present, "id")
+    reroot = (comp.groupBy("rep")
+              .agg(F.min("id").alias("cluster_rep"),
+                   F.count("*").alias("cluster_size")))
+    attach = (comp.join(reroot, "rep")
               .select(F.col("id").alias(id_col),
-                      F.col("rep").alias("cluster_rep"),
-                      "cluster_size"))
+                      "cluster_rep", "cluster_size"))
     return (df.join(attach, id_col, "left")
             .withColumn("cluster_rep",
                         F.coalesce(F.col("cluster_rep"), F.col(id_col)))

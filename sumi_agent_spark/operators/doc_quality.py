@@ -86,6 +86,16 @@ GOPHER_QUALITY_RULES: dict[str, tuple[float | None, float | None]] = {
 
 GOPHER_QUALITY_METRICS = tuple(GOPHER_QUALITY_RULES)
 
+#: Shared line regexes, interpolated verbatim into the DuckDB twins.
+#: End-of-string anchors are ``\z``, NOT ``$``: Java's default ``$``
+#: also matches just before a FINAL line terminator (so a CRLF line
+#: split on ``\n`` -- leaving a trailing ``\r`` -- would count on the
+#: Spark side only), while ``\z`` means end-of-input identically in
+#: Java regex and RE2.  ``^`` is safe (both engines: start-of-input
+#: without MULTILINE).
+BULLET_LINE_RE = f"^[ \t]*[{BULLET_CHARS}]"
+ELLIPSIS_END_RE = r"(\.\.\.|…)[ \t]*\z"
+
 
 def _substr_count(text: Column, needle: str) -> Column:
     """Non-overlapping occurrence count of a literal ``needle`` --
@@ -123,10 +133,6 @@ def gopher_quality_cols(text: Column) -> dict[str, Column]:
     raw = F.coalesce(text, F.lit(""))
     lines = _nonempty_lines(text)
     n_lines = F.size(lines)
-    # ASCII-trim the line start, then test the first char: keeps the
-    # regex trivially identical under Java and RE2
-    bullet_re = f"^[ \t]*[{BULLET_CHARS}]"
-    ellipsis_end_re = r"(\.\.\.|…)[ \t]*$"
     is_alpha = lambda w: w.rlike(r"\p{L}")  # noqa: E731
     return {
         "word_count": n_words.cast("long"),
@@ -138,11 +144,12 @@ def gopher_quality_cols(text: Column) -> dict[str, Column]:
             _substr_count(raw, "...") + _substr_count(raw, "…"),
             n_words),
         "bullet_line_frac": _frac(
-            F.size(F.filter(lines, lambda ln: ln.rlike(bullet_re))),
+            F.size(F.filter(lines,
+                            lambda ln: ln.rlike(BULLET_LINE_RE))),
             n_lines),
         "ellipsis_line_frac": _frac(
             F.size(F.filter(lines,
-                            lambda ln: ln.rlike(ellipsis_end_re))),
+                            lambda ln: ln.rlike(ELLIPSIS_END_RE))),
             n_lines),
         "alpha_word_frac": _frac(F.size(F.filter(toks, is_alpha)),
                                  n_words),
@@ -184,8 +191,13 @@ def validate_gopher_quality_rules(
             raise ValueError(
                 f"rule {k!r} must be a (min, max) pair with at least one "
                 f"bound, got {v!r}")
-        out[k] = (None if v[0] is None else float(v[0]),
-                  None if v[1] is None else float(v[1]))
+        lo = None if v[0] is None else float(v[0])
+        hi = None if v[1] is None else float(v[1])
+        if lo is not None and hi is not None and lo > hi:
+            raise ValueError(
+                f"rule {k!r} has min > max ({lo} > {hi}) -- the gate "
+                "would be unsatisfiable and silently drop every row")
+        out[k] = (lo, hi)
     return out
 
 
@@ -255,8 +267,9 @@ C4_MIN_SENTENCES = 3
 # then ASCII whitespace or end-of-string -- a deterministic stand-in
 # for C4's NLTK sentence splitter that both engines count identically.
 # Raw string: the escapes reach Java regex and RE2 verbatim (same
-# convention as TOKEN_WS_CLASS).
-SENTENCE_END_RE = r"""[.!?]["']?([ \t\n\r\f\x0B]|$)"""
+# convention as TOKEN_WS_CLASS); end-of-string is \z, not $, for the
+# same Java-final-terminator reason as ELLIPSIS_END_RE.
+SENTENCE_END_RE = r"""[.!?]["']?([ \t\n\r\f\x0B]|\z)"""
 
 
 def _ascii_lower(c: Column) -> Column:
@@ -272,13 +285,31 @@ def c4_line_keep_expr(line: Column,
     ends_ok = F.lit(False)
     for m in C4_END_MARKS:
         ends_ok = ends_ok | line.endswith(F.lit(m))
-    ends_ok = ends_ok & ~line.rlike(r"(\.\.\.|…)$")
+    ends_ok = ends_ok & ~line.rlike(r"(\.\.\.|…)\z")
     n_words = F.size(F.filter(F.split(line, TOKEN_WS_CLASS),
                               lambda t: t != F.lit("")))
     bad = F.lit(False)
     for s in C4_BAD_LINE_SUBSTRINGS:
         bad = bad | low.contains(F.lit(s))
     return ends_ok & (n_words >= F.lit(int(min_words))) & ~bad
+
+
+def _c4_exprs(text_col: str, min_words_per_line: int,
+              min_sentences: int) -> dict[str, Column]:
+    """The C4 column expressions, built ONCE for both :func:`c4_stats`
+    and :func:`c4_clean` so their verdicts can never diverge."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = _nonempty_lines(F.col(text_col))
+    kept = F.filter(lines,
+                    lambda ln: c4_line_keep_expr(ln, min_words_per_line))
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(
+        clean, F.lit(SENTENCE_END_RE), F.lit(0))).cast("long")
+    keep = (~_ascii_lower(raw).contains(F.lit(C4_LOREM))
+            & ~raw.contains(F.lit(C4_BRACE))
+            & (n_sent >= F.lit(int(min_sentences))))
+    return {"lines": lines, "kept": kept, "clean": clean,
+            "n_sentences": n_sent, "keep": keep}
 
 
 def c4_stats(
@@ -295,29 +326,15 @@ def c4_stats(
     sentences, no ``lorem ipsum``, no ``{`` -- evaluated on the RAW
     text, as C4 does).  Entirely row-local: no shuffle."""
     id_cols = list(id_cols) if id_cols is not None else ["doc_id"]
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    lines = _nonempty_lines(F.col(text_col))
-    kept = F.filter(lines,
-                    lambda ln: c4_line_keep_expr(ln, min_words_per_line))
-    clean = F.array_join(kept, "\n")
-    n_sent = F.size(F.regexp_extract_all(
-        clean, F.lit(SENTENCE_END_RE), F.lit(0))).cast("long")
-    low_raw = _ascii_lower(text)
-    doc_ok = (~low_raw.contains(F.lit(C4_LOREM))
-              & ~text.contains(F.lit(C4_BRACE)))
-    out = df.select(
+    e = _c4_exprs(text_col, min_words_per_line, min_sentences)
+    return df.select(
         *id_cols,
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept_lines"),
-        clean.alias("clean_text"),
-        n_sent.alias("n_sentences"),
-        doc_ok.alias("_doc_ok"),
+        F.size(e["lines"]).cast("long").alias("n_lines"),
+        F.size(e["kept"]).cast("long").alias("n_kept_lines"),
+        e["clean"].alias("clean_text"),
+        e["n_sentences"].alias("n_sentences"),
+        e["keep"].alias("c4_keep"),
     )
-    return out.withColumn(
-        "c4_keep",
-        (F.col("_doc_ok")
-         & (F.col("n_sentences") >= F.lit(int(min_sentences))))
-    ).drop("_doc_ok")
 
 
 def c4_clean(
@@ -328,19 +345,11 @@ def c4_clean(
 ) -> DataFrame:
     """C4's cleaning pass as a transform: rebuild ``text_col`` from the
     kept lines and drop documents failing the document rules.  All
-    other columns pass through unchanged.  Row-local; no shuffle."""
-    lines = _nonempty_lines(F.col(text_col))
-    kept = F.filter(lines,
-                    lambda ln: c4_line_keep_expr(ln, min_words_per_line))
-    clean = F.array_join(kept, "\n")
-    n_sent = F.size(F.regexp_extract_all(
-        clean, F.lit(SENTENCE_END_RE), F.lit(0)))
-    raw = F.coalesce(F.col(text_col), F.lit(""))
-    doc_ok = (~_ascii_lower(raw).contains(F.lit(C4_LOREM))
-              & ~raw.contains(F.lit(C4_BRACE))
-              & (n_sent >= F.lit(int(min_sentences))))
-    return (df.filter(doc_ok)
-            .withColumn(text_col, clean))
+    other columns pass through unchanged.  Row-local; no shuffle.
+    The verdict and rebuild are the SAME expressions :func:`c4_stats`
+    reports (one shared builder)."""
+    e = _c4_exprs(text_col, min_words_per_line, min_sentences)
+    return df.filter(e["keep"]).withColumn(text_col, e["clean"])
 
 
 # ---------------------------------------------------------------------------

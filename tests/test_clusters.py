@@ -80,6 +80,20 @@ class TestNearDuplicateClusters:
         kept = out.filter(F.col("doc_id") == F.col("cluster_rep"))
         assert [r["doc_id"] for r in kept.collect()] == [1]
 
+    def test_reps_rerooted_to_present_ids(self, spark):
+        # pairs reference id 1, which an earlier gate already dropped
+        # from df: the family must keep ONE live representative (2),
+        # not zero, and sizes must count live rows only
+        df = spark.createDataFrame(
+            [(2, "x"), (3, "x"), (9, "solo")], "doc_id long, text string")
+        pairs = _edges(spark, [(1, 2), (2, 3)])
+        out = near_duplicate_clusters(df, pairs=pairs)
+        got = {r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+               for r in out.collect()}
+        assert got == {2: (2, 2), 3: (2, 2), 9: (9, 1)}
+        kept = out.filter(F.col("doc_id") == F.col("cluster_rep"))
+        assert sorted(r["doc_id"] for r in kept.collect()) == [2, 9]
+
     def test_minhash_backed_default(self, spark):
         base = ("the quick brown fox jumps over the lazy dog while "
                 "the sun sets slowly behind the distant mountains "

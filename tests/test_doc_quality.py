@@ -43,6 +43,13 @@ class TestGopherQualityStats:
         # one "..." over 7 words
         assert s["ellipsis_word_ratio"] == round(1 / 7, 6)
 
+    def test_crlf_line_not_an_ellipsis_line(self, spark):
+        # CRLF text split on \n leaves a trailing \r; Java's default $
+        # would match before it while RE2's would not -- the \z anchor
+        # keeps both engines agreeing that this is NOT an ellipsis line
+        s = _stats(spark, "Read more...\r\nNext line here.")
+        assert s["ellipsis_line_frac"] == 0.0
+
     def test_hash_ratio_counts_chars(self, spark):
         # 7 '#' chars over 7 words
         s = _stats(spark, "#### ## # lots of hashes here")
@@ -111,6 +118,8 @@ class TestGopherQualityFilter:
             gopher_quality_filter(df, rules={})
         with pytest.raises(ValueError, match="at least one bound"):
             gopher_quality_filter(df, rules={"word_count": (None, None)})
+        with pytest.raises(ValueError, match="min > max"):
+            gopher_quality_filter(df, rules={"word_count": (9, 5)})
 
     def test_gopher_literal_equals_default(self, spark):
         df = _df(spark, [("good", self.GOOD), ("bad", "tiny.")])
