@@ -855,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_topn": _q_stratified_topn,
         "token_budget_mix": _q_token_budget_mix,
         "quality_classifier": _q_quality_classifier,
+        "clf_eval": _q_clf_eval,
         "repetition_stats": _q_repetition,
         "gopher_quality": _q_gopher_quality,
         "c4_stats": _q_c4_stats,
@@ -1182,6 +1183,77 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id",
         F.round(F.col("quality_clf_score"), 6).alias("clf_score"))
+
+
+CLF_EVAL_THRESHOLDS = (-0.5, 0.0, 0.5)  # shared by query + twin
+
+
+def _q_clf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation (operators/evaluation.py): ROC-AUC by the
+    exact-integer Mann-Whitney identity plus precision/recall at three
+    pinned thresholds, over the hashed-NB classifier's scores with the
+    training parity as ground truth.  The AUC's only float op is one
+    final division; the confusion cells are conditional integer sums --
+    the DuckDB twin replays both formulas over the same live-recomputed
+    scores."""
+    from sumi_agent_spark.operators.evaluation import (
+        binary_auc, precision_recall_at)
+    scored = _q_quality_classifier(spark, sf_dir)
+    labeled = scored.select(
+        (F.col("doc_id") % 2 == 0).alias("label"),
+        F.col("clf_score").alias("score"))
+    auc = binary_auc(labeled).select("auc", "n_pos", "n_neg")
+    pr = precision_recall_at(labeled, list(CLF_EVAL_THRESHOLDS))
+    return pr.crossJoin(auc).orderBy("threshold")
+
+
+def _clf_eval_twin_sql() -> str:
+    """Fully live DuckDB twin of the classifier evaluation: wraps the
+    classifier twin as the score source, then replays the per-distinct-
+    score Mann-Whitney accumulation (exact integers, one division) and
+    the per-threshold confusion sums."""
+    vals = ", ".join(f"({t!r})" for t in CLF_EVAL_THRESHOLDS)
+    return f"""
+        WITH scored AS ({_quality_clf_twin_sql()}),
+        l AS (SELECT doc_id % 2 = 0 AS label, clf_score AS score
+              FROM scored),
+        ps AS (SELECT score,
+                      sum(CASE WHEN label THEN 1 ELSE 0 END) AS np,
+                      sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS nn
+               FROM l GROUP BY score),
+        c AS (SELECT np, nn,
+                     coalesce(sum(nn) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS nb
+              FROM ps),
+        a AS (SELECT round(CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+                       CAST(sum(np * (2 * nb + nn)) AS DOUBLE)
+                       / (2.0 * sum(np) * sum(nn)) END, 6) AS auc,
+                     CAST(sum(np) AS BIGINT) AS n_pos,
+                     CAST(sum(nn) AS BIGINT) AS n_neg
+              FROM c),
+        pr AS (
+          SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+                 CAST(sum(CASE WHEN score >= t.threshold AND label
+                          THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN score >= t.threshold AND NOT label
+                          THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN score < t.threshold AND label
+                          THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(sum(CASE WHEN score < t.threshold AND NOT label
+                          THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM l, (VALUES {vals}) t(threshold)
+          GROUP BY t.threshold)
+        SELECT pr.threshold, pr.tp, pr.fp, pr.fn, pr.tn,
+               round(CASE WHEN pr.tp + pr.fp > 0 THEN
+                 CAST(pr.tp AS DOUBLE) / CAST(pr.tp + pr.fp AS DOUBLE)
+                 END, 6) AS precision,
+               round(CASE WHEN pr.tp + pr.fn > 0 THEN
+                 CAST(pr.tp AS DOUBLE) / CAST(pr.tp + pr.fn AS DOUBLE)
+                 END, 6) AS recall,
+               a.auc, a.n_pos, a.n_neg
+        FROM pr, a ORDER BY pr.threshold
+    """
 
 
 LM_MIN_COUNT = 2  # contract-query LM geometry, shared by query + twin
@@ -1937,6 +2009,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_topn": _sample_topn_sql,
         "token_budget_mix": _token_budget_twin_sql(),
         "quality_classifier": _quality_clf_twin_sql(),
+        "clf_eval": _clf_eval_twin_sql(),
         "repetition_stats": _repetition_twin_sql(),
         "gopher_quality": _gopher_quality_twin_sql(),
         "c4_stats": _c4_twin_sql(),
