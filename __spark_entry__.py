@@ -1202,6 +1202,9 @@ def _q_clf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = scored.select(
         (F.col("doc_id") % 2 == 0).alias("label"),
         F.col("clf_score").alias("score"))
+    # AUC + PR drive ~4 actions; without truncation each one refits
+    # the classifier upstream (measured 4x the classifier's own cost)
+    labeled = labeled.localCheckpoint(eager=True)
     auc = binary_auc(labeled).select("auc", "n_pos", "n_neg")
     pr = precision_recall_at(labeled, list(CLF_EVAL_THRESHOLDS))
     return pr.crossJoin(auc).orderBy("threshold")

@@ -29,6 +29,12 @@ LM legitimately emits NULL for token-less rows.
 **Precision/recall** at each threshold is a single pass of conditional
 sums (predicted positive = ``score >= t``); all four confusion cells
 are exact integers, the two ratios are one division each.
+
+Both operators drive more than one Spark action over the input (AUC:
+the n_null count plus the result; PR: the counts collect plus the
+result) -- persist or ``localCheckpoint`` the labeled frame first when
+the upstream plan is expensive (e.g. a freshly-fit classifier's
+scores), or each action refits it.
 """
 
 from __future__ import annotations
