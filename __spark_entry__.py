@@ -856,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": _q_token_budget_mix,
         "quality_classifier": _q_quality_classifier,
         "clf_eval": _q_clf_eval,
+        "corpus_profile": _q_corpus_profile,
         "repetition_stats": _q_repetition,
         "gopher_quality": _q_gopher_quality,
         "c4_stats": _q_c4_stats,
@@ -1183,6 +1184,44 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id",
         F.round(F.col("quality_clf_score"), 6).alias("clf_score"))
+
+
+PROFILE_QUANTILES = (0.5, 0.9, 0.99)  # shared by query + twin
+
+
+def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-design profiling (operators/profiling.py): per-source
+    count / nulls / min / max / mean / exact quantiles of document
+    char length.  Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share the linear-interpolation definition and agree bit-exactly on
+    doubles; the mean is an explicit sum/count with the same IEEE
+    order both sides."""
+    from sumi_agent_spark.operators.profiling import corpus_profile
+    docs = _t(spark, sf_dir, "documents")
+    return (corpus_profile(docs, F.length("text"), ["source"],
+                           quantiles=PROFILE_QUANTILES)
+            .orderBy("source"))
+
+
+def _corpus_profile_twin_sql() -> str:
+    """Fully live DuckDB twin of the per-source length profile."""
+    qcols = ", ".join(
+        f"round(quantile_cont(v, {q!r}), 6) AS q{format(q, 'g').split('.')[1]}"
+        for q in PROFILE_QUANTILES)
+    return f"""
+        WITH b AS (
+          SELECT source, CAST(length(text) AS DOUBLE) AS v
+          FROM documents)
+        SELECT source,
+               CAST(count(v) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               min(v) AS vmin, max(v) AS vmax,
+               round(CASE WHEN count(v) > 0 THEN
+                 sum(v) / CAST(count(v) AS DOUBLE) END, 6) AS mean,
+               {qcols}
+        FROM b GROUP BY source ORDER BY source
+    """
 
 
 CLF_EVAL_THRESHOLDS = (-0.5, 0.0, 0.5)  # shared by query + twin
@@ -2013,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_mix": _token_budget_twin_sql(),
         "quality_classifier": _quality_clf_twin_sql(),
         "clf_eval": _clf_eval_twin_sql(),
+        "corpus_profile": _corpus_profile_twin_sql(),
         "repetition_stats": _repetition_twin_sql(),
         "gopher_quality": _gopher_quality_twin_sql(),
         "c4_stats": _c4_twin_sql(),
