@@ -1204,9 +1204,12 @@ def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_profile_twin_sql() -> str:
-    """Fully live DuckDB twin of the per-source length profile."""
+    """Fully live DuckDB twin of the per-source length profile.
+    Column names come from the operator's own ``_qname`` so the twin
+    can never drift from the Spark side's mangling."""
+    from sumi_agent_spark.operators.profiling import _qname
     qcols = ", ".join(
-        f"round(quantile_cont(v, {q!r}), 6) AS q{format(q, 'g').split('.')[1]}"
+        f"round(quantile_cont(v, {q!r}), 6) AS {_qname(q)}"
         for q in PROFILE_QUANTILES)
     return f"""
         WITH b AS (

@@ -30,11 +30,12 @@ LM legitimately emits NULL for token-less rows.
 sums (predicted positive = ``score >= t``); all four confusion cells
 are exact integers, the two ratios are one division each.
 
-Both operators drive more than one Spark action over the input (AUC:
-the n_null count plus the result; PR: the counts collect plus the
-result) -- persist or ``localCheckpoint`` the labeled frame first when
-the upstream plan is expensive (e.g. a freshly-fit classifier's
-scores), or each action refits it.
+``binary_auc`` is one fully lazy plan (invalid rows ride the same
+aggregation as a zero-contribution group, so n_null costs no extra
+scan).  ``precision_recall_at`` drives one counts-collect action plus
+the returned frame -- and composing BOTH operators over one expensive
+upstream (a freshly-fit classifier's scores) still executes it per
+action: persist or ``localCheckpoint`` the labeled frame first.
 """
 
 from __future__ import annotations
@@ -57,25 +58,34 @@ def binary_auc(
     base = df.select(F.col(label_col).alias("_y"),
                      F.col(score_col).alias("_s"),
                      valid.alias("_v"))
-    n_null = base.filter(~F.col("_v")).count()
-    per_score = (base.filter("_v")
-                 .groupBy("_s")
-                 .agg(F.sum(F.when(F.col("_y"), 1).otherwise(0))
-                      .alias("np"),
-                      F.sum(F.when(~F.col("_y"), 1).otherwise(0))
-                      .alias("nn")))
+    # ONE lazy plan, one scan: invalid rows group under their (possibly
+    # NULL) score with np = nn = 0 -- a zero contribution wherever the
+    # engines order the NULL group -- and are counted into n_null by
+    # the same aggregation instead of an eager driver-side count job.
+    per_score = (base.groupBy("_s")
+                 .agg(F.sum(F.when(F.col("_v") & F.col("_y"), 1)
+                            .otherwise(0)).alias("np"),
+                      F.sum(F.when(F.col("_v") & ~F.col("_y"), 1)
+                            .otherwise(0)).alias("nn"),
+                      F.sum(F.when(~F.col("_v"), 1).otherwise(0))
+                      .alias("nnull")))
     w = (Window.orderBy("_s")
          .rowsBetween(Window.unboundedPreceding, -1))
+    # decimal(38,0) accumulator: the 2U sum approaches 2*n_pos*n_neg,
+    # which outgrows int64 near 2^31 rows per class -- LongType would
+    # wrap SILENTLY (session is non-ANSI) while the DuckDB twin sums
+    # in HUGEINT; decimal keeps both engines exact
     contrib = (per_score
                .withColumn("nn_below",
                            F.coalesce(F.sum("nn").over(w), F.lit(0)))
-               .select((F.col("np")
+               .select((F.col("np").cast("decimal(38,0)")
                         * (2 * F.col("nn_below") + F.col("nn")))
                        .alias("u2"),
-                       "np", "nn"))
+                       "np", "nn", "nnull"))
     agg = contrib.agg(F.sum("u2").alias("u2"),
                       F.sum("np").alias("n_pos"),
-                      F.sum("nn").alias("n_neg"))
+                      F.sum("nn").alias("n_neg"),
+                      F.sum("nnull").alias("n_null"))
     return agg.select(
         F.round(F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
                        F.col("u2").cast("double")
@@ -83,7 +93,8 @@ def binary_auc(
         .alias("auc"),
         F.coalesce(F.col("n_pos"), F.lit(0)).cast("long").alias("n_pos"),
         F.coalesce(F.col("n_neg"), F.lit(0)).cast("long").alias("n_neg"),
-        F.lit(int(n_null)).alias("n_null"))
+        F.coalesce(F.col("n_null"), F.lit(0)).cast("long")
+        .alias("n_null"))
 
 
 def precision_recall_at(

@@ -37,8 +37,17 @@ DEFAULT_QUANTILES = (0.5, 0.9, 0.99)
 
 
 def _qname(q: float) -> str:
-    # 0.99 -> q99, 0.5 -> q50, 0.999 -> q999
-    return "q" + format(q, "g").split(".")[1]
+    """Column name for quantile ``q``: the digits after the decimal
+    point, trailing zeros stripped -- 0.5 -> ``q5``, 0.99 -> ``q99``,
+    0.00005 -> ``q00005``.  Fixed-point formatting (12 places), never
+    scientific notation; quantiles indistinguishable at 12 decimals
+    are rejected rather than silently collapsed."""
+    s = f"{q:.12f}".rstrip("0")
+    if not s.startswith("0.") or s == "0.":
+        raise ValueError(
+            f"quantile {q!r} cannot be named (needs 12-decimal "
+            "fixed-point form strictly between 0 and 1)")
+    return "q" + s[2:]
 
 
 def corpus_profile(
@@ -66,8 +75,11 @@ def corpus_profile(
         grouped = base.groupBy(*group_cols)
         keys = list(group_cols)
     else:
-        grouped = base.groupBy(F.lit("_all").alias("group"))
-        keys = ["group"]
+        # global aggregation (empty groupBy), NOT groupBy(lit): the
+        # former returns one n=0 row on empty input, the latter zero
+        # rows -- and the docstring promises one group
+        grouped = base.groupBy()
+        keys = [F.lit("_all").alias("group")]
     qarr = ", ".join(repr(q) for q in qs)
     if exact:
         pct = F.expr(f"percentile(_v, array({qarr}))")

@@ -56,6 +56,34 @@ class TestBinaryAuc:
             .collect()[0]["auc"]
         assert a == b is not None
 
+    def test_single_lazy_plan_no_eager_job(self, spark):
+        # building the result must not run any job (the n_null count
+        # used to be an eager full scan at call time)
+        df = _df(spark, [(True, 1.0), (False, 0.0)])
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        out = binary_auc(df)  # no action yet
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before
+        assert out.collect()[0]["auc"] == 1.0
+
+    def test_decimal_accumulator_exact(self, spark):
+        # per-score contributions stay exact through the decimal(38,0)
+        # path (value check on a mid-size tie-heavy input)
+        rows = ([(True, float(i % 5)) for i in range(500)]
+                + [(False, float(i % 5) - 0.5) for i in range(500)])
+        r = binary_auc(_df(spark, rows)).collect()[0]
+        # pos at k, neg at k-0.5 (k=0..4, 100 each): pos beats neg for
+        # pairs where k_pos >= k_neg + ... hand value via brute force:
+        import itertools
+        ps = [float(i % 5) for i in range(500)]
+        ns = [float(i % 5) - 0.5 for i in range(500)]
+        import collections
+        pc = collections.Counter(ps); nc = collections.Counter(ns)
+        u = sum(pcnt * ncnt * (1.0 if p > n else 0.5 if p == n else 0.0)
+                for p, pcnt in pc.items() for n, ncnt in nc.items())
+        assert r["auc"] == round(u / (500 * 500), 6)
+
 
 class TestPrecisionRecallAt:
     ROWS = [(True, 0.9), (True, 0.6), (True, 0.2),

@@ -78,3 +78,26 @@ def test_validation(spark):
         corpus_profile(df, "x", ["g"], quantiles=(1.5,))
     with pytest.raises(ValueError, match="duplicate"):
         corpus_profile(df, "x", ["g"], quantiles=(0.5, 0.50))
+
+
+def test_tiny_quantile_names_fixed_point(spark):
+    # 0.00005 formats to '5e-05' under %g -- the fixed-point namer
+    # must not crash and must produce a stable column name
+    rows = [("a", float(i)) for i in range(10)]
+    r = corpus_profile(_df(spark, rows), "x", ["g"],
+                       quantiles=(0.00005,)).collect()[0]
+    assert "q00005" in r.asDict()
+
+
+def test_unnameable_quantile_rejected(spark):
+    df = _df(spark, [("a", 1.0)])
+    with pytest.raises(ValueError, match="cannot be named"):
+        corpus_profile(df, "x", ["g"], quantiles=(0.9999999999999,))
+
+
+def test_empty_input_whole_group_yields_one_row(spark):
+    df = spark.createDataFrame([], "g string, x double")
+    r = corpus_profile(df, "x", quantiles=(0.5,)).collect()
+    assert len(r) == 1
+    assert r[0]["group"] == "_all" and r[0]["n"] == 0
+    assert r[0]["q5"] is None
