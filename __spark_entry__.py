@@ -857,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "clf_eval": _q_clf_eval,
         "corpus_profile": _q_corpus_profile,
+        "gate_funnel": _q_gate_funnel,
         "repetition_stats": _q_repetition,
         "gopher_quality": _q_gopher_quality,
         "c4_stats": _q_c4_stats,
@@ -1224,6 +1225,87 @@ def _corpus_profile_twin_sql() -> str:
                  sum(v) / CAST(count(v) AS DOUBLE) END, 6) AS mean,
                {qcols}
         FROM b GROUP BY source ORDER BY source
+    """
+
+
+FUNNEL_MIN_CHARS = 200   # shared by query + twin
+FUNNEL_MIN_WORDS = 30
+FUNNEL_GATES = ("length", "word_count", "stopwords", "ellipsis")
+
+
+def _q_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-config tuning funnel (operators/funnel.py): four
+    row-local gates over documents (char floor, word floor, >= 1
+    Gopher stopword, ellipsis ratio), counted in ONE scan --
+    sequential drops, order-independent totals, and unique drops per
+    gate.  The twin recomputes the same flags from the shared
+    tokenizer and replays all conditional sums."""
+    from sumi_agent_spark.operators.doc_quality import (
+        gopher_quality_cols)
+    from sumi_agent_spark.operators.funnel import gate_funnel
+    docs = _t(spark, sf_dir, "documents")
+    cols = gopher_quality_cols(F.col("text"))
+    return gate_funnel(docs, {
+        "length": F.length("text") >= FUNNEL_MIN_CHARS,
+        "word_count": cols["word_count"] >= FUNNEL_MIN_WORDS,
+        "stopwords": cols["stop_word_count"] >= 1,
+        "ellipsis": cols["ellipsis_word_ratio"] <= 0.1,
+    }).orderBy("gate_idx")
+
+
+def _gate_funnel_twin_sql() -> str:
+    """Fully live DuckDB twin of the gate funnel: the same four flag
+    expressions (shared tokenizer/constants, NULL coalesced to
+    False), the same conditional sums, reshaped with UNION ALL."""
+    import string
+
+    from sumi_agent_spark.operators.doc_quality import (
+        GOPHER_STOP_WORDS)
+    from sumi_agent_spark.operators.quality_classifier import (
+        TOKEN_WS_CLASS)
+    up, lo = string.ascii_uppercase, string.ascii_lowercase
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOP_WORDS)
+    n = len(FUNNEL_GATES)
+    flag_defs = f"""
+        coalesce(length(text) >= {FUNNEL_MIN_CHARS}, FALSE) AS f0,
+        len(toks) >= {FUNNEL_MIN_WORDS} AS f1,
+        len(list_intersect(toks, [{stops}])) >= 1 AS f2,
+        round(CASE WHEN len(toks) > 0 THEN
+          (CAST((length(raw) - length(replace(raw, '...', ''))) / 3
+                AS BIGINT)
+           + (length(raw) - length(replace(raw, '…', ''))))::DOUBLE
+          / len(toks)::DOUBLE ELSE 0.0 END, 6) <= 0.1 AS f3"""
+    aggs = []
+    for i in range(n):
+        entering = " AND ".join(["TRUE"] + [f"f{j}" for j in range(i)])
+        others = " AND ".join(
+            ["TRUE"] + [f"f{j}" for j in range(n) if j != i])
+        aggs.append(f"""
+        sum(CASE WHEN {entering} THEN 1 ELSE 0 END) AS in_{i},
+        sum(CASE WHEN ({entering}) AND NOT f{i} THEN 1 ELSE 0 END)
+          AS drop_{i},
+        sum(CASE WHEN NOT f{i} THEN 1 ELSE 0 END) AS fail_{i},
+        sum(CASE WHEN NOT f{i} AND ({others}) THEN 1 ELSE 0 END)
+          AS uniq_{i}""")
+    selects = [
+        f"""SELECT {i} AS gate_idx, '{name}' AS gate,
+            CAST(in_{i} AS BIGINT) AS n_in,
+            CAST(drop_{i} AS BIGINT) AS n_dropped,
+            CAST(in_{i} - drop_{i} AS BIGINT) AS n_out,
+            CAST(fail_{i} AS BIGINT) AS n_fail_total,
+            CAST(uniq_{i} AS BIGINT) AS n_fail_unique FROM w"""
+        for i, name in enumerate(FUNNEL_GATES)]
+    return f"""
+        WITH b AS (
+          SELECT coalesce(text, '') AS raw, text,
+                 list_filter(regexp_split_to_array(
+                   translate(coalesce(text, ''), '{up}', '{lo}'),
+                   '{TOKEN_WS_CLASS}'), x -> x <> '') AS toks
+          FROM documents),
+        flags AS (SELECT {flag_defs} FROM b),
+        w AS (SELECT {", ".join(aggs)} FROM flags)
+        SELECT * FROM ({" UNION ALL ".join(selects)})
+        ORDER BY gate_idx
     """
 
 
@@ -2056,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_clf_twin_sql(),
         "clf_eval": _clf_eval_twin_sql(),
         "corpus_profile": _corpus_profile_twin_sql(),
+        "gate_funnel": _gate_funnel_twin_sql(),
         "repetition_stats": _repetition_twin_sql(),
         "gopher_quality": _gopher_quality_twin_sql(),
         "c4_stats": _c4_twin_sql(),
