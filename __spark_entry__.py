@@ -863,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_stats": _q_c4_stats,
         "line_dedup": _q_line_dedup,
         "para_dedup_norm": _q_para_dedup_norm,
+        "line_dedup_incr": _q_line_dedup_incr,
         "dup_clusters": _q_dup_clusters,
         "lm_perplexity": _q_lm_perplexity,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -1514,6 +1515,104 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_line_dedup(df).orderBy("doc_id")
 
 
+def _line_incr_synth(odd_branch: bool) -> F.Column:
+    """Synthesized text for the incremental line-dedup protocol query:
+    a doc_id%7-keyed header line (drops as COMMITTED in odd docs --
+    every residue has even members; the per-SOURCE key would not work:
+    the fixture assigns sources round-robin by doc_id, so the parity
+    halves share no source), an odd-only group line (drops as
+    IN-SLICE -- even docs never emit it), then the unique body."""
+    hdr = F.concat(F.lit("hdr "), (F.col("doc_id") % 7).cast("string"))
+    oddgrp = F.concat(F.lit("oddgrp "),
+                      (F.col("doc_id") % 10).cast("string"))
+    body = F.coalesce(F.col("text"), F.lit(""))
+    if odd_branch:
+        return F.concat(hdr, F.lit("\n"), oddgrp, F.lit("\n"), body)
+    return F.concat(hdr, F.lit("\n"), body)
+
+
+def _q_line_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental line dedup, daily-ingest protocol in one query
+    (operators/line_index.py): bootstrap the key index from the
+    even-doc_id half (the "corpus"), dedup the odd half (the "slice")
+    against it -- committed lines drop with reason, within-slice
+    duplicates keep the first occurrence.  The DuckDB twin replays the
+    committed-set membership + keep-first window over the same
+    synthesized lines."""
+    from sumi_agent_spark.operators.line_index import (
+        line_dedup_incremental, write_line_index)
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    index_path = f"/tmp/sumi_contract_line_index_{sf}"
+    docs = _t(spark, sf_dir, "documents")
+    corpus = (docs.filter(F.col("doc_id") % 2 == 0)
+              .select("doc_id", _line_incr_synth(False).alias("text")))
+    slice_df = (docs.filter(F.col("doc_id") % 2 == 1)
+                .select("doc_id", _line_incr_synth(True).alias("text")))
+    write_line_index(corpus, index_path, overwrite=True)
+    return (line_dedup_incremental(slice_df, index_path)
+            .orderBy("doc_id"))
+
+
+def _line_dedup_incr_twin_sql() -> str:
+    """Fully live DuckDB twin of the incremental line-dedup protocol:
+    committed set = the even half's participating lines, slice
+    keep-first replayed as a window over the odd half."""
+    from sumi_agent_spark.operators.quality_classifier import (
+        TOKEN_WS_CLASS)
+    synth_odd = ("'hdr ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || "
+                 "'oddgrp ' || CAST(doc_id % 10 AS VARCHAR) || chr(10) "
+                 "|| coalesce(text, '')")
+    synth_even = ("'hdr ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || "
+                  "coalesce(text, '')")
+    split = "regexp_split_to_array(t, chr(10))"
+    return f"""
+        WITH ev AS (
+          SELECT DISTINCT line FROM (
+            SELECT unnest(regexp_split_to_array({synth_even}, chr(10)))
+              AS line
+            FROM documents WHERE doc_id % 2 = 0)
+          WHERE length(regexp_replace(line, '{TOKEN_WS_CLASS}', '',
+                                      'g')) >= 1),
+        od AS (
+          SELECT doc_id, {synth_odd} AS t
+          FROM documents WHERE doc_id % 2 = 1),
+        lines AS (
+          SELECT doc_id,
+                 unnest({split}) AS line,
+                 unnest(range(1, len({split}) + 1)) AS idx
+          FROM od),
+        f AS (
+          SELECT l.doc_id, l.idx, l.line,
+                 length(regexp_replace(l.line, '{TOKEN_WS_CLASS}', '',
+                                       'g')) >= 1 AS p,
+                 ev.line IS NOT NULL AS committed
+          FROM lines l LEFT JOIN ev ON ev.line = l.line),
+        r AS (
+          SELECT *, CASE WHEN p AND NOT committed THEN
+                   row_number() OVER (PARTITION BY line, p, committed
+                                      ORDER BY doc_id, idx)
+                 END AS rn
+          FROM f),
+        k AS (
+          SELECT doc_id, idx, line,
+                 p AND committed AS d_comm,
+                 p AND NOT committed AND rn > 1 AS d_slice
+          FROM r)
+        SELECT doc_id,
+               coalesce(string_agg(
+                 CASE WHEN NOT (d_comm OR d_slice) THEN line END,
+                 chr(10) ORDER BY idx), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(CASE WHEN d_comm OR d_slice THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped_units,
+               CAST(sum(CASE WHEN d_comm THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped_committed,
+               CAST(sum(CASE WHEN d_slice THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped_in_slice
+        FROM k GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering (operators/clusters.py): connected
     components over the exact 5-gram Jaccard>=0.3 pair set (the same
@@ -2144,6 +2243,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_stats": _c4_twin_sql(),
         "line_dedup": _line_dedup_twin_sql(),
         "para_dedup_norm": _para_dedup_twin_sql(),
+        "line_dedup_incr": _line_dedup_incr_twin_sql(),
         "dup_clusters": _DUP_CLUSTERS_TWIN_SQL,
         "lm_perplexity": _lm_perplexity_twin_sql(),
         "decontam_overlap": """

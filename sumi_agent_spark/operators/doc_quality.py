@@ -423,6 +423,38 @@ def corpus_line_dedup(
     document's own rows).  No windows over the corpus, no driver
     collects, no UDFs.
     """
+    lines, sep = unit_frame(df, text_col, id_cols, min_chars, unit,
+                            normalize)
+    id_cols = list(id_cols) if id_cols is not None else ["doc_id"]
+    winners = (lines.filter("_p")
+               .groupBy("_key")
+               .agg(F.min("_ok").alias("_win"),
+                    F.count("*").alias("_n_occ")))
+    # non-participating units always survive; participating ones only
+    # at the global first occurrence.  Duplicate-only winners join:
+    # unique units (the overwhelming majority) keep _n_occ = 1 and
+    # survive without consulting the winner.
+    dup_winners = winners.filter(F.col("_n_occ") >= 2).drop("_n_occ")
+    joined = lines.join(dup_winners, "_key", "left")
+    keep = (~F.col("_p")) | F.col("_win").isNull() \
+        | (F.col("_ok") == F.col("_win"))
+    flagged = joined.withColumn("_keep", keep)
+    return rebuild_units(flagged, id_cols, text_col, sep)
+
+
+def unit_frame(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str] | None,
+    min_chars: int,
+    unit: str,
+    normalize: bool,
+) -> tuple[DataFrame, str]:
+    """The exploded unit frame shared by :func:`corpus_line_dedup` and
+    the incremental line index: one row per split unit with ``_idx``
+    (position), ``_line`` (raw text), ``_key`` (dedup key -- normalized
+    when requested), ``_ok`` (the keep-first order struct) and ``_p``
+    (participates).  Returns ``(frame, rejoin_separator)``."""
     if min_chars < 1:
         raise ValueError(f"min_chars must be >= 1, got {min_chars}")
     if unit not in ("line", "paragraph"):
@@ -441,29 +473,32 @@ def corpus_line_dedup(
     lines = lines.withColumn("_key", key).withColumn("_ok", ord_key)
     participates = (F.length(F.regexp_replace(
         F.col("_key"), TOKEN_WS_CLASS, "")) >= F.lit(int(min_chars)))
-    lines = lines.withColumn("_p", participates)
-    winners = (lines.filter("_p")
-               .groupBy("_key")
-               .agg(F.min("_ok").alias("_win"),
-                    F.count("*").alias("_n_occ")))
-    # non-participating units always survive; participating ones only
-    # at the global first occurrence.  Duplicate-only winners join:
-    # unique units (the overwhelming majority) keep _n_occ = 1 and
-    # survive without consulting the winner.
-    dup_winners = winners.filter(F.col("_n_occ") >= 2).drop("_n_occ")
-    joined = lines.join(dup_winners, "_key", "left")
-    keep = (~F.col("_p")) | F.col("_win").isNull() \
-        | (F.col("_ok") == F.col("_win"))
-    flagged = joined.withColumn("_keep", keep)
-    rebuilt = (flagged.groupBy(*id_cols)
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.when(
-                                F.col("_keep"),
-                                F.struct(F.col("_idx"), F.col("_line"))))),
-                            lambda s: s["_line"]),
-                        sep).alias(text_col),
-                    F.count("*").alias("n_units"),
-                    F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
-                    .cast("long").alias("n_dropped_units")))
-    return rebuilt
+    return lines.withColumn("_p", participates), sep
+
+
+def rebuild_units(
+    flagged: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+    sep: str,
+    drop_counts: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Rebuild per-doc text from a unit frame carrying a boolean
+    ``_keep``: surviving units re-joined by ``sep`` in ``_idx`` order,
+    plus ``n_units`` and ``n_dropped_units``.  ``drop_counts`` adds
+    named counters (``name -> row condition``) for callers that
+    distinguish drop reasons."""
+    extra = [F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(n)
+             for n, cond in (drop_counts or {}).items()]
+    return (flagged.groupBy(*id_cols)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.when(
+                             F.col("_keep"),
+                             F.struct(F.col("_idx"), F.col("_line"))))),
+                         lambda s: s["_line"]),
+                     sep).alias(text_col),
+                 F.count("*").alias("n_units"),
+                 F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                 .cast("long").alias("n_dropped_units"),
+                 *extra))
