@@ -426,20 +426,27 @@ def corpus_line_dedup(
     lines, sep = unit_frame(df, text_col, id_cols, min_chars, unit,
                             normalize)
     id_cols = list(id_cols) if id_cols is not None else ["doc_id"]
-    winners = (lines.filter("_p")
-               .groupBy("_key")
-               .agg(F.min("_ok").alias("_win"),
-                    F.count("*").alias("_n_occ")))
-    # non-participating units always survive; participating ones only
-    # at the global first occurrence.  Duplicate-only winners join:
-    # unique units (the overwhelming majority) keep _n_occ = 1 and
-    # survive without consulting the winner.
-    dup_winners = winners.filter(F.col("_n_occ") >= 2).drop("_n_occ")
-    joined = lines.join(dup_winners, "_key", "left")
+    joined = lines.join(dup_unit_winners(lines.filter("_p")),
+                        "_key", "left")
     keep = (~F.col("_p")) | F.col("_win").isNull() \
         | (F.col("_ok") == F.col("_win"))
     flagged = joined.withColumn("_keep", keep)
     return rebuild_units(flagged, id_cols, text_col, sep)
+
+
+def dup_unit_winners(candidates: DataFrame) -> DataFrame:
+    """Keep-first winner per DUPLICATED unit key over a unit frame
+    subset: ``(_key, _win)`` where ``_win`` is the smallest ``_ok``
+    among the key's occurrences -- only for keys occurring >= 2 times.
+    Unique units (the overwhelming majority) never consult the join;
+    non-winner occurrences are identified by ``_ok != _win``.  ONE
+    implementation shared by the batch operator and the incremental
+    index so their keep-first decisions cannot drift (the parity test
+    depends on it)."""
+    return (candidates.groupBy("_key")
+            .agg(F.min("_ok").alias("_win"),
+                 F.count("*").alias("_n_occ"))
+            .filter(F.col("_n_occ") >= 2).drop("_n_occ"))
 
 
 def unit_frame(

@@ -41,8 +41,8 @@ def gate_funnel(df: DataFrame, gates: dict[str, Column]) -> DataFrame:
                          "name -> keep Column")
     names = list(gates)
     flags = [F.coalesce(c, F.lit(False)) for c in gates.values()]
-    aggs = [F.count("*").alias("n_total")]
-    for i, name in enumerate(names):
+    aggs = []
+    for i in range(len(names)):
         entering = F.lit(True)
         for prev in flags[:i]:
             entering = entering & prev

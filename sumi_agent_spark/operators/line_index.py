@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .doc_quality import rebuild_units, unit_frame
+from .doc_quality import dup_unit_winners, rebuild_units, unit_frame
 from .minhash_index import _marker_committed
 
 _GEOMETRY = ("unit", "normalize", "min_chars")
@@ -84,10 +84,21 @@ def write_line_index(
     pinned in meta; re-bootstrap over a committed index requires
     ``overwrite=True``.  Returns ``{"n_keys": ...}``."""
     spark = df.sparkSession
-    if not overwrite and _marker_committed(spark, f"{index_path}/meta"):
-        raise ValueError(
-            f"line index already committed at {index_path}; pass "
-            "overwrite=True to rebuild (appends use append_line_index)")
+    if _marker_committed(spark, f"{index_path}/meta"):
+        if not overwrite:
+            raise ValueError(
+                f"line index already committed at {index_path}; pass "
+                "overwrite=True to rebuild (appends use "
+                "append_line_index)")
+        # delete the OLD commit marker BEFORE touching keys/ (the
+        # sibling indexes' discipline): a crash anywhere inside this
+        # rebuild then leaves the index LOUDLY unreadable (_meta_row
+        # raises, rebuild re-runs) -- never old-geometry meta over
+        # new/partial keys, which would hash slice keys under the
+        # wrong geometry and silently re-emit committed duplicates
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/meta")
+        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
     lines, _ = unit_frame(df, text_col, id_cols, min_chars, unit,
                           normalize)
     keys = _slice_keys(lines)
@@ -125,12 +136,9 @@ def line_dedup_incremental(
     joined = lines.join(store, "_h", "left")
     committed = F.col("_p") & F.col("_committed").isNotNull()
     # within-slice keep-first among the units the corpus has NOT seen
+    # (shared winner logic -- doc_quality.dup_unit_winners)
     fresh = joined.filter(F.col("_p") & F.col("_committed").isNull())
-    winners = (fresh.groupBy("_key")
-               .agg(F.min("_ok").alias("_win"),
-                    F.count("*").alias("_n_occ")))
-    dup_winners = winners.filter(F.col("_n_occ") >= 2).drop("_n_occ")
-    flagged = joined.join(dup_winners, "_key", "left")
+    flagged = joined.join(dup_unit_winners(fresh), "_key", "left")
     slice_dup = (F.col("_p") & F.col("_committed").isNull()
                  & F.col("_win").isNotNull()
                  & (F.col("_ok") != F.col("_win")))

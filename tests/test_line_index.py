@@ -81,6 +81,33 @@ def test_geometry_from_meta_normalize(spark, tmp_path):
     assert out["n_dropped_committed"] == 1
 
 
+def test_overwrite_crash_is_loud_not_stale(spark, tmp_path, monkeypatch):
+    """A crash inside overwrite=True must leave the index LOUDLY
+    unreadable (old meta deleted first), never old-geometry meta over
+    new keys -- which would hash slice keys under the wrong geometry
+    and silently re-emit committed duplicates."""
+    import sumi_agent_spark.operators.line_index as li
+    idx = str(tmp_path / "li")
+    write_line_index(_df(spark, CORPUS), idx)
+
+    real = li._slice_keys
+
+    def boom(lines):
+        raise RuntimeError("injected crash before keys rewrite")
+
+    monkeypatch.setattr(li, "_slice_keys", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        write_line_index(_df(spark, CORPUS), idx, normalize=True,
+                         overwrite=True)
+    monkeypatch.setattr(li, "_slice_keys", real)
+    with pytest.raises(ValueError, match="no committed line index"):
+        line_dedup_incremental(_df(spark, SLICE1), idx)
+    # the rebuild re-runs cleanly after the crash
+    write_line_index(_df(spark, CORPUS), idx, normalize=True)
+    assert line_dedup_incremental(
+        _df(spark, SLICE1), idx).count() == 2
+
+
 def test_bootstrap_refusal_and_missing_index(spark, tmp_path):
     idx = str(tmp_path / "li")
     with pytest.raises(ValueError, match="no committed line index"):
