@@ -61,8 +61,28 @@ ANN_TOP_K = 10
 MINHASH_THRESHOLD = 0.8
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       fan: bool = False) -> DataFrame:
+    """Read a star-schema table; ``fan=True`` repairs scan parallelism.
+
+    The driver writes each table as ONE parquet row group, so a bare scan
+    is a single task no matter what the split config says -- everything
+    fused into the scan stage (regex projections, Arrow UDFs, partial
+    aggregations) runs on one core while 31 idle.  ``fan=True`` inserts
+    one narrow round-robin exchange of the raw bytes right after the read
+    (``sumi_agent_spark.parallel.fan_out``; a no-op at any scale where
+    the table already splits).  It is opt-in PER QUERY, not per table:
+    measured at sf1.0, regex/UDF-heavy scans win 2-6x from the fan-out
+    while cheap aggregation scans LOSE 0.5-1.3 s to it (the exchange
+    ships the raw rows that a scan-stage partial aggregate would have
+    collapsed first), so each call site declares which shape it is.
+    Operators that run their own Arrow UDFs (dedup/decontaminate/index
+    families) fan out internally and take ``fan=False`` here."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if fan:
+        from sumi_agent_spark.parallel import fan_out
+        df = fan_out(df)
+    return df
 
 
 # ─── flagship entry ───
@@ -93,14 +113,14 @@ def _q_normalize_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mask_email_url(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     masked = F.regexp_replace(
         F.regexp_replace(F.col("text"), EMAIL_RE, EMAIL_PH), URL_RE, URL_PH)
     return docs.select("doc_id", F.md5(masked).alias("masked_hash"))
 
 
 def _q_email_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     n = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
     return docs.agg(
         F.sum((n > 0).cast("long")).alias("n_docs_with_email"),
@@ -108,7 +128,7 @@ def _q_email_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     stripped = F.length(F.regexp_replace(F.col("text"), r"[ \t\n\r]", ""))
     return docs.agg(
         F.count("*").alias("n_docs"),
@@ -117,7 +137,7 @@ def _q_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return (docs.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum(F.col("lang").isin("en", "ja").cast("long")).alias("n_kept"),
@@ -153,7 +173,7 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counts \\S+ runs, the same definition as operators/textstats
     token_counts AND the DuckDB twin (trim+split miscounts text bounded by
     non-space whitespace)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     n_tok = F.regexp_count(F.col("text"), F.lit(r"\S+"))
     return docs.agg(
         F.sum(n_tok.cast("long")).alias("total_tokens"),
@@ -233,7 +253,7 @@ def _q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fan=True)
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"))
     cand = emb.filter(F.col("vec_id") > 0)
@@ -255,7 +275,7 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sumi_agent_spark.operators.textstats import BPE_ISH_RE
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     n = F.regexp_count(F.col("text"), F.lit(BPE_ISH_RE)).cast("long")
     return docs.agg(F.sum(n).alias("total_bpe_tokens"),
                     F.max(n).alias("max_bpe_tokens"))
@@ -263,7 +283,7 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sumi_agent_spark.operators.textstats import quality_score
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return quality_score(docs).select("doc_id", "quality_score")
 
 
@@ -302,7 +322,7 @@ def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sumi_agent_spark.operators.textstats import make_winnow_udf
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     winnow = make_winnow_udf(k=8, window=4)
     return docs.agg(
         F.sum(F.size(winnow("text")).cast("long")).alias("total_fingerprints"))
@@ -310,7 +330,7 @@ def _q_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sumi_agent_spark.functions.udfs import make_scrub_udf
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     scrub = make_scrub_udf()
     return (docs.withColumn("_s", scrub("text"))
             .select("doc_id",
@@ -337,7 +357,7 @@ def _q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ingest_post_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sumi_agent_spark.sources.ingest import ingest_post_clean
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return docs.select("doc_id",
                        F.md5(ingest_post_clean(F.col("text"))).alias("clean_hash"))
 
@@ -358,7 +378,7 @@ def _q_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row hashes (order-insensitive, duplicate-sensitive, overflow-safe
     to ~9e9 rows)."""
     from sumi_agent_spark.sources.ingest import flatten_json_text
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan=True)
     flat = ev.select("event_id", flatten_json_text("props").alias("flat"))
     row_h = F.pmod(
         F.xxhash64(F.concat_ws(":", F.col("event_id").cast("string"),
@@ -371,14 +391,14 @@ def _q_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sumi_agent_spark.functions.sections import parse_sections_udf
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return (docs.withColumn("s", parse_sections_udf("text"))
             .select("doc_id", F.size("s").cast("long").alias("n_sections")))
 
 
 def _q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sumi_agent_spark.sources.ingest import strip_html
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return docs.select("doc_id", F.md5(strip_html("text")).alias("stripped_hash"))
 
 
@@ -392,7 +412,7 @@ def _q_rtf_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     trim -- which is exactly what the DuckDB twin computes directly, so
     this oracle is live SQL, not a pin."""
     from sumi_agent_spark.sources.ingest import strip_rtf
-    docs = _t(spark, sf_dir, "documents").filter(
+    docs = _t(spark, sf_dir, "documents", fan=True).filter(
         ~F.col("text").rlike(r"[\\{}]"))
     payload = F.regexp_replace("text", r"\n", r"\\\\par ")
     rtf = F.concat(
@@ -405,7 +425,7 @@ def _q_rtf_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-5-gram Jaccard pairs (>=0.3), expressed with native
     array functions so DuckDB can run the identical computation."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _t(spark, sf_dir, "documents", fan=True).filter(F.col("doc_id") < 200)
     base = docs.select("doc_id", _ngram_shingles_col(k=5).alias("sh"))
     a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"),
                     F.size("sh").cast("double").alias("na"))
@@ -429,7 +449,7 @@ def _q_lang_id_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Our real language-ID classifier over documents (UDF; pinned golden
     oracle -- the langid model is not SQL-expressible)."""
     from sumi_agent_spark.functions.udfs import make_quality_udf
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     quality = make_quality_udf()
     out = docs.withColumn("_q", quality(F.col("text"), F.lit("user")))
     return (out.groupBy(F.col("_q.lang_id").cast("long").alias("lang_id"))
@@ -527,7 +547,7 @@ def _q_ann_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ivf = (ivf_ids.join(brute20, "vec_id", "left_semi")
              .agg(F.count("*").alias("n_ivf_in_brute20")))
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     pairs = minhash_near_duplicates(docs, "doc_id", "text",
                                 threshold=MINHASH_THRESHOLD)
     sh = docs.select("doc_id", _ngram_shingles_col().alias("sh"))
@@ -547,7 +567,7 @@ def _q_toxicity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure regexp_count expressions, so the DuckDB twin runs the identical
     computation (live SQL, not a pin)."""
     from sumi_agent_spark.operators.toxicity import toxicity_scores
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return (toxicity_scores(docs)
             .select("doc_id", "n_severe", "n_mild",
                     F.round(F.col("toxicity") * 1e6).cast("long")
@@ -556,7 +576,7 @@ def _q_toxicity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sumi_agent_spark.operators.textstats import content_fingerprint
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return content_fingerprint(docs).select("doc_id", "fingerprint")
 
 
@@ -574,15 +594,19 @@ def _q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k-1 shingles straddling a chunk edge)."""
     from sumi_agent_spark.operators.dedup import (
         minhash_near_duplicates_grouped)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     # greatest(...,1): an empty text still yields one (empty) turn, and
-    # sequence() with a negative span would otherwise count DOWN
-    turns = docs.select(
+    # sequence() with a negative span would otherwise count DOWN.
+    # split() is hoisted into its own projection: referenced inside the
+    # transform lambda it would otherwise re-split the full text once PER
+    # TURN (measured ~25 turns/doc on this fixture)
+    toks = docs.select("doc_id", F.split("text", " ").alias("_tk"))
+    turns = toks.select(
         "doc_id",
         F.posexplode(F.expr(
-            "transform(sequence(0, greatest(int(ceil(size(split(text, ' ')) "
+            "transform(sequence(0, greatest(int(ceil(size(_tk) "
             "/ 12.0)), 1) - 1), "
-            "i -> array_join(slice(split(text, ' '), i * 12 + 1, 12), ' '))"
+            "i -> array_join(slice(_tk, i * 12 + 1, 12), ' '))"
         )).alias("turn_idx", "turn_text"))
     pairs = minhash_near_duplicates_grouped(
         turns, "doc_id", "turn_text", threshold=MINHASH_THRESHOLD)
@@ -1177,7 +1201,7 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothed log-odds, prior -- from the raw parquet."""
     from sumi_agent_spark.operators.quality_classifier import (
         fit_quality_classifier, score_quality_classifier)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     model = fit_quality_classifier(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
@@ -1244,7 +1268,7 @@ def _q_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sumi_agent_spark.operators.doc_quality import (
         gopher_quality_cols)
     from sumi_agent_spark.operators.funnel import gate_funnel
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     cols = gopher_quality_cols(F.col("text"))
     return gate_funnel(docs, {
         "length": F.length("text") >= FUNNEL_MIN_CHARS,
@@ -1401,7 +1425,7 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet."""
     from sumi_agent_spark.operators.lm_perplexity import (
         fit_unigram_lm, score_perplexity)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     model = fit_unigram_lm(docs.filter(F.col("doc_id") % 2 == 0),
                            min_count=LM_MIN_COUNT, alpha=LM_ALPHA)
     return (score_perplexity(docs.select("doc_id", "text"), model,
@@ -1463,7 +1487,7 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every metric is a single division of exact integer counters, so the
     DuckDB twin recomputing the same counters matches hash-exact."""
     from sumi_agent_spark.operators.repetition import repetition_stats
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return (repetition_stats(docs.select("doc_id", "text"))
             .orderBy("doc_id"))
 
@@ -1478,7 +1502,7 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches hash-exact."""
     from sumi_agent_spark.operators.doc_quality import (
         gopher_quality_stats)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return (gopher_quality_stats(docs.select("doc_id", "text"))
             .orderBy("doc_id"))
 
@@ -1492,7 +1516,7 @@ def _q_c4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ipsum, no brace).  Row-local; the twin recomputes the same string
     predicates."""
     from sumi_agent_spark.operators.doc_quality import c4_stats
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return c4_stats(docs.select("doc_id", "text")).orderBy("doc_id")
 
 
@@ -1507,7 +1531,7 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-first drop path: each source's header survives only in its
     smallest doc_id."""
     from sumi_agent_spark.operators.doc_quality import corpus_line_dedup
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     df = docs.select(
         "doc_id",
         F.concat(F.lit("src "), F.col("source"), F.lit("\n"),
@@ -1852,7 +1876,7 @@ def _q_para_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-doc drop and the normalization itself (twin recomputes the
     same synthesis live)."""
     from sumi_agent_spark.operators.doc_quality import corpus_line_dedup
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     hdr = F.when(
         F.col("doc_id") % 2 == 0,
         F.concat(F.lit("Boilerplate: "), F.col("source"), F.lit("!!")),

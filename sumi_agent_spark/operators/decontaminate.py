@@ -63,6 +63,25 @@ _HASH_BASE = np.uint64(1000003)
 _EMPTY_WINDOW_SENTINEL = "\x00<empty-window>\x00"
 
 
+_POW_TABLE = np.ones(1, dtype=np.uint64)  # _HASH_BASE powers, grown on demand
+
+
+def _base_powers(n: int) -> np.ndarray:
+    """First ``n`` powers of ``_HASH_BASE`` mod 2^64, cached per process.
+
+    ``np.power`` with uint64 exponents computes an integer pow PER
+    ELEMENT and dominated the window-hash profile; a lookup table is one
+    cumprod, amortized across every batch the worker ever sees."""
+    global _POW_TABLE
+    if len(_POW_TABLE) < n:
+        grown = np.empty(n, dtype=np.uint64)
+        grown[0] = 1
+        grown[1:] = np.cumprod(
+            np.full(n - 1, _HASH_BASE, dtype=np.uint64))  # wraps mod 2^64
+        _POW_TABLE = grown
+    return _POW_TABLE
+
+
 def _hash_windows(flat: list[str]) -> np.ndarray:
     """Vectorized polynomial hash (mod 2^64) of each string in ``flat``.
 
@@ -78,9 +97,30 @@ def _hash_windows(flat: list[str]) -> np.ndarray:
     lens = np.array([len(w) for w in flat], dtype=np.int64)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     pos = (np.arange(len(cps), dtype=np.int64)
-           - np.repeat(starts, lens)).astype(np.uint64)
-    terms = cps * np.power(_HASH_BASE, pos)  # wraps mod 2^64 by design
+           - np.repeat(starts, lens))
+    terms = cps * _base_powers(int(lens.max()))[pos]
     return np.add.reduceat(terms, starts)
+
+
+# hash of a zero-token text's single empty window (the old string path
+# hashed the sentinel string; the token-poly path keeps the same value)
+_EMPTY_SENTINEL_HASH = None  # filled lazily: _hash_windows must exist first
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants): a
+    bijective avalanche over uint64, wrapping mod 2^64 by design."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _empty_sentinel_hash() -> np.uint64:
+    global _EMPTY_SENTINEL_HASH
+    if _EMPTY_SENTINEL_HASH is None:
+        _EMPTY_SENTINEL_HASH = np.uint64(_hash_windows([""])[0])
+    return _EMPTY_SENTINEL_HASH
 
 
 def make_word_shingle_udf(n_tokens: int = 13):
@@ -98,21 +138,69 @@ def make_word_shingle_udf(n_tokens: int = 13):
     def word_shingles(texts: pd.Series) -> pd.Series:
         if len(texts) == 0:  # empty Arrow batch (empty partition/stream)
             return pd.Series([], dtype=object)
-        windows_per_row: list[list[str]] = []
-        for t in texts.fillna(""):
-            toks = [x for x in _WS_SPLIT.split(t) if x]
-            if len(toks) < n_tokens:
-                ws = [" ".join(toks)]
+        # r7 optimization: hash each TOKEN once (vectorized), then form
+        # window hashes as a k-token polynomial over the token hashes --
+        # the previous shape materialized every window as a space-joined
+        # STRING (~k x the corpus bytes) and re-hashed those characters,
+        # which dominated the profile ~10x.  Window identity is preserved
+        # (a window's token sequence determines its hash; both the
+        # benchmark and corpus sides share this UDF, and the DuckDB twin
+        # compares the window STRINGS, so the internal hash is free to
+        # change) up to 64-bit collisions, the same risk class every
+        # hash-keyed operator here accepts.
+        n = len(texts)
+        tok_lists = [[x for x in _WS_SPLIT.split(t) if x]
+                     for t in texts.fillna("")]
+        n_toks = np.fromiter((len(tl) for tl in tok_lists),
+                             dtype=np.int64, count=n)
+        flat = [tok for tl in tok_lists for tok in tl]
+        # per-token polynomial hash, then a splitmix64 finalizer: the raw
+        # poly has small codepoint coefficients in the SAME base the
+        # window combine uses, so unmixed token hashes would alias token
+        # sequences exactly the way digit strings alias without a
+        # separator -- mixing makes the combine's coefficients
+        # effectively random 64-bit values
+        tokh = _mix64(_hash_windows(flat))
+        k = n_tokens
+        long_rows = n_toks >= k
+        # rolling big-endian poly over token hashes for full-size windows
+        W = max(int(len(tokh)) - k + 1, 0)
+        row_of = np.repeat(np.arange(n), n_toks)
+        if W > 0:
+            acc = np.zeros(W, dtype=np.uint64)
+            for i in range(k):
+                acc = acc * _HASH_BASE + tokh[i:i + W]
+            valid = ((row_of[:W] == row_of[k - 1:k - 1 + W])
+                     & long_rows[row_of[:W]])
+            wvals, wrows = acc[valid], row_of[:W][valid]
+        else:
+            wvals = np.empty(0, dtype=np.uint64)
+            wrows = np.empty(0, dtype=np.int64)
+        # short rows (< k tokens): ONE window over all their tokens,
+        # same big-endian poly; empty rows hash the sentinel
+        short = ~long_rows
+        svals = np.zeros(n, dtype=np.uint64)
+        if short.any():
+            sel = short[row_of]
+            sh_h, sh_rows = tokh[sel], row_of[sel]
+            if len(sh_h):
+                # per-element weight B^(tokens_after) via pos-from-end
+                ends = np.cumsum(n_toks)[sh_rows] - 1
+                pos_in_flat = np.nonzero(sel)[0]
+                from_end = ends - pos_in_flat
+                pw = _base_powers(int(from_end.max()) + 1)
+                contrib = sh_h * pw[from_end]
+                np.add.at(svals, sh_rows, contrib)
+            svals[short & (n_toks == 0)] = _empty_sentinel_hash()
+        out = []
+        w_starts = np.concatenate(
+            [[0], np.cumsum(np.bincount(wrows, minlength=n))])
+        h64 = wvals.view(np.int64)
+        for r in range(n):
+            if long_rows[r]:
+                out.append(np.unique(h64[w_starts[r]:w_starts[r + 1]]))
             else:
-                ws = [" ".join(toks[i:i + n_tokens])
-                      for i in range(len(toks) - n_tokens + 1)]
-            windows_per_row.append(ws)
-        flat = [w for ws in windows_per_row for w in ws]
-        h = _hash_windows(flat).view(np.int64)
-        out, off = [], 0
-        for ws in windows_per_row:
-            out.append(np.unique(h[off:off + len(ws)]))
-            off += len(ws)
+                out.append(svals[r:r + 1].view(np.int64).copy())
         return pd.Series(out)
 
     return word_shingles
@@ -218,14 +306,16 @@ def flag_benchmark_overlap(
 
     ``broadcast=True`` (default) broadcasts the benchmark shingle set;
     pass False when the benchmark side is itself corpus-sized."""
+    from ..parallel import fan_out
+
     bench = (benchmark_shingle_set(benchmark_df,
                                    bench_text_col or text_col, k, ngrams)
              .withColumn("_hit", F.lit(1)))
     if broadcast:
         bench = F.broadcast(bench)
     sh = _shingler(k, ngrams)
-    exploded = df.select(F.col(id_col).alias("_doc_id"),
-                         F.explode(sh(F.col(text_col))).alias("s"))
+    exploded = fan_out(df).select(F.col(id_col).alias("_doc_id"),
+                                  F.explode(sh(F.col(text_col))).alias("s"))
     # left join: every shingle row survives, so one groupBy yields both
     # the denominator (row count = distinct shingles) and the hit count
     marked = exploded.join(bench, "s", "left")
@@ -286,8 +376,9 @@ def benchmark_overlap_report(
     if broadcast:
         bench = F.broadcast(bench)
     sh = _shingler(k, ngrams)
-    exploded = df.select(F.col(id_col).alias("_doc_id"),
-                         F.explode(sh(F.col(text_col))).alias("s"))
+    from ..parallel import fan_out
+    exploded = fan_out(df).select(F.col(id_col).alias("_doc_id"),
+                                  F.explode(sh(F.col(text_col))).alias("s"))
     out = (exploded.join(bench, "s")
            .groupBy("_doc_id", "_bid")
            .agg(F.count("*").cast("long").alias("n_hits"),
@@ -410,11 +501,14 @@ def flag_benchmark_near_overlap(
     of every keyed operator here)."""
     from .dedup import _banded, make_minhash_udf, resolve_bands
 
+    from ..parallel import fan_out
+
     bench_text_col = bench_text_col or text_col
     stride = stride or max(window_chars // 4, 1)
     bands = resolve_bands(band_threshold, n_hashes, bands)
     sig = make_minhash_udf(n_hashes, shingle_k)
     shingle = make_shingle_udf(shingle_k)
+    df = fan_out(df)  # the window-signature UDF is the dominant cost
 
     bench = benchmark_df.select(F.col(bench_id_col).alias("_bid"),
                                 F.col(bench_text_col).alias("_btext"))

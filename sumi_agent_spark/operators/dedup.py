@@ -83,6 +83,39 @@ def _batch_shingles(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
     return h_s[uniq], row_starts
 
 
+def _batch_shingles_raw(texts: list[str], k: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`_batch_shingles` WITHOUT the per-row unique pass.
+
+    The MinHash signature is a min over each row's shingle MULTISET,
+    which equals the min over its set -- so signature computation never
+    needed the dedup, and the lexsort behind it was the single most
+    expensive step of the batch pipeline (measured ~17x the cost of the
+    rolling hash itself on 280-char windows).  Row segments come
+    straight from the per-row window counts; values within a row stay
+    in text order.  Same padding, same valid-window masking, same
+    hashes as :func:`_batch_shingles`."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    padded = [t if len(t) >= k else t + "\x1f" * (k - len(t)) for t in texts]
+    joined = "".join(padded)
+    cps = np.frombuffer(joined.encode("utf-32-le"),
+                        dtype=np.uint32).astype(np.uint64)
+    lens = np.array([len(p) for p in padded], dtype=np.int64)
+    W = len(cps) - k + 1
+    base = np.uint64(1000003)
+    acc = np.zeros(W, dtype=np.uint64)
+    for i in range(k):
+        acc = acc * base + cps[i:i + W]
+    h = acc & np.uint64((1 << 61) - 1)
+    row_of = np.repeat(np.arange(n), lens)
+    valid = row_of[:W] == row_of[k - 1:k - 1 + W]
+    counts = np.bincount(row_of[:W][valid], minlength=n)
+    row_starts = np.concatenate([[0], np.cumsum(counts)])
+    return h[valid], row_starts
+
+
 def _hash_family(n: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(_SEED)
     a = rng.randint(1, _MERSENNE, size=n, dtype=np.int64).astype(np.uint64)
@@ -97,8 +130,13 @@ def signature_matrix(texts: list, shingle_k: int, n_hashes: int,
     and the streaming fuzzy decontamination UDF
     (``decontaminate.make_fuzzy_flag_udf``).  One definition: a change
     to the signature computation cannot silently desynchronize the
-    batch and streaming sides."""
-    vals, row_starts = _batch_shingles(texts, shingle_k)
+    batch and streaming sides.
+
+    Uses the raw (non-unique) shingle stream: the elementwise min is
+    identical over a multiset and its set, and skipping the per-row
+    unique lexsort is a large constant-factor win
+    (:func:`_batch_shingles_raw`)."""
+    vals, row_starts = _batch_shingles_raw(texts, shingle_k)
     n = len(texts)
     if n == 0:
         return np.empty((0, n_hashes), dtype=np.uint64)
@@ -147,6 +185,48 @@ def make_shingle_udf(shingle_k: int = 5):
                           zip(row_starts[:-1], row_starts[1:])])
 
     return shingles
+
+
+_SIG_SH_TYPE = "struct<sig: array<bigint>, sh: array<bigint>>"
+
+
+def make_sig_shingle_udf(n_hashes: int = 128, shingle_k: int = 5):
+    """Series[str] -> struct(sig, sh): the MinHash signature AND the
+    unique-shingle array in ONE batch pass.
+
+    ``minhash_near_duplicates`` needs both halves (signatures for banding,
+    shingle sets for the exact verify), and computing them with separate
+    UDFs costs two full text scans and two shingle-hashing passes -- plus,
+    under a self-join, the optimizer duplicates each subtree again (the
+    r6 plan evaluated Python four times per query).  Sharing the single
+    ``_batch_shingles`` pass here and materializing the result once
+    (``localCheckpoint`` in the operator) collapses that to ONE Python
+    evaluation.  Per-row values are bit-identical to
+    :func:`make_minhash_udf` / :func:`make_shingle_udf` (same flattened
+    rolling-hash pass, same hash family)."""
+    a, b = _hash_family(n_hashes)
+
+    @pandas_udf(_SIG_SH_TYPE)
+    def sig_shingle(texts: pd.Series) -> pd.DataFrame:
+        n = len(texts)
+        if n == 0:
+            return pd.DataFrame({"sig": pd.Series([], dtype=object),
+                                 "sh": pd.Series([], dtype=object)})
+        vals, row_starts = _batch_shingles(texts.fillna("").tolist(),
+                                           shingle_k)
+        starts = row_starts[:-1]
+        sig = np.empty((n_hashes, n), dtype=np.uint64)
+        for i in range(n_hashes):  # each pass is one fused vector chain
+            sig[i] = np.minimum.reduceat(a[i] * vals + b[i], starts)
+        sig_rows = np.ascontiguousarray(sig.T).view(np.int64)
+        v64 = vals.astype(np.int64)  # < 2^61, no wrap
+        return pd.DataFrame({
+            "sig": pd.Series(list(sig_rows)),
+            "sh": pd.Series([v64[s:e] for s, e in
+                             zip(row_starts[:-1], row_starts[1:])]),
+        })
+
+    return sig_shingle
 
 
 def make_jaccard_udf(shingle_k: int = 5):
@@ -292,6 +372,41 @@ def _banded_pairs(sig_df: DataFrame, id_col: str, bands: int,
             .distinct())
 
 
+# candidate-pair frames at or below this row count are broadcast into the
+# verify joins (two longs per row -> <=80 MB built); larger sets fall back
+# to shuffled joins so an adversarial bucket structure cannot OOM the
+# driver -- the same capped-broadcast discipline the classifier's
+# plan-literal path uses
+_PAIR_BROADCAST_MAX = 5_000_000
+
+
+def _size_prefiltered_pairs(pairs: DataFrame, sizes: DataFrame,
+                            threshold: float) -> DataFrame:
+    """Prune candidate pairs with the LOSSLESS set-size bound before any
+    shingle array moves: ``J(A,B) <= min(|A|,|B|)/max(|A|,|B|)``, so a
+    pair whose shingle counts are more than ``threshold`` apart can never
+    verify and dies on two narrow ints instead of an array intersection
+    (the same bound ``ngram_jaccard`` documents; output is unchanged by
+    construction).  ``pairs`` must be materialized (``localCheckpoint``)
+    -- the row count is then a cheap cached-block action that decides
+    whether the pair set rides the joins as a broadcast
+    (:data:`_PAIR_BROADCAST_MAX`).  ``sizes`` is ``(doc_id, _n)``."""
+    n_pairs = pairs.count()
+    small = n_pairs <= _PAIR_BROADCAST_MAX
+    if small:
+        pairs = F.broadcast(pairs)
+    na = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("_n").alias("_nb"))
+    t = float(threshold)
+    out = (pairs.join(na, "id_a").join(nb, "id_b")
+           .filter((F.col("_nb").cast("double") >= t * F.col("_na"))
+                   & (F.col("_na").cast("double") >= t * F.col("_nb")))
+           .drop("_na", "_nb"))
+    return F.broadcast(out) if small else out
+
+
 def resolve_bands(threshold: float, n_hashes: int,
                   bands: Optional[int]) -> int:
     """Derive-or-validate the LSH band count (shared by every MinHash
@@ -382,14 +497,38 @@ def minhash_near_duplicates(
     Verify stage is JVM-side: candidates join back to each doc's unique
     shingle-hash array (the cheap half of the signature UDF) and exact
     Jaccard is ``array_intersect``/set-size arithmetic inside codegen -- no
-    Python and no re-shingling of full texts per candidate pair."""
+    Python and no re-shingling of full texts per candidate pair.
+
+    Execution shape (r7 optimization): signatures AND shingle arrays come
+    from ONE Arrow pass (:func:`make_sig_shingle_udf`) over a fan-out-
+    repaired scan, materialized once with ``localCheckpoint`` -- the
+    banded self-join and both verify sides then read the cached narrow
+    rows instead of re-running Python four times (the measured r6 plan
+    shape).  The checkpoint is a bounded intermediate of the job itself
+    (~(n_hashes + shingles/doc) longs per doc), the same class of
+    materialization a persisted signature index would hold at scale.
+    Candidate pairs are materialized and counted, then (a) pruned with
+    the LOSSLESS set-size bound ``J(A,B) <= min(|A|,|B|)/max(|A|,|B|)``
+    against the per-doc shingle counts BEFORE any array moves (at the
+    measured sf1.0 geometry ~2/3 of the ~100k banding false positives
+    die on two narrow ints), and (b) broadcast into the verify joins
+    when bounded (:func:`_maybe_broadcast_pairs`) so the wide shingle
+    frames are streamed, never shuffled or broadcast themselves."""
+    from ..parallel import fan_out
+
     bands = resolve_bands(threshold, n_hashes, bands)
-    minhash = make_minhash_udf(n_hashes, shingle_k)
-    shingles = make_shingle_udf(shingle_k)
-    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    sig = base.select("doc_id", minhash("text").alias("sig"))
-    pairs = _banded_pairs(sig, "doc_id", bands, max_bucket_size, observation)
-    sh = base.select("doc_id", shingles("text").alias("sh"))
+    sig_sh = make_sig_shingle_udf(n_hashes, shingle_k)
+    base = fan_out(df.select(F.col(id_col).alias("doc_id"),
+                             F.col(text_col).alias("text")))
+    ss = (base.select("doc_id", sig_sh("text").alias("_ss"))
+          .select("doc_id", F.col("_ss.sig").alias("sig"),
+                  F.col("_ss.sh").alias("sh"))
+          .localCheckpoint())
+    pairs = _banded_pairs(ss.select("doc_id", "sig"), "doc_id", bands,
+                          max_bucket_size, observation).localCheckpoint()
+    sizes = ss.select("doc_id", F.size("sh").alias("_n"))
+    pairs = _size_prefiltered_pairs(pairs, sizes, threshold)
+    sh = ss.select("doc_id", "sh")
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -461,24 +600,29 @@ def minhash_near_duplicates_grouped(
     ``id_a < id_b`` (group keys) and ``jaccard >= threshold`` computed
     exactly over the union shingle sets.
 
-    Plan note: the candidate-pair subtree feeds three consumers (the
-    verify join and both sides of the candidate-group restriction), and
-    the shingle explode feeds four.  AQE's runtime exchange reuse
-    deduplicates the shared stages (measured: 7 ReusedExchange nodes in
-    the executed plan; wall time ~1.2x the per-doc operator on identical
-    5000-doc input, not the ~5x a true recompute would cost), so no
-    internal persist() -- and its cache-lifecycle burden -- is needed."""
+    Plan note (r7 optimization): the candidate-pair subtree feeds three
+    consumers and the shingle explode four, so both are materialized once
+    with ``localCheckpoint`` -- bounded intermediates (group signatures:
+    n_hashes longs per group; candidate shingle rows: restricted to
+    candidate groups, which are rare by construction).  Before r7 this
+    leaned on AQE exchange reuse, which deduplicated some but not all of
+    the repeated subtrees (the r6 plan still evaluated the signature UDF
+    per consumer).  The per-row UDF input is fan-out-repaired first so a
+    single-row-group scan cannot serialize the signature pass."""
+    from ..parallel import fan_out
+
     bands = resolve_bands(threshold, n_hashes, bands)
     shingles = make_shingle_udf(shingle_k)
-    base = df.select(F.col(group_col).alias("gid"),
-                     F.col(text_col).alias("text"))
+    base = fan_out(df.select(F.col(group_col).alias("gid"),
+                             F.col(text_col).alias("text")))
     # elementwise UNSIGNED min across the group's row signatures == the
     # signature of the union shingle set (min-of-mins); n_hashes scalar min
     # aggregates keep this a partial-aggregating hash agg (map-side
     # combine), which a collect_list-then-reduce formulation would not be
-    group_sig = _group_signatures(base, "gid", "text", n_hashes, shingle_k)
+    group_sig = _group_signatures(base, "gid", "text", n_hashes,
+                                  shingle_k).localCheckpoint()
     pairs = _banded_pairs(group_sig, "gid", bands, max_bucket_size,
-                          observation)
+                          observation).localCheckpoint()
     cand = (pairs.select(F.col("id_a").alias("gid"))
             .union(pairs.select(F.col("id_b").alias("gid")))
             .distinct())
@@ -486,8 +630,14 @@ def minhash_near_duplicates_grouped(
     # row's unique-shingle array, dedup on (gid, shingle)
     sh_rows = (base.join(cand, "gid", "left_semi")
                .select("gid", F.explode(shingles("text")).alias("sh"))
-               .distinct())
-    sizes = sh_rows.groupBy("gid").agg(F.count("*").alias("n_sh"))
+               .distinct().localCheckpoint())
+    sizes = (sh_rows.groupBy("gid").agg(F.count("*").alias("n_sh"))
+             .localCheckpoint())
+    # lossless set-size prune + bounded broadcast before the exploded
+    # intersection join (see _size_prefiltered_pairs)
+    pairs = _size_prefiltered_pairs(
+        pairs, sizes.select(F.col("gid").alias("doc_id"),
+                            F.col("n_sh").alias("_n")), threshold)
     ea = sh_rows.select(F.col("gid").alias("id_a"), "sh")
     eb = sh_rows.select(F.col("gid").alias("id_b"), "sh")
     inter = (pairs.join(ea, "id_a").join(eb, ["id_b", "sh"])
@@ -690,9 +840,17 @@ def simhash_near_duplicates(
     exact-verify with popcount (native bit ops, JVM-side)."""
     from pyspark.sql.window import Window
 
+    from ..parallel import fan_out
+
     simhash = make_simhash_udf()
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     simhash(F.col(text_col)).alias("sh"))
+    # fan_out: parallelize the single-row-group scan feeding the UDF;
+    # localCheckpoint: the self-join consumes this subtree twice, and the
+    # materialized form is two longs per doc -- cheaper than one repeated
+    # Python pass, let alone two
+    base = (fan_out(df.select(F.col(id_col).alias("doc_id"),
+                              F.col(text_col).alias("text")))
+            .select("doc_id", simhash(F.col("text")).alias("sh"))
+            .localCheckpoint())
     width = 64 // chunks
     chunked = (base
                .withColumn("chunk", F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))))
@@ -786,11 +944,14 @@ def embedding_near_duplicates(
     collide with high probability), then exact-verify cosine JVM-side."""
     from pyspark.sql.window import Window
 
+    from ..parallel import fan_out
+
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"]
     bucket = make_hyperplane_bucket_udf(n_planes, dim)
-    base = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
-                     bucket(F.col(vec_col)).alias("bkt"))
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
+        bucket(F.col(vec_col)).alias("bkt"))
     sized = base.withColumn("bucket_n",
                             F.count("*").over(Window.partitionBy("bkt")))
     if observation is not None:

@@ -177,6 +177,19 @@ def changed_preindexed_ids(
                   .join(pre.select("doc_id"), "doc_id", "left_semi"),
                   "doc_id", meta["epoch"])
               .withColumnRenamed("v", "v_old"))
+    # the change probe is EXACT array equality, so the element types must
+    # match: an upstream float->double drift would make the implicit cast
+    # read EVERY committed key as changed, committing a fresh epoch per
+    # run (non-convergent) with no diagnostic -- raise instead (r6 ADVICE)
+    slice_t = pre.schema["v"].dataType
+    stored_t = stored.schema["v_old"].dataType
+    if slice_t != stored_t:
+        raise ValueError(
+            f"changed_preindexed_ids: slice vector type {slice_t.simpleString()} "
+            f"differs from the index's stored type {stored_t.simpleString()} "
+            f"-- an implicit cast would mark every committed key as "
+            f"changed and reindex the whole slice each run; align the "
+            f"upstream embedding column type (or rebuild the index)")
     return (pre.join(stored, "doc_id")
             .filter(F.col("v") != F.col("v_old"))
             .select("doc_id"))
@@ -200,7 +213,10 @@ def write_embedding_index(
     (:func:`_check_model_rev`)."""
     spark = df.sparkSession
     _delete_stale_epoch_markers(spark, index_path)
-    base = _unique_vec_rows(_clean_base(df, id_col, vec_col))
+    # localCheckpoint: the dedup groupBy feeds the dim probe and both
+    # store writes -- three actions that would each recompute it
+    base = _unique_vec_rows(_clean_base(df, id_col, vec_col)) \
+        .localCheckpoint()
     lo, hi = _dim_bounds(base)
     if lo is None:
         raise ValueError(
@@ -311,15 +327,22 @@ def embedding_near_duplicates_incremental(
     spark = new_df.sparkSession
     meta = _read_meta(spark, index_path)
     _check_model_rev(meta, model_rev)
-    base = _clean_base(new_df, id_col, vec_col)
+    from ..parallel import fan_out
+
+    # fan_out: a single-row-group slice scan would serialize the bucket
+    # UDF and the verify joins behind one task
+    base = fan_out(_clean_base(new_df, id_col, vec_col))
     _check_dim(base, meta)
     from pyspark.sql.window import Window
 
     bucket = make_hyperplane_bucket_udf(meta["n_planes"], meta["dim"])
     threshold = meta["threshold"]
     live = meta["epoch"]
+    # localCheckpoint: the anti-joined slice feeds the bucket UDF, the
+    # verify union and the phantom anti-join -- three consumers that
+    # would each re-read the slice and re-run the committed-key anti-join
     base = base.join(_committed_ids(spark, index_path, live), "doc_id",
-                     "left_anti")
+                     "left_anti").localCheckpoint()
     new_b = (base.select("doc_id", bucket("v").alias("bkt"))
              .withColumn("is_new", F.lit(True)))
     # epoch resolution BEFORE the capping window: a reindexed key's stale
@@ -355,7 +378,9 @@ def embedding_near_duplicates_incremental(
                             for j in range(int(meta["n_planes"]))])
         a = a.select("doc_id", "is_new",
                      F.explode(neighbor_keys).alias("bkt"))
-    pairs = _canonical_candidate_pairs(a, capped, "doc_id", "bkt")
+    # localCheckpoint: pairs feeds both candidate branches + the verify
+    pairs = _canonical_candidate_pairs(a, capped, "doc_id", "bkt") \
+        .localCheckpoint()
     # verify vectors: store rows restricted to candidate ids (never the
     # full corpus) and anti-joined against the slice so a crashed
     # append's phantom vectors cannot pair twice; plus the slice's own

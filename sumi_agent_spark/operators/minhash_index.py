@@ -50,6 +50,7 @@ from .dedup import (
     bucket_cap_stats,
     make_minhash_udf,
     make_shingle_udf,
+    make_sig_shingle_udf,
     resolve_bands,
 )
 
@@ -211,13 +212,19 @@ def write_minhash_index(
     bands = resolve_bands(threshold, n_hashes, bands)
     spark = df.sparkSession
     _delete_stale_epoch_markers(spark, index_path)
-    minhash = make_minhash_udf(n_hashes, shingle_k)
-    shingles = make_shingle_udf(shingle_k)
+    # ONE Arrow pass computes signatures and shingle arrays together
+    # (make_sig_shingle_udf), materialized once -- the two store writes
+    # then read cached narrow rows instead of each re-running Python over
+    # the full corpus text (r7 optimization; values are bit-identical)
+    sig_sh = make_sig_shingle_udf(n_hashes, shingle_k)
     base = _unique_doc_rows(df, id_col, text_col)
-    (base.select("doc_id", shingles("text").alias("sh"))
+    ss = (base.select("doc_id", sig_sh("text").alias("_ss"))
+          .select("doc_id", F.col("_ss.sig").alias("sig"),
+                  F.col("_ss.sh").alias("sh"))
+          .localCheckpoint())
+    (ss.select("doc_id", "sh")
      .write.mode("overwrite").parquet(f"{index_path}/shingles"))
-    sig = base.select("doc_id", minhash("text").alias("sig"))
-    (_banded(sig, "doc_id", bands)
+    (_banded(ss.select("doc_id", "sig"), "doc_id", bands)
      .write.mode("overwrite").partitionBy("band")
      .parquet(f"{index_path}/bands"))
     meta = {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k,
@@ -309,10 +316,18 @@ def minhash_near_duplicates_incremental(
     shingles = make_shingle_udf(meta["shingle_k"])
     threshold = meta["threshold"]
 
-    base = (new_df.select(F.col(id_col).alias("doc_id"),
-                          F.col(text_col).alias("text"))
+    from ..parallel import fan_out
+
+    # fan_out: a single-row-group slice scan would serialize the
+    # signature UDF; localCheckpoint: base feeds the signature pass, the
+    # candidate-restricted verify shingles AND the store anti-join --
+    # three consumers that would each re-scan the slice and re-run the
+    # committed-key anti-join (a band-store read) per reference
+    base = (fan_out(new_df.select(F.col(id_col).alias("doc_id"),
+                                  F.col(text_col).alias("text")))
             .join(_committed_doc_ids(spark, index_path, live), "doc_id",
-                  "left_anti"))
+                  "left_anti")
+            .localCheckpoint())
     sig = base.select("doc_id", minhash("text").alias("sig"))
     new_banded = _banded(sig, "doc_id", meta["bands"]) \
         .withColumn("is_new", F.lit(True))
@@ -344,9 +359,12 @@ def minhash_near_duplicates_incremental(
         sized = _observe_capping(sized, observation, max_bucket_size)
     capped = sized.filter(F.col("bucket_n") <= max_bucket_size) \
         .drop("bucket_n")
-    # left side: slice rows only
+    # left side: slice rows only.  localCheckpoint: pairs feeds both
+    # candidate-restriction branches and the final verify join -- without
+    # it each reference recomputes the banded window + self-join
     pairs = _canonical_candidate_pairs(
-        capped.filter("is_new"), capped, "doc_id", ["band", "band_key"])
+        capped.filter("is_new"), capped, "doc_id", ["band", "band_key"]) \
+        .localCheckpoint()
 
     # verify inputs are semi-join-restricted to candidate ids BEFORE the
     # union: without the restriction every incremental run would shuffle
@@ -371,7 +389,12 @@ def minhash_near_duplicates_incremental(
                   .join(cand, "doc_id", "left_semi"),
                   "doc_id", live)
               .join(base.select("doc_id"), "doc_id", "left_anti"))
-    all_sh = old_sh.unionByName(new_sh)
+    # candidate-restricted, so bounded: materialize once for the size
+    # prune + both verify sides
+    all_sh = old_sh.unionByName(new_sh).localCheckpoint()
+    from .dedup import _size_prefiltered_pairs
+    pairs = _size_prefiltered_pairs(
+        pairs, all_sh.select("doc_id", F.size("sh").alias("_n")), threshold)
     sa = all_sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = all_sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (pairs.join(sa, "id_a").join(sb, "id_b")
@@ -441,14 +464,17 @@ def reindex_docs(
     spark = changed_df.sparkSession
     meta = _read_meta(spark, index_path)
     new_epoch = meta["epoch"] + 1
-    minhash = make_minhash_udf(meta["n_hashes"], meta["shingle_k"])
-    shingles = make_shingle_udf(meta["shingle_k"])
+    # one shared signature+shingle pass, as in write_minhash_index
+    sig_sh = make_sig_shingle_udf(meta["n_hashes"], meta["shingle_k"])
     base = _unique_doc_rows(changed_df, id_col, text_col)
-    (base.select("doc_id", shingles("text").alias("sh"))
+    ss = (base.select("doc_id", sig_sh("text").alias("_ss"))
+          .select("doc_id", F.col("_ss.sig").alias("sig"),
+                  F.col("_ss.sh").alias("sh"))
+          .localCheckpoint())
+    (ss.select("doc_id", "sh")
      .write.mode("overwrite")
      .parquet(_epoch_path(index_path, "shingles", new_epoch)))
-    sig = base.select("doc_id", minhash("text").alias("sig"))
-    (_banded(sig, "doc_id", meta["bands"])
+    (_banded(ss.select("doc_id", "sig"), "doc_id", meta["bands"])
      .write.mode("overwrite").partitionBy("band")
      .parquet(_epoch_path(index_path, "bands", new_epoch)))
     meta_new = {"n_hashes": meta["n_hashes"], "bands": meta["bands"],
@@ -737,8 +763,14 @@ def _filter_predecessor_shadow(
          .withColumn("_cval", F.when(F.col("new_a"), F.col(val_b))
                                .otherwise(F.col(val_a)))
          .join(probe_old, "_pid", "left"))
-    shadow = (mixed & F.col(old_col).isNotNull()
-              & (sim_fn(F.col("_cval"), F.col(old_col)) >= threshold))
+    # coalesce: sim_fn can yield NULL (cosine of a zero-norm stored old
+    # vector is 0/0), and filter(~NULL) would silently drop the verified
+    # pair -- a NULL similarity must never void a real duplicate (r6
+    # ADVICE)
+    shadow = F.coalesce(
+        mixed & F.col(old_col).isNotNull()
+        & (sim_fn(F.col("_cval"), F.col(old_col)) >= threshold),
+        F.lit(False))
     return (v.filter(~shadow)
             .select("id_a", "id_b",
                     F.round(score_col, 6).alias(score_col),

@@ -99,30 +99,94 @@ def _grams_expr(n: int) -> str:
             f"ELSE array() END")
 
 
-def _unit_dup_fracs(units: DataFrame, id_cols: list[str],
-                    prefix: str) -> DataFrame:
-    """Per-doc duplicate-unit fractions from exploded ``(ids..., unit)``
-    rows: ``{prefix}_frac`` (occurrence-weighted) and
-    ``{prefix}_char_frac`` (unit-length-weighted)."""
-    counts = (units.groupBy(*id_cols, "unit")
-              .agg(F.count("*").alias("c"),
-                   F.first(F.length("unit")).alias("ulen")))
-    dup = F.col("c") >= 2
-    agg = (counts.groupBy(*id_cols)
-           .agg(F.sum("c").alias("_n"),
-                F.sum(F.when(dup, F.col("c")).otherwise(0)).alias("_nd"),
-                F.sum(F.col("c") * F.col("ulen")).alias("_ch"),
-                F.sum(F.when(dup, F.col("c") * F.col("ulen"))
-                      .otherwise(0)).alias("_chd")))
-    frac = F.when(F.col("_n") > 0,
-                  F.col("_nd").cast("double")
-                  / F.col("_n").cast("double")).otherwise(F.lit(0.0))
-    cfrac = F.when(F.col("_ch") > 0,
-                   F.col("_chd").cast("double")
-                   / F.col("_ch").cast("double")).otherwise(F.lit(0.0))
-    return agg.select(*id_cols,
-                      F.round(frac, 6).alias(f"{prefix}_frac"),
-                      F.round(cfrac, 6).alias(f"{prefix}_char_frac"))
+# ─── row-local duplicate counting over sorted arrays (r7 optimization) ───
+#
+# Every metric in this module is PER-DOCUMENT, so nothing about it needs a
+# shuffle: the pre-r7 implementation exploded each document's units into
+# corpus-wide rows and paid 11 groupBy exchanges + 11 joins per call.  The
+# same exact integer counters fall out of each row's own sorted unit
+# array: after ``array_sort`` (binary UTF8 collation -- the same tie order
+# the exploded groupBy used), equal units are adjacent, so
+#
+# * an occurrence belongs to a duplicated unit  <=>  it equals a sorted
+#   neighbor, and
+# * the most-frequent unit is the longest equal-run (first such run wins
+#   ties = lexicographically smallest, as before).
+#
+# Both are one ``aggregate`` fold per array, carrying the previous element
+# and the current run length in a struct accumulator -- exact integer
+# arithmetic, identical values, zero exchanges.
+
+
+def _dup_run_fold(sorted_arr: Column) -> Column:
+    """struct(nd, chd, n, ch) from one fold over a sorted unit array:
+    occurrences in runs of length >= 2 (``nd``), their char sum
+    (``chd``), total occurrences (``n``) and total chars (``ch``)."""
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("cc"),
+        F.lit(0).cast("long").alias("nd"),
+        F.lit(0).cast("long").alias("chd"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("ch"))
+
+    def merge(acc, x):
+        run_ends = (acc["cc"] > 0) & (x != acc["prev"])
+        flush_nd = F.when(run_ends & (acc["cc"] >= 2), acc["cc"]) \
+            .otherwise(F.lit(0).cast("long"))
+        flush_chd = F.when(run_ends & (acc["cc"] >= 2),
+                           acc["cc"] * F.length(acc["prev"]).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            F.when(run_ends | (acc["cc"] == 0), F.lit(1).cast("long"))
+             .otherwise(acc["cc"] + 1).alias("cc"),
+            (acc["nd"] + flush_nd).alias("nd"),
+            (acc["chd"] + flush_chd).alias("chd"),
+            (acc["n"] + 1).alias("n"),
+            (acc["ch"] + F.length(x).cast("long")).alias("ch"))
+
+    def finish(acc):
+        last_dup = acc["cc"] >= 2
+        return F.struct(
+            (acc["nd"] + F.when(last_dup, acc["cc"])
+             .otherwise(F.lit(0).cast("long"))).alias("nd"),
+            (acc["chd"] + F.when(
+                last_dup, acc["cc"] * F.length(acc["prev"]).cast("long"))
+             .otherwise(F.lit(0).cast("long"))).alias("chd"),
+            acc["n"].alias("n"), acc["ch"].alias("ch"))
+
+    return F.aggregate(sorted_arr, zero, merge, finish)
+
+
+def _top_run_fold(sorted_arr: Column) -> Column:
+    """struct(bc, bl) from one fold over a sorted gram array: the count of
+    the most frequent gram (``bc``) and that gram's char length (``bl``).
+    Strict ``>`` keeps the FIRST maximal run, i.e. the lexicographically
+    smallest gram -- the same deterministic tie rule as before."""
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("cc"),
+        F.lit(0).cast("long").alias("bc"),
+        F.lit(0).cast("long").alias("bl"))
+
+    def merge(acc, x):
+        run_ends = (acc["cc"] > 0) & (x != acc["prev"])
+        better = run_ends & (acc["cc"] > acc["bc"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(run_ends | (acc["cc"] == 0), F.lit(1).cast("long"))
+             .otherwise(acc["cc"] + 1).alias("cc"),
+            F.when(better, acc["cc"]).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, F.length(acc["prev"]).cast("long"))
+             .otherwise(acc["bl"]).alias("bl"))
+
+    def finish(acc):
+        better = acc["cc"] > acc["bc"]
+        return F.struct(
+            F.when(better, acc["cc"]).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, F.length(acc["prev"]).cast("long"))
+             .otherwise(acc["bl"]).alias("bl"))
+
+    return F.aggregate(sorted_arr, zero, merge, finish)
 
 
 def repetition_stats(
@@ -139,7 +203,15 @@ def repetition_stats(
     across engines and partitionings.
 
     ``id_cols`` must uniquely key ``df`` (like the index/sampling
-    operators, duplicate keys would merge two documents' counters)."""
+    operators, duplicate keys would merge two documents' counters).
+
+    Execution shape (r7 optimization): every counter is computed
+    row-locally by folding the row's own SORTED unit arrays
+    (:func:`_dup_run_fold` / :func:`_top_run_fold`) -- the plan has no
+    Exchange at all, where the previous explode + groupBy formulation
+    paid 11 corpus-wide shuffles and 11 joins for per-document
+    metrics.  Counter values are identical exact integers; the division
+    and rounding are unchanged."""
     if id_cols is None:
         id_cols = ["doc_id"]
     for n in (*top_ns, *dup_ns):
@@ -149,73 +221,52 @@ def repetition_stats(
     base = df.select(*id_cols, text.alias("_text"),
                      _tokens(F.col(text_col)).alias("_toks"))
 
-    lines = (base.select(*id_cols,
-                         F.explode(F.filter(
-                             F.split("_text", LINE_SPLIT),
-                             lambda x: x != "")).alias("unit")))
-    paras = (base.select(*id_cols,
-                         F.explode(F.filter(
-                             F.split("_text", PARA_SPLIT),
-                             lambda x: x != "")).alias("unit")))
-    out = (base.select(*id_cols, F.length("_text").alias("_len"))
-           .join(_unit_dup_fracs(lines, id_cols, "dup_line"),
-                 id_cols, "left")
-           .join(_unit_dup_fracs(paras, id_cols, "dup_para"),
-                 id_cols, "left"))
-
+    lines_sorted = F.array_sort(F.filter(
+        F.split(F.col("_text"), LINE_SPLIT), lambda x: x != ""))
+    paras_sorted = F.array_sort(F.filter(
+        F.split(F.col("_text"), PARA_SPLIT), lambda x: x != ""))
+    proj = [F.length("_text").alias("_len"),
+            _dup_run_fold(lines_sorted).alias("_lines"),
+            _dup_run_fold(paras_sorted).alias("_paras")]
     for n in top_ns:
-        gcounts = (base.select(*id_cols,
-                               F.explode(F.expr(_grams_expr(n)))
-                               .alias("gram"))
-                   .groupBy(*id_cols, "gram")
-                   .agg(F.count("*").alias("c")))
-        # min of (-c, gram): largest count, ties -> lexicographically
-        # smallest gram; one map-side-combinable agg, no window
-        top = (gcounts.groupBy(*id_cols)
-               .agg(F.min(F.struct((-F.col("c")).alias("nc"),
-                                   F.col("gram").alias("g"))).alias("t"))
-               .select(*id_cols,
-                       (-F.col("t.nc")).alias("_c"),
-                       F.length("t.g").alias("_glen")))
-        out = out.join(top, id_cols, "left").withColumn(
-            f"top{n}_char_frac",
-            F.round(F.when(
-                (F.col("_len") > 0) & (F.col("_c") >= 2),
-                F.least(F.lit(1.0),
-                        (F.col("_c") * F.col("_glen")).cast("double")
-                        / F.col("_len").cast("double")))
-             .otherwise(F.lit(0.0)), 6)).drop("_c", "_glen")
-
+        proj.append(_top_run_fold(F.array_sort(F.expr(_grams_expr(n))))
+                    .alias(f"_top{n}"))
     for n in dup_ns:
-        gcounts = (base.select(*id_cols,
-                               F.explode(F.expr(_grams_expr(n)))
-                               .alias("gram"))
-                   .groupBy(*id_cols, "gram")
-                   .agg(F.count("*").alias("c"),
-                        F.first(F.length("gram")).alias("glen")))
-        dupchars = (gcounts.filter(F.col("c") >= 2)
-                    .groupBy(*id_cols)
-                    .agg(F.sum(F.col("c") * F.col("glen")).alias("_dch")))
-        out = out.join(dupchars, id_cols, "left").withColumn(
-            f"dup{n}_char_frac",
-            F.round(F.when(
-                (F.col("_len") > 0) & F.col("_dch").isNotNull(),
-                F.least(F.lit(1.0),
-                        F.col("_dch").cast("double")
-                        / F.col("_len").cast("double")))
-             .otherwise(F.lit(0.0)), 6)).drop("_dch")
+        proj.append(_dup_run_fold(F.array_sort(F.expr(_grams_expr(n))))
+                    .alias(f"_dup{n}"))
+    agg = base.select(*id_cols, *proj)
 
-    cols = (list(id_cols)
-            + ["dup_line_frac", "dup_line_char_frac",
-               "dup_para_frac", "dup_para_char_frac"]
-            + [f"top{n}_char_frac" for n in top_ns]
-            + [f"dup{n}_char_frac" for n in dup_ns])
-    out = out.drop("_len")
-    # a doc with no units (empty text) got NULL fracs from the left
-    # joins -- normalize to 0.0
-    for c in cols[len(id_cols):]:
-        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
-    return out.select(*cols)
+    def unit_fracs(s: str, prefix: str) -> list:
+        frac = F.when(F.col(f"{s}.n") > 0,
+                      F.col(f"{s}.nd").cast("double")
+                      / F.col(f"{s}.n").cast("double")).otherwise(F.lit(0.0))
+        cfrac = F.when(F.col(f"{s}.ch") > 0,
+                       F.col(f"{s}.chd").cast("double")
+                       / F.col(f"{s}.ch").cast("double")) \
+            .otherwise(F.lit(0.0))
+        return [F.round(frac, 6).alias(f"{prefix}_frac"),
+                F.round(cfrac, 6).alias(f"{prefix}_char_frac")]
+
+    out_cols = list(id_cols)
+    out_cols += unit_fracs("_lines", "dup_line")
+    out_cols += unit_fracs("_paras", "dup_para")
+    for n in top_ns:
+        s = f"_top{n}"
+        out_cols.append(F.round(F.when(
+            (F.col("_len") > 0) & (F.col(f"{s}.bc") >= 2),
+            F.least(F.lit(1.0),
+                    (F.col(f"{s}.bc") * F.col(f"{s}.bl")).cast("double")
+                    / F.col("_len").cast("double")))
+            .otherwise(F.lit(0.0)), 6).alias(f"top{n}_char_frac"))
+    for n in dup_ns:
+        s = f"_dup{n}"
+        out_cols.append(F.round(F.when(
+            (F.col("_len") > 0) & (F.col(f"{s}.chd") > 0),
+            F.least(F.lit(1.0),
+                    F.col(f"{s}.chd").cast("double")
+                    / F.col("_len").cast("double")))
+            .otherwise(F.lit(0.0)), 6).alias(f"dup{n}_char_frac"))
+    return agg.select(*out_cols)
 
 
 def repetition_keep_condition(

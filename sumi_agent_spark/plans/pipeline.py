@@ -1926,20 +1926,46 @@ def run_pipeline(
                             # conversation scope: a dropped gid deletes ALL
                             # of the conversation's replacement rows
                             # (eqNullSafe: a NULL conv_id group must not
-                            # slip the drop, same as the decontam drop)
+                            # slip the drop, same as the decontam drop).
+                            # Probe ONLY conversations whose TEXT changed
+                            # (gids present in nd_changed_rows, the full-
+                            # member changed set): with the embedding gate
+                            # on, up_keyed can also carry embedding-changed-
+                            # only turn rows -- a PARTIAL member set whose
+                            # partial content the grouped probe would treat
+                            # as the conversation's full current text,
+                            # skewing the probe jaccard and the own-history
+                            # carve-out (r6 ADVICE).  An embedding-only
+                            # change leaves the text signature valid, so
+                            # those conversations need no text probe.
                             from ..operators.minhash_index import (
                                 probe_grouped_index_near_duplicates)
-                            gdrop = incremental_drop_keys(
-                                probe_grouped_index_near_duplicates(
-                                    up_keyed, "conv_id", "text",
-                                    near_dedup_index_path)
-                            ).withColumnRenamed("doc_id", "_gdrop")
-                            del_srcs.append(
-                                up_keyed.join(
-                                    F.broadcast(gdrop),
-                                    up_keyed["conv_id"].eqNullSafe(
-                                        F.col("_gdrop")),
-                                    "left_semi").select("_ck"))
+                            gprobe_in = up_keyed
+                            if eb_changed_rows is not None:
+                                if nd_changed_rows is None:
+                                    gprobe_in = None
+                                else:
+                                    nd_gids = (nd_changed_rows
+                                               .select(F.col("conv_id")
+                                                       .alias("_nd_conv"))
+                                               .distinct())
+                                    gprobe_in = up_keyed.join(
+                                        F.broadcast(nd_gids),
+                                        up_keyed["conv_id"].eqNullSafe(
+                                            F.col("_nd_conv")),
+                                        "left_semi")
+                            if gprobe_in is not None:
+                                gdrop = incremental_drop_keys(
+                                    probe_grouped_index_near_duplicates(
+                                        gprobe_in, "conv_id", "text",
+                                        near_dedup_index_path)
+                                ).withColumnRenamed("doc_id", "_gdrop")
+                                del_srcs.append(
+                                    up_keyed.join(
+                                        F.broadcast(gdrop),
+                                        up_keyed["conv_id"].eqNullSafe(
+                                            F.col("_gdrop")),
+                                        "left_semi").select("_ck"))
                     if eb_gate_on and _try_read_first(
                             spark, f"{embedding_index_path}/meta") is not None:
                         from ..operators.embedding_index import (
