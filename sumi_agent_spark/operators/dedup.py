@@ -335,19 +335,33 @@ def capped_bucket_metrics(observation) -> Optional[dict]:
     }
 
 
-def _banded(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
-    """Explode signatures into (doc_id, band, band_key) LSH bucket rows."""
+def _banded(sig_df: DataFrame, id_col: str, bands: int,
+            key: str = "xxh64") -> DataFrame:
+    """Explode signatures into (doc_id, band, band_key) LSH bucket rows.
+
+    ``key`` picks the bucket-key hash: ``"xxh64"`` (default) emits an
+    8-byte long -- native xxhash64 over the slice string, much cheaper
+    to compute, shuffle and window-sort than the 32-char md5 string.
+    Equal slices collide under ANY deterministic hash, and every
+    candidate is exact-verified downstream, so the key choice cannot
+    change operator output (a cross-hash collision only adds a candidate
+    the verify then scores -- the accepted 64-bit-collision risk class).
+    The PERSISTED index stores keep ``key="md5"``: their band_key column
+    is on-disk format, and changing it would make an existing index
+    silently match nothing."""
     n_hashes_col = F.size("sig")
     rows_per_band = (n_hashes_col / bands).cast("int")
+    slice_str = F.concat_ws(
+        ",", F.col("band"),
+        F.slice("sig", F.col("band") * rows_per_band + 1,
+                rows_per_band).cast("array<string>"))
+    band_key = (F.xxhash64(slice_str) if key == "xxh64"
+                else F.md5(slice_str))
     return (
         sig_df
         .select(F.col(id_col).alias("doc_id"), "sig")
         .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
-        .withColumn("band_key",
-                    F.md5(F.concat_ws(
-                        ",", F.col("band"),
-                        F.slice("sig", F.col("band") * rows_per_band + 1,
-                                rows_per_band).cast("array<string>"))))
+        .withColumn("band_key", band_key)
         .select("doc_id", "band", "band_key"))
 
 

@@ -36,7 +36,8 @@ live from the raw parquet (the ``lm_perplexity`` contract query does).
 Scale shape: the weight table is one row per vocabulary token --
 reference vocabularies at ``min_count >= 2`` are tens of MBs,
 broadcastable; for a corpus-sized vocabulary raise ``min_count`` or
-drop the broadcast hint and let AQE pick the join.  Determinism: all
+pass ``score_perplexity(..., broadcast=False)`` to let the planner
+shuffle the token join instead.  Determinism: all
 counts are exact ints, probabilities are one division + one ``ln``;
 per-document sums of doubles carry summation-order slack, bridged by
 ``round(6)`` exactly like the classifier twin.
@@ -104,16 +105,27 @@ def score_perplexity(
     id_cols: list[str],
     text_col: str = "text",
     output_col: str = "log_ppl",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Append per-row ``output_col`` = mean negative token log-prob in
     nats (NULL for token-less rows).  ``id_cols`` must uniquely key
     ``df`` (the per-row aggregate is joined back on them -- the same
-    documented requirement as the classifier/sampling operators)."""
+    documented requirement as the classifier/sampling operators).
+
+    ``broadcast=True`` (default) hints the weight table into a broadcast
+    join -- right for reference-corpus vocabularies (tens of MBs).  Pass
+    ``False`` for a corpus-sized vocabulary that would not fit a
+    broadcast and let the planner shuffle the token join instead (the
+    same escape hatch ``flag_benchmark_overlap`` exposes; values are
+    identical either way)."""
     unk = float(model["meta"]["unk_lp"])
+    weights = model["weights"]
+    if broadcast:
+        weights = F.broadcast(weights)
     toks = (df.select(*id_cols,
                       F.explode(token_col(F.col(text_col)))
                       .alias("token")))
-    scored = (toks.join(F.broadcast(model["weights"]), "token", "left")
+    scored = (toks.join(weights, "token", "left")
               .groupBy(*id_cols)
               .agg(F.sum(F.coalesce(F.col("lp"), F.lit(unk))).alias("_s"),
                    F.count("*").alias("_n")))

@@ -224,7 +224,7 @@ def write_minhash_index(
           .localCheckpoint())
     (ss.select("doc_id", "sh")
      .write.mode("overwrite").parquet(f"{index_path}/shingles"))
-    (_banded(ss.select("doc_id", "sig"), "doc_id", bands)
+    (_banded(ss.select("doc_id", "sig"), "doc_id", bands, key="md5")
      .write.mode("overwrite").partitionBy("band")
      .parquet(f"{index_path}/bands"))
     meta = {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k,
@@ -268,7 +268,7 @@ def append_to_minhash_index(
     bd_existing = _committed_doc_ids(spark, index_path, live)
     sig = (base.join(bd_existing, "doc_id", "left_anti")
            .select("doc_id", minhash("text").alias("sig")))
-    (_banded(sig, "doc_id", meta["bands"])
+    (_banded(sig, "doc_id", meta["bands"], key="md5")
      .write.mode("append").partitionBy("band")
      .parquet(f"{index_path}/bands"))
 
@@ -329,7 +329,7 @@ def minhash_near_duplicates_incremental(
                   "left_anti")
             .localCheckpoint())
     sig = base.select("doc_id", minhash("text").alias("sig"))
-    new_banded = _banded(sig, "doc_id", meta["bands"]) \
+    new_banded = _banded(sig, "doc_id", meta["bands"], key="md5") \
         .withColumn("is_new", F.lit(True))
     # epoch resolution BEFORE the capping window: a reindexed doc's stale
     # epoch-0 band rows must neither inflate bucket sizes nor generate
@@ -429,7 +429,7 @@ def minhash_index_bucket_audit(
            .join(_committed_doc_ids(spark, index_path, live), "doc_id",
                  "left_anti")
            .select("doc_id", minhash("text").alias("sig")))
-    new_banded = _banded(sig, "doc_id", meta["bands"])
+    new_banded = _banded(sig, "doc_id", meta["bands"], key="md5")
     old_banded = _resolve_latest(
         _read_epoched(spark, index_path, "bands", live,
                       ["doc_id", "band", "band_key"]),
@@ -474,7 +474,7 @@ def reindex_docs(
     (ss.select("doc_id", "sh")
      .write.mode("overwrite")
      .parquet(_epoch_path(index_path, "shingles", new_epoch)))
-    (_banded(ss.select("doc_id", "sig"), "doc_id", meta["bands"])
+    (_banded(ss.select("doc_id", "sig"), "doc_id", meta["bands"], key="md5")
      .write.mode("overwrite").partitionBy("band")
      .parquet(_epoch_path(index_path, "bands", new_epoch)))
     meta_new = {"n_hashes": meta["n_hashes"], "bands": meta["bands"],
@@ -591,7 +591,7 @@ def probe_index_near_duplicates(
 
     base = _unique_doc_rows(probe_df, id_col, text_col)
     sig = base.select("doc_id", minhash("text").alias("sig"))
-    probe_banded = (_banded(sig, "doc_id", meta["bands"])
+    probe_banded = (_banded(sig, "doc_id", meta["bands"], key="md5")
                     .withColumn("is_new", F.lit(True)))
     # corpus rows of probe keys are the dying old content: excluded before
     # bucketing so they neither pair nor inflate bucket sizes (the
@@ -891,7 +891,7 @@ def reindex_groups(
      .parquet(_epoch_path(index_path, "shingles", new_epoch)))
     gsig = _group_signatures(base, "gid", "text", meta["n_hashes"],
                              meta["shingle_k"])
-    (_banded(gsig, "gid", meta["bands"])
+    (_banded(gsig, "gid", meta["bands"], key="md5")
      .write.mode("overwrite").partitionBy("band")
      .parquet(_epoch_path(index_path, "bands", new_epoch)))
     meta_new = {"n_hashes": meta["n_hashes"], "bands": meta["bands"],
@@ -970,7 +970,7 @@ def write_grouped_minhash_index(
     (_group_shingle_rows(base, "gid", "text", shingle_k)
      .write.mode("overwrite").parquet(f"{index_path}/shingles"))
     gsig = _group_signatures(base, "gid", "text", n_hashes, shingle_k)
-    (_banded(gsig, "gid", bands)
+    (_banded(gsig, "gid", bands, key="md5")
      .write.mode("overwrite").partitionBy("band")
      .parquet(f"{index_path}/bands"))
     meta = {"n_hashes": n_hashes, "bands": bands, "shingle_k": shingle_k,
@@ -1006,7 +1006,7 @@ def append_grouped_to_minhash_index(
     gsig = _group_signatures(base.join(bd_existing, "gid", "left_anti"),
                              "gid", "text", meta["n_hashes"],
                              meta["shingle_k"])
-    (_banded(gsig, "gid", meta["bands"])
+    (_banded(gsig, "gid", meta["bands"], key="md5")
      .write.mode("append").partitionBy("band")
      .parquet(f"{index_path}/bands"))
 
@@ -1046,7 +1046,7 @@ def minhash_near_duplicates_grouped_incremental(
 
     gsig = _group_signatures(base, "gid", "text", meta["n_hashes"],
                              meta["shingle_k"])
-    new_banded = (_banded(gsig, "gid", meta["bands"])  # aliases to doc_id
+    new_banded = (_banded(gsig, "gid", meta["bands"], key="md5")  # aliases to doc_id
                   .withColumnRenamed("doc_id", "gid")
                   .withColumn("is_new", F.lit(True)))
     # epoch resolution BEFORE the capping window: a rebuilt group's stale
@@ -1172,7 +1172,7 @@ def probe_grouped_index_near_duplicates(
 
     gsig = _group_signatures(base, "gid", "text", meta["n_hashes"],
                              meta["shingle_k"])
-    probe_banded = (_banded(gsig, "gid", meta["bands"])
+    probe_banded = (_banded(gsig, "gid", meta["bands"], key="md5")
                     .withColumnRenamed("doc_id", "gid")
                     .withColumn("is_new", F.lit(True)))
     old_banded = (_resolve_latest_bucket_restricted(
@@ -1297,7 +1297,7 @@ def minhash_grouped_index_bucket_audit(
             .join(committed, "gid", "left_anti"))
     gsig = _group_signatures(base, "gid", "text", meta["n_hashes"],
                              meta["shingle_k"])
-    new_banded = _banded(gsig, "gid", meta["bands"])  # aliases to doc_id
+    new_banded = _banded(gsig, "gid", meta["bands"], key="md5")  # aliases to doc_id
     old_banded = _resolve_latest(
         _read_epoched(spark, index_path, "bands", live,
                       ["doc_id", "band", "band_key"]),

@@ -81,112 +81,179 @@ GOPHER_THRESHOLDS = {
 }
 
 
-def _tokens(text: Column) -> Column:
-    """Whitespace tokens of ``text``, empties removed, NULL-safe."""
-    return F.filter(F.split(F.coalesce(text, F.lit("")), WS_CLASS),
-                    lambda t: t != "")
-
-
-def _grams_expr(n: int) -> str:
-    """SQL expression string: word ``n``-grams of the ``_toks`` column
-    (space-joined), empty array when fewer than ``n`` tokens.  The
-    size guard matters: Spark's ``sequence(0, -1)`` DESCENDS instead of
-    returning an empty array."""
-    parts = ", ".join(f"_toks[i + {j}]" for j in range(n))
-    return (f"CASE WHEN size(_toks) >= {n} THEN "
-            f"transform(sequence(0, size(_toks) - {n}), "
-            f"i -> concat_ws(' ', {parts})) "
-            f"ELSE array() END")
-
-
-# ─── row-local duplicate counting over sorted arrays (r7 optimization) ───
+# ─── vectorized per-batch metric kernel (r7 optimization) ───
 #
-# Every metric in this module is PER-DOCUMENT, so nothing about it needs a
-# shuffle: the pre-r7 implementation exploded each document's units into
-# corpus-wide rows and paid 11 groupBy exchanges + 11 joins per call.  The
-# same exact integer counters fall out of each row's own sorted unit
-# array: after ``array_sort`` (binary UTF8 collation -- the same tie order
-# the exploded groupBy used), equal units are adjacent, so
-#
-# * an occurrence belongs to a duplicated unit  <=>  it equals a sorted
-#   neighbor, and
-# * the most-frequent unit is the longest equal-run (first such run wins
-#   ties = lexicographically smallest, as before).
-#
-# Both are one ``aggregate`` fold per array, carrying the previous element
-# and the current run length in a struct accumulator -- exact integer
-# arithmetic, identical values, zero exchanges.
+# Every metric in this module is PER-DOCUMENT, so nothing about it needs
+# a shuffle.  Two earlier shapes were measured at sf1.0 and rejected:
+# the original explode + groupBy formulation paid 11 corpus-wide
+# exchanges (+ 11 joins) for per-document counters (~15 s), and a
+# Catalyst rewrite over sorted arrays with ``aggregate`` folds removed
+# the exchanges but ran interpreted per element (~13 s -- higher-order
+# functions do not codegen).  The shipped kernel hands each Arrow batch
+# to numpy (optimization-guide §4.2): tokens are hashed once with the
+# shared vectorized polynomial (splitmix64-finalized, the same scheme
+# the word-shingle decontamination UDF uses), every gram size is a
+# k-pass rolling combine over the token-hash array, and duplicate
+# counting is one lexsort + run-length pass per size (~2 s, zero
+# Exchange).  Counter values stay exact integers; divisions and the
+# HALF_UP rounding replicate ``F.round(x, 6)`` via the same Decimal
+# quantize the streaming kernel uses, so results are bit-identical.
+# Gram identity is the 64-bit mixed hash: two different grams colliding
+# could in principle perturb a count -- the same risk class every
+# hash-keyed operator in this repo accepts (and the lexicographic
+# tie-break for the top gram is still decided on the REAL strings of
+# the tied candidates, reconstructed only for ties).
 
 
-def _dup_run_fold(sorted_arr: Column) -> Column:
-    """struct(nd, chd, n, ch) from one fold over a sorted unit array:
-    occurrences in runs of length >= 2 (``nd``), their char sum
-    (``chd``), total occurrences (``n``) and total chars (``ch``)."""
-    zero = F.struct(
-        F.lit("").alias("prev"), F.lit(0).cast("long").alias("cc"),
-        F.lit(0).cast("long").alias("nd"),
-        F.lit(0).cast("long").alias("chd"),
-        F.lit(0).cast("long").alias("n"),
-        F.lit(0).cast("long").alias("ch"))
-
-    def merge(acc, x):
-        run_ends = (acc["cc"] > 0) & (x != acc["prev"])
-        flush_nd = F.when(run_ends & (acc["cc"] >= 2), acc["cc"]) \
-            .otherwise(F.lit(0).cast("long"))
-        flush_chd = F.when(run_ends & (acc["cc"] >= 2),
-                           acc["cc"] * F.length(acc["prev"]).cast("long")) \
-            .otherwise(F.lit(0).cast("long"))
-        return F.struct(
-            x.alias("prev"),
-            F.when(run_ends | (acc["cc"] == 0), F.lit(1).cast("long"))
-             .otherwise(acc["cc"] + 1).alias("cc"),
-            (acc["nd"] + flush_nd).alias("nd"),
-            (acc["chd"] + flush_chd).alias("chd"),
-            (acc["n"] + 1).alias("n"),
-            (acc["ch"] + F.length(x).cast("long")).alias("ch"))
-
-    def finish(acc):
-        last_dup = acc["cc"] >= 2
-        return F.struct(
-            (acc["nd"] + F.when(last_dup, acc["cc"])
-             .otherwise(F.lit(0).cast("long"))).alias("nd"),
-            (acc["chd"] + F.when(
-                last_dup, acc["cc"] * F.length(acc["prev"]).cast("long"))
-             .otherwise(F.lit(0).cast("long"))).alias("chd"),
-            acc["n"].alias("n"), acc["ch"].alias("ch"))
-
-    return F.aggregate(sorted_arr, zero, merge, finish)
+def _r6(x: float) -> float:
+    """``F.round(x, 6)`` replica: HALF_UP on the exact binary expansion
+    (``round`` builtin is banker's and diverges at exact midpoints like
+    1/128)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(x).quantize(Decimal("1e-6"),
+                                     rounding=ROUND_HALF_UP))
 
 
-def _top_run_fold(sorted_arr: Column) -> Column:
-    """struct(bc, bl) from one fold over a sorted gram array: the count of
-    the most frequent gram (``bc``) and that gram's char length (``bl``).
-    Strict ``>`` keeps the FIRST maximal run, i.e. the lexicographically
-    smallest gram -- the same deterministic tie rule as before."""
-    zero = F.struct(
-        F.lit("").alias("prev"), F.lit(0).cast("long").alias("cc"),
-        F.lit(0).cast("long").alias("bc"),
-        F.lit(0).cast("long").alias("bl"))
+def metric_names(top_ns: tuple[int, ...],
+                 dup_ns: tuple[int, ...]) -> list[str]:
+    return (["dup_line_frac", "dup_line_char_frac",
+             "dup_para_frac", "dup_para_char_frac"]
+            + [f"top{n}_char_frac" for n in top_ns]
+            + [f"dup{n}_char_frac" for n in dup_ns])
 
-    def merge(acc, x):
-        run_ends = (acc["cc"] > 0) & (x != acc["prev"])
-        better = run_ends & (acc["cc"] > acc["bc"])
-        return F.struct(
-            x.alias("prev"),
-            F.when(run_ends | (acc["cc"] == 0), F.lit(1).cast("long"))
-             .otherwise(acc["cc"] + 1).alias("cc"),
-            F.when(better, acc["cc"]).otherwise(acc["bc"]).alias("bc"),
-            F.when(better, F.length(acc["prev"]).cast("long"))
-             .otherwise(acc["bl"]).alias("bl"))
 
-    def finish(acc):
-        better = acc["cc"] > acc["bc"]
-        return F.struct(
-            F.when(better, acc["cc"]).otherwise(acc["bc"]).alias("bc"),
-            F.when(better, F.length(acc["prev"]).cast("long"))
-             .otherwise(acc["bl"]).alias("bl"))
+def make_repetition_stats_udf(top_ns: tuple[int, ...] = TOP_NS,
+                              dup_ns: tuple[int, ...] = DUP_NS):
+    """Series[str] -> struct of the repetition metrics, batch-vectorized
+    (module-section comment above has the full design rationale)."""
+    import re as _re
 
-    return F.aggregate(sorted_arr, zero, merge, finish)
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .decontaminate import _HASH_BASE, _hash_windows, _mix64
+
+    names = metric_names(top_ns, dup_ns)
+    schema = ", ".join(f"{nm}: double" for nm in names)
+    line_re = _re.compile(LINE_SPLIT)
+    para_re = _re.compile(PARA_SPLIT)
+    ws_re = _re.compile(WS_CLASS)
+    gram_sizes = tuple(sorted(set(top_ns) | set(dup_ns)))
+    top_set, dup_set = set(top_ns), set(dup_ns)
+
+    @pandas_udf(f"struct<{schema}>")
+    def repetition_metrics(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        n = len(texts)
+        cols = {nm: np.zeros(n, dtype=np.float64) for nm in names}
+        if n == 0:
+            return pd.DataFrame(cols)
+        tl = texts.fillna("").tolist()
+        total = np.fromiter((len(t) for t in tl), np.int64, count=n)
+
+        # line/paragraph duplicate fractions: units per doc are few, so
+        # a per-row Counter (the proven streaming kernel's shape) is
+        # cheaper than any batch machinery
+        for prefix, rex in (("dup_line", line_re), ("dup_para", para_re)):
+            fr = cols[f"{prefix}_frac"]
+            cf = cols[f"{prefix}_char_frac"]
+            for i, t in enumerate(tl):
+                units = [u for u in rex.split(t) if u]
+                if not units:
+                    continue
+                c = Counter(units)
+                nd = chd = ch = 0
+                for u, v in c.items():
+                    ln = v * len(u)
+                    ch += ln
+                    if v >= 2:
+                        nd += v
+                        chd += ln
+                fr[i] = _r6(nd / len(units))
+                cf[i] = _r6(chd / ch) if ch else 0.0
+
+        tok_lists = [[x for x in ws_re.split(t) if x] for t in tl]
+        n_toks = np.fromiter((len(x) for x in tok_lists), np.int64,
+                             count=n)
+        flat = [tok for tlst in tok_lists for tok in tlst]
+        if not flat:
+            return pd.DataFrame(cols)
+        tokh = _mix64(_hash_windows(flat))
+        tok_lens = np.fromiter((len(t) for t in flat), np.int64,
+                               count=len(flat))
+        cum = np.concatenate([[0], np.cumsum(tok_lens)])
+        row_of = np.repeat(np.arange(n), n_toks)
+
+        for g in gram_sizes:
+            W = len(tokh) - g + 1
+            if W <= 0:
+                continue
+            acc = np.zeros(W, dtype=np.uint64)
+            for j in range(g):  # one fused vector chain per pass
+                acc = acc * _HASH_BASE + tokh[j:j + W]
+            valid = row_of[:W] == row_of[g - 1:g - 1 + W]
+            gv, rv = acc[valid], row_of[:W][valid]
+            iv = np.nonzero(valid)[0]  # window start, global token idx
+            # gram char length: its tokens + (g-1) joining spaces
+            glen = (cum[iv + g] - cum[iv]) + (g - 1)
+            order = np.lexsort((gv, rv))
+            gs, rs = gv[order], rv[order]
+            newrun = np.ones(len(gs), dtype=bool)
+            if len(gs) > 1:
+                newrun[1:] = (rs[1:] != rs[:-1]) | (gs[1:] != gs[:-1])
+            run_id = np.cumsum(newrun) - 1
+            counts = np.bincount(run_id)
+            starts = np.nonzero(newrun)[0]
+            run_row = rs[starts]
+            run_len = glen[order][starts]
+            run_pos = iv[order][starts]
+            if g in dup_set:
+                m = counts >= 2
+                dch = np.bincount(
+                    run_row[m],
+                    weights=(counts[m] * run_len[m]).astype(np.float64),
+                    minlength=n)  # exact: integer-valued < 2^53
+                col = cols[f"dup{g}_char_frac"]
+                for i in np.nonzero((total > 0) & (dch > 0))[0]:
+                    col[i] = _r6(min(1.0, dch[i] / total[i]))
+            if g in top_set:
+                max_count = np.zeros(n, dtype=np.int64)
+                np.maximum.at(max_count, run_row, counts)
+                cand = (counts >= 2) & (counts == max_count[run_row])
+                c_rows = run_row[cand]
+                c_len = run_len[cand]
+                c_pos = run_pos[cand]
+                o2 = np.argsort(c_rows, kind="stable")
+                c_rows, c_len, c_pos = c_rows[o2], c_len[o2], c_pos[o2]
+                col = cols[f"top{g}_char_frac"]
+                k = 0
+                while k < len(c_rows):
+                    k2 = k
+                    while k2 < len(c_rows) and c_rows[k2] == c_rows[k]:
+                        k2 += 1
+                    i = int(c_rows[k])
+                    if total[i] > 0:
+                        if k2 - k == 1:
+                            ln = int(c_len[k])
+                        else:
+                            # tie on count: the REAL lexicographically
+                            # smallest gram string decides (code-point
+                            # order == binary UTF-8 order)
+                            best = None
+                            ln = 0
+                            for idx in range(k, k2):
+                                s = " ".join(
+                                    flat[int(c_pos[idx]):
+                                         int(c_pos[idx]) + g])
+                                if best is None or s < best:
+                                    best, ln = s, len(s)
+                        col[i] = _r6(min(
+                            1.0, (int(max_count[i]) * ln) / total[i]))
+                    k = k2
+        return pd.DataFrame(cols)
+
+    return repetition_metrics
 
 
 def repetition_stats(
@@ -205,68 +272,23 @@ def repetition_stats(
     ``id_cols`` must uniquely key ``df`` (like the index/sampling
     operators, duplicate keys would merge two documents' counters).
 
-    Execution shape (r7 optimization): every counter is computed
-    row-locally by folding the row's own SORTED unit arrays
-    (:func:`_dup_run_fold` / :func:`_top_run_fold`) -- the plan has no
-    Exchange at all, where the previous explode + groupBy formulation
-    paid 11 corpus-wide shuffles and 11 joins for per-document
-    metrics.  Counter values are identical exact integers; the division
-    and rounding are unchanged."""
+    Execution shape (r7 optimization): one vectorized Arrow pass per
+    batch (:func:`make_repetition_stats_udf`) over a fan-out-repaired
+    scan -- the plan has no Exchange at all, where the previous explode
+    + groupBy formulation paid 11 corpus-wide shuffles and 11 joins for
+    per-document metrics."""
     if id_cols is None:
         id_cols = ["doc_id"]
-    for n in (*top_ns, *dup_ns):
-        if n < 2:
-            raise ValueError(f"n-gram sizes must be >= 2, got {n}")
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    base = df.select(*id_cols, text.alias("_text"),
-                     _tokens(F.col(text_col)).alias("_toks"))
+    for g in (*top_ns, *dup_ns):
+        if g < 2:
+            raise ValueError(f"n-gram sizes must be >= 2, got {g}")
+    from ..parallel import fan_out
 
-    lines_sorted = F.array_sort(F.filter(
-        F.split(F.col("_text"), LINE_SPLIT), lambda x: x != ""))
-    paras_sorted = F.array_sort(F.filter(
-        F.split(F.col("_text"), PARA_SPLIT), lambda x: x != ""))
-    proj = [F.length("_text").alias("_len"),
-            _dup_run_fold(lines_sorted).alias("_lines"),
-            _dup_run_fold(paras_sorted).alias("_paras")]
-    for n in top_ns:
-        proj.append(_top_run_fold(F.array_sort(F.expr(_grams_expr(n))))
-                    .alias(f"_top{n}"))
-    for n in dup_ns:
-        proj.append(_dup_run_fold(F.array_sort(F.expr(_grams_expr(n))))
-                    .alias(f"_dup{n}"))
-    agg = base.select(*id_cols, *proj)
-
-    def unit_fracs(s: str, prefix: str) -> list:
-        frac = F.when(F.col(f"{s}.n") > 0,
-                      F.col(f"{s}.nd").cast("double")
-                      / F.col(f"{s}.n").cast("double")).otherwise(F.lit(0.0))
-        cfrac = F.when(F.col(f"{s}.ch") > 0,
-                       F.col(f"{s}.chd").cast("double")
-                       / F.col(f"{s}.ch").cast("double")) \
-            .otherwise(F.lit(0.0))
-        return [F.round(frac, 6).alias(f"{prefix}_frac"),
-                F.round(cfrac, 6).alias(f"{prefix}_char_frac")]
-
-    out_cols = list(id_cols)
-    out_cols += unit_fracs("_lines", "dup_line")
-    out_cols += unit_fracs("_paras", "dup_para")
-    for n in top_ns:
-        s = f"_top{n}"
-        out_cols.append(F.round(F.when(
-            (F.col("_len") > 0) & (F.col(f"{s}.bc") >= 2),
-            F.least(F.lit(1.0),
-                    (F.col(f"{s}.bc") * F.col(f"{s}.bl")).cast("double")
-                    / F.col("_len").cast("double")))
-            .otherwise(F.lit(0.0)), 6).alias(f"top{n}_char_frac"))
-    for n in dup_ns:
-        s = f"_dup{n}"
-        out_cols.append(F.round(F.when(
-            (F.col("_len") > 0) & (F.col(f"{s}.chd") > 0),
-            F.least(F.lit(1.0),
-                    F.col(f"{s}.chd").cast("double")
-                    / F.col("_len").cast("double")))
-            .otherwise(F.lit(0.0)), 6).alias(f"dup{n}_char_frac"))
-    return agg.select(*out_cols)
+    udf = make_repetition_stats_udf(tuple(top_ns), tuple(dup_ns))
+    names = metric_names(tuple(top_ns), tuple(dup_ns))
+    out = fan_out(df).select(*id_cols, udf(F.col(text_col)).alias("_r"))
+    return out.select(*id_cols,
+                      *[F.col(f"_r.{nm}").alias(nm) for nm in names])
 
 
 def repetition_keep_condition(

@@ -127,7 +127,12 @@ def stratified_sample_n(
     duplicates -- a loud error instead of a silent nondeterminism; the
     check is an eager Spark job, so callers that have ALREADY deduped
     and need a lazy plan can pass ``strict=False`` (run exact dedup
-    first if the key is not unique).  The balanced-mix primitive: n per
+    first if the key is not unique).  Cost note (measured r6): the
+    guard's count + hash-distinct count pass is the whole reason
+    ``stratified_topn`` regressed 0.40 -> 0.56 s in the r6 bench --
+    after the first validated run of a static input, pass
+    ``strict=False`` in a pipeline gate and keep the guard for new or
+    changing inputs.  The balanced-mix primitive: n per
     language, n per source, n per topic bucket.  One window over a hash
     exchange on the strata; for a hot stratum, pre-thin with
     :func:`deterministic_sample` (same seed) first -- hash-prefix top-n

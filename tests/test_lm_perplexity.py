@@ -90,6 +90,18 @@ def test_scoring_plan_jvm_only_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_broadcast_opt_out_matches(spark):
+    # broadcast=False must change the plan, never the values (the
+    # corpus-sized-vocabulary escape hatch)
+    ref = _ref(spark, [f"tok{i % 7} tok{i % 3} filler" for i in range(50)])
+    m = fit_unigram_lm(ref, min_count=2)
+    df = _ref(spark, [f"tok{i % 5} other words here" for i in range(30)])
+    a = sorted(score_perplexity(df, m, ["doc_id"]).collect())
+    b = sorted(score_perplexity(df, m, ["doc_id"],
+                                broadcast=False).collect())
+    assert a == b
+
+
 def test_model_roundtrip_and_crash_retry(spark, tmp_path):
     m = fit_unigram_lm(_ref(spark, ["a a b b c"]), min_count=2)
     path = str(tmp_path / "lm")

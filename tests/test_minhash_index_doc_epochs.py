@@ -180,17 +180,30 @@ def test_changed_preindexed_ids_splits_identical_from_changed(
 
 def test_epoch0_doc_read_path_has_no_resolution_window(spark, tmp_path):
     """A never-reindexed doc index reads exactly as before epochs existed:
-    the per-doc max-epoch window appears only after a reindex."""
+    the per-doc max-epoch window appears only after a reindex.  (r7: the
+    incremental operator localCheckpoints its intermediates, which
+    truncates the public plan, so the property is asserted on the shared
+    epoch-read helpers the operator delegates to -- the same ONE
+    implementation every reader uses.)"""
+    from sumi_agent_spark.operators.minhash_index import (
+        _read_epoched, _read_meta, _resolve_latest)
+
     path = str(tmp_path / "didx")
     write_minhash_index(_old(spark), "doc_id", "text", path, threshold=0.6)
-    plan0 = (minhash_near_duplicates_incremental(
-        _slice(spark), "doc_id", "text", path)
+    live0 = _read_meta(spark, path)["epoch"]
+    assert live0 == 0
+    plan0 = (_resolve_latest(
+        _read_epoched(spark, path, "bands", live0,
+                      ["doc_id", "band", "band_key"]), "doc_id", live0)
         ._jdf.queryExecution().optimizedPlan().toString())
     assert "_emax" not in plan0
 
     reindex_docs(_changed(spark), "doc_id", "text", path)
-    plan1 = (minhash_near_duplicates_incremental(
-        _slice(spark), "doc_id", "text", path)
+    live1 = _read_meta(spark, path)["epoch"]
+    assert live1 == 1
+    plan1 = (_resolve_latest(
+        _read_epoched(spark, path, "bands", live1,
+                      ["doc_id", "band", "band_key"]), "doc_id", live1)
         ._jdf.queryExecution().optimizedPlan().toString())
     assert "_emax" in plan1
 

@@ -73,7 +73,9 @@ def test_blocked_cosine_plan_shape(spark):
 def test_scrub_docs_plan_prunes_and_fuses(spark):
     import __spark_entry__ as e
     plan = _plan(e.queries()["scrub_docs"](spark, "/root/testdata/sf0.001"))
-    assert "Exchange" not in plan
+    # exactly the r7 fan-out repartition -- no aggregation/join shuffles
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
     assert plan.count("ArrowEvalPython") == 1
     read = plan.split("ReadSchema:")[-1]
     assert "doc_id" in read and "source" not in read  # unused cols pruned

@@ -111,12 +111,17 @@ def test_partitioning_invariance(spark):
     assert a == b
 
 
-def test_no_python_udf_in_plan(spark):
+def test_plan_is_one_vectorized_pass_no_shuffle(spark):
+    # r7 shape: one Arrow-vectorized batch kernel, zero Exchange -- no
+    # per-row pickled Python (BatchEvalPython) and no corpus shuffle
+    # (the pre-r7 explode+groupBy paid 11 of them)
     df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
     plan = repetition_stats(df)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    # at most the fan_out repartition -- never the 11 groupBy exchanges
+    assert plan.count("Exchange") <= 1
 
 
 def test_gopher_filter_drops_breaching_doc(spark):
