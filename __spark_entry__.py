@@ -553,7 +553,7 @@ def _q_ann_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # built the shingle transform for every doc on both join sides)
     pairs = minhash_near_duplicates(docs, "doc_id", "text",
                                 threshold=MINHASH_THRESHOLD) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     pair_ids = (pairs.select(F.col("id_a").alias("doc_id"))
                 .union(pairs.select(F.col("id_b").alias("doc_id")))
                 .distinct())

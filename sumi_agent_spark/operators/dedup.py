@@ -537,9 +537,9 @@ def minhash_near_duplicates(
     ss = (base.select("doc_id", sig_sh("text").alias("_ss"))
           .select("doc_id", F.col("_ss.sig").alias("sig"),
                   F.col("_ss.sh").alias("sh"))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     pairs = _banded_pairs(ss.select("doc_id", "sig"), "doc_id", bands,
-                          max_bucket_size, observation).localCheckpoint()
+                          max_bucket_size, observation).localCheckpoint(eager=False)
     sizes = ss.select("doc_id", F.size("sh").alias("_n"))
     pairs = _size_prefiltered_pairs(pairs, sizes, threshold)
     sh = ss.select("doc_id", "sh")
@@ -634,9 +634,9 @@ def minhash_near_duplicates_grouped(
     # aggregates keep this a partial-aggregating hash agg (map-side
     # combine), which a collect_list-then-reduce formulation would not be
     group_sig = _group_signatures(base, "gid", "text", n_hashes,
-                                  shingle_k).localCheckpoint()
+                                  shingle_k).localCheckpoint(eager=False)
     pairs = _banded_pairs(group_sig, "gid", bands, max_bucket_size,
-                          observation).localCheckpoint()
+                          observation).localCheckpoint(eager=False)
     cand = (pairs.select(F.col("id_a").alias("gid"))
             .union(pairs.select(F.col("id_b").alias("gid")))
             .distinct())
@@ -644,9 +644,9 @@ def minhash_near_duplicates_grouped(
     # row's unique-shingle array, dedup on (gid, shingle)
     sh_rows = (base.join(cand, "gid", "left_semi")
                .select("gid", F.explode(shingles("text")).alias("sh"))
-               .distinct().localCheckpoint())
+               .distinct().localCheckpoint(eager=False))
     sizes = (sh_rows.groupBy("gid").agg(F.count("*").alias("n_sh"))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     # lossless set-size prune + bounded broadcast before the exploded
     # intersection join (see _size_prefiltered_pairs)
     pairs = _size_prefiltered_pairs(
@@ -864,7 +864,7 @@ def simhash_near_duplicates(
     base = (fan_out(df.select(F.col(id_col).alias("doc_id"),
                               F.col(text_col).alias("text")))
             .select("doc_id", simhash(F.col("text")).alias("sh"))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
     width = 64 // chunks
     chunked = (base
                .withColumn("chunk", F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))))

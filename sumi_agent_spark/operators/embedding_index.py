@@ -216,7 +216,7 @@ def write_embedding_index(
     # localCheckpoint: the dedup groupBy feeds the dim probe and both
     # store writes -- three actions that would each recompute it
     base = _unique_vec_rows(_clean_base(df, id_col, vec_col)) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     lo, hi = _dim_bounds(base)
     if lo is None:
         raise ValueError(
@@ -342,7 +342,7 @@ def embedding_near_duplicates_incremental(
     # verify union and the phantom anti-join -- three consumers that
     # would each re-read the slice and re-run the committed-key anti-join
     base = base.join(_committed_ids(spark, index_path, live), "doc_id",
-                     "left_anti").localCheckpoint()
+                     "left_anti").localCheckpoint(eager=False)
     new_b = (base.select("doc_id", bucket("v").alias("bkt"))
              .withColumn("is_new", F.lit(True)))
     # epoch resolution BEFORE the capping window: a reindexed key's stale
@@ -380,7 +380,7 @@ def embedding_near_duplicates_incremental(
                      F.explode(neighbor_keys).alias("bkt"))
     # localCheckpoint: pairs feeds both candidate branches + the verify
     pairs = _canonical_candidate_pairs(a, capped, "doc_id", "bkt") \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     # verify vectors: store rows restricted to candidate ids (never the
     # full corpus) and anti-joined against the slice so a crashed
     # append's phantom vectors cannot pair twice; plus the slice's own

@@ -221,7 +221,7 @@ def write_minhash_index(
     ss = (base.select("doc_id", sig_sh("text").alias("_ss"))
           .select("doc_id", F.col("_ss.sig").alias("sig"),
                   F.col("_ss.sh").alias("sh"))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     (ss.select("doc_id", "sh")
      .write.mode("overwrite").parquet(f"{index_path}/shingles"))
     (_banded(ss.select("doc_id", "sig"), "doc_id", bands, key="md5")
@@ -327,7 +327,7 @@ def minhash_near_duplicates_incremental(
                                   F.col(text_col).alias("text")))
             .join(_committed_doc_ids(spark, index_path, live), "doc_id",
                   "left_anti")
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
     sig = base.select("doc_id", minhash("text").alias("sig"))
     new_banded = _banded(sig, "doc_id", meta["bands"], key="md5") \
         .withColumn("is_new", F.lit(True))
@@ -364,7 +364,7 @@ def minhash_near_duplicates_incremental(
     # it each reference recomputes the banded window + self-join
     pairs = _canonical_candidate_pairs(
         capped.filter("is_new"), capped, "doc_id", ["band", "band_key"]) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
 
     # verify inputs are semi-join-restricted to candidate ids BEFORE the
     # union: without the restriction every incremental run would shuffle
@@ -391,7 +391,7 @@ def minhash_near_duplicates_incremental(
               .join(base.select("doc_id"), "doc_id", "left_anti"))
     # candidate-restricted, so bounded: materialize once for the size
     # prune + both verify sides
-    all_sh = old_sh.unionByName(new_sh).localCheckpoint()
+    all_sh = old_sh.unionByName(new_sh).localCheckpoint(eager=False)
     from .dedup import _size_prefiltered_pairs
     pairs = _size_prefiltered_pairs(
         pairs, all_sh.select("doc_id", F.size("sh").alias("_n")), threshold)
@@ -470,7 +470,7 @@ def reindex_docs(
     ss = (base.select("doc_id", sig_sh("text").alias("_ss"))
           .select("doc_id", F.col("_ss.sig").alias("sig"),
                   F.col("_ss.sh").alias("sh"))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     (ss.select("doc_id", "sh")
      .write.mode("overwrite")
      .parquet(_epoch_path(index_path, "shingles", new_epoch)))
