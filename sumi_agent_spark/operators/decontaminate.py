@@ -64,21 +64,32 @@ _EMPTY_WINDOW_SENTINEL = "\x00<empty-window>\x00"
 
 
 _POW_TABLE = np.ones(1, dtype=np.uint64)  # _HASH_BASE powers, grown on demand
+_POW_CACHE_MAX = 1 << 16  # cap the per-process cache at 512 KB
 
 
 def _base_powers(n: int) -> np.ndarray:
-    """First ``n`` powers of ``_HASH_BASE`` mod 2^64, cached per process.
+    """First ``n`` powers of ``_HASH_BASE`` mod 2^64.
 
     ``np.power`` with uint64 exponents computes an integer pow PER
-    ELEMENT and dominated the window-hash profile; a lookup table is one
-    cumprod, amortized across every batch the worker ever sees."""
+    ELEMENT and dominated the window-hash profile; a cumprod table is
+    cheap.  Requests up to :data:`_POW_CACHE_MAX` are cached per process
+    and amortized across every batch the worker ever sees; a larger
+    request (one pathological multi-megabyte token) gets a TRANSIENT
+    table instead, so a single outlier row cannot pin an arbitrarily
+    large array in every long-lived Python worker."""
     global _POW_TABLE
+
+    def build(m: int) -> np.ndarray:
+        t = np.empty(m, dtype=np.uint64)
+        t[0] = 1
+        t[1:] = np.cumprod(
+            np.full(m - 1, _HASH_BASE, dtype=np.uint64))  # wraps mod 2^64
+        return t
+
+    if n > _POW_CACHE_MAX:
+        return build(n)
     if len(_POW_TABLE) < n:
-        grown = np.empty(n, dtype=np.uint64)
-        grown[0] = 1
-        grown[1:] = np.cumprod(
-            np.full(n - 1, _HASH_BASE, dtype=np.uint64))  # wraps mod 2^64
-        _POW_TABLE = grown
+        _POW_TABLE = build(n)
     return _POW_TABLE
 
 

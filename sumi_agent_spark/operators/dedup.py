@@ -526,8 +526,11 @@ def minhash_near_duplicates(
     against the per-doc shingle counts BEFORE any array moves (at the
     measured sf1.0 geometry ~2/3 of the ~100k banding false positives
     die on two narrow ints), and (b) broadcast into the verify joins
-    when bounded (:func:`_maybe_broadcast_pairs`) so the wide shingle
-    frames are streamed, never shuffled or broadcast themselves."""
+    when bounded (:func:`_size_prefiltered_pairs`) so the wide shingle
+    frames are streamed, never shuffled or broadcast themselves.
+    Construction is EAGER (the candidate count runs when the frame is
+    built) -- the same construction-time-execution convention the index
+    write paths and ``clf_eval`` already follow."""
     from ..parallel import fan_out
 
     bands = resolve_bands(threshold, n_hashes, bands)

@@ -177,16 +177,21 @@ def changed_preindexed_ids(
                   .join(pre.select("doc_id"), "doc_id", "left_semi"),
                   "doc_id", meta["epoch"])
               .withColumnRenamed("v", "v_old"))
-    # the change probe is EXACT array equality, so the element types must
+    # the change probe is EXACT array equality, so the ELEMENT types must
     # match: an upstream float->double drift would make the implicit cast
     # read EVERY committed key as changed, committing a fresh epoch per
-    # run (non-convergent) with no diagnostic -- raise instead (r6 ADVICE)
-    slice_t = pre.schema["v"].dataType
-    stored_t = stored.schema["v_old"].dataType
+    # run (non-convergent) with no diagnostic -- raise instead (r6
+    # ADVICE).  Only the element type is compared: containsNull is a
+    # nullability attribute, not a value representation, and exact
+    # equality needs no cast across it.
+    slice_t = getattr(pre.schema["v"].dataType, "elementType", None)
+    stored_t = getattr(stored.schema["v_old"].dataType, "elementType", None)
     if slice_t != stored_t:
         raise ValueError(
-            f"changed_preindexed_ids: slice vector type {slice_t.simpleString()} "
-            f"differs from the index's stored type {stored_t.simpleString()} "
+            f"changed_preindexed_ids: slice vector element type "
+            f"{slice_t.simpleString() if slice_t else slice_t} differs "
+            f"from the index's stored element type "
+            f"{stored_t.simpleString() if stored_t else stored_t} "
             f"-- an implicit cast would mark every committed key as "
             f"changed and reindex the whole slice each run; align the "
             f"upstream embedding column type (or rebuild the index)")

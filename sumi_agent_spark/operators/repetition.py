@@ -11,8 +11,9 @@ fractions and top/duplicate word-n-gram character fractions, used by
 essentially every LLM data pipeline to kill boilerplate, templated spam
 and stuck-generation loops.
 
-All metrics are computed JVM-side (split / explode / groupBy counts --
-map-side combinable, no Python), per document:
+All metrics are PER-DOCUMENT and are computed in one vectorized Arrow
+batch kernel (r7; the "vectorized per-batch metric kernel" section
+below has the design history and exactness contract), per document:
 
 * ``dup_line_frac`` / ``dup_para_frac`` -- fraction of lines (paragraphs)
   whose exact text occurs more than once in the document, occurrence-
@@ -41,11 +42,13 @@ differ between JVM, Python and DuckDB on U+3000/Unicode spaces (the same
 trap documented in ``operators/decontaminate.py``).  A gram's character
 length counts its tokens joined by single spaces, as written in Gopher.
 
-Scale shape: one explode per requested n plus the line/paragraph
-explodes, each followed by a ``groupBy(doc, unit)`` count -- partial
-aggregation everywhere, shuffle keys always include the doc id so a hot
-document cannot hot-spot a reducer beyond its own rows.  No UDFs, no
-windows over the corpus, no driver collects.
+Scale shape (r7): every counter is row-local, so the batch operator is
+one fan-out-repaired scan + one Arrow-vectorized pass -- ZERO corpus
+shuffles, no windows over the corpus, no driver collects; memory is
+O(batch tokens), bounded by the Arrow batch size.  (The pre-r7 shape --
+one explode + ``groupBy(doc, unit)`` per metric -- was map-side
+combinable but paid 11 corpus-wide exchanges for per-document
+counters.)
 """
 
 from __future__ import annotations
@@ -106,12 +109,18 @@ GOPHER_THRESHOLDS = {
 
 
 def _r6(x: float) -> float:
-    """``F.round(x, 6)`` replica: HALF_UP on the exact binary expansion
-    (``round`` builtin is banker's and diverges at exact midpoints like
-    1/128)."""
+    """EXACT ``F.round(x, 6)`` replica.  Spark's Round on doubles is
+    ``BigDecimal.valueOf(d)`` = HALF_UP over the SHORTEST decimal
+    representation (``Double.toString``), which Python's ``repr`` also
+    produces -- so the replica must quantize ``Decimal(repr(x))``.
+    Quantizing the exact binary expansion ``Decimal(x)`` instead
+    diverges on values like 3/640 whose shortest repr is a decimal
+    midpoint while the underlying double sits just below it (verified
+    against Spark 4.1); the ``round`` builtin is banker's and diverges
+    at representable midpoints like 1/128."""
     from decimal import ROUND_HALF_UP, Decimal
-    return float(Decimal(x).quantize(Decimal("1e-6"),
-                                     rounding=ROUND_HALF_UP))
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"),
+                                           rounding=ROUND_HALF_UP))
 
 
 def metric_names(top_ns: tuple[int, ...],
@@ -320,21 +329,18 @@ def _py_repetition_metrics(
 ) -> dict[str, float]:
     """Pure-Python replica of :func:`repetition_stats` for ONE document
     -- the streaming path's kernel, and the parity reference the tests
-    pin against the Spark aggregation.  Exactness notes: counters are
+    pin against the batch kernel.  Exactness notes: counters are
     exact ints and each metric is one float division, identical to the
     JVM's double division; rounding replicates Spark's
-    ``F.round(x, 6)`` (Java ``BigDecimal(double)`` HALF_UP on the exact
-    binary expansion) via ``Decimal(x).quantize(..., ROUND_HALF_UP)``
-    -- Python's builtin ``round`` is banker's and would diverge at
-    midpoints; string ties compare by code point, which equals the
-    JVM's binary UTF-8 collation order."""
+    ``F.round(x, 6)`` exactly via the shared :func:`_r6`
+    (``BigDecimal.valueOf`` = HALF_UP over the shortest decimal repr;
+    see its docstring for why neither ``Decimal(x)`` nor the banker's
+    ``round`` builtin is equivalent); string ties compare by code
+    point, which equals the JVM's binary UTF-8 collation order."""
     import re as _re
     from collections import Counter
-    from decimal import ROUND_HALF_UP, Decimal
 
-    def r6(x: float) -> float:
-        return float(Decimal(x).quantize(Decimal("1e-6"),
-                                         rounding=ROUND_HALF_UP))
+    r6 = _r6
 
     text = text or ""
     total = len(text)

@@ -22,9 +22,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+# Logical-plan node names whose presence means the frame either already
+# carries an exchange-derived partitioning (Repartition/Aggregate/Window/
+# Sort -> shuffle.partitions-wide) or is not a bare-scan chain this helper
+# should probe: `df.rdd.getNumPartitions()` on a plan that contains an
+# exchange EXECUTES the upstream stages under AQE (a full discarded job),
+# so fan_out must decide from the logical plan alone for such inputs.
+# Joins are skipped too: a post-shuffle join is already parallel, and a
+# broadcast join inherits its streamed side's scan partitioning -- callers
+# that need a fanned broadcast-join input fan the scan side BEFORE joining
+# (as the incremental index probes do).
+_WIDE_NODES = ("Repartition", "Join", "Aggregate", "Window", "Sort")
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` up to the session's default
-    parallelism -- ONLY when its current plan has fewer partitions.
+    parallelism -- ONLY when it is a narrow chain over leaves with fewer
+    partitions (the single-row-group-scan case this exists to repair).
 
     Value-neutral by construction: every consumer in this repo is either
     partitioning-invariant (hash aggregates over exact integers, joins,
@@ -35,6 +49,11 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     spark = df.sparkSession
     target = int(min_partitions
                  or spark.sparkContext.defaultParallelism)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(node in plan for node in _WIDE_NODES):
+        return df
+    # narrow chain over scans/local relations: the RDD probe plans
+    # without executing anything
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

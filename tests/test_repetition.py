@@ -111,6 +111,30 @@ def test_partitioning_invariance(spark):
     assert a == b
 
 
+def test_rounding_matches_spark_round_at_repr_midpoints(spark):
+    """The kernel's _r6 must reproduce F.round(x, 6) EXACTLY.  Spark
+    rounds HALF_UP over the shortest decimal repr (BigDecimal.valueOf);
+    quantizing the exact binary expansion diverges on fractions like
+    3/640 whose shortest repr is a decimal midpoint while the double
+    sits just below it -- this is the regression test for that bug."""
+    from pyspark.sql import functions as F
+
+    from sumi_agent_spark.operators.repetition import _r6
+
+    fracs = [3 / 640, 1 / 128, 5 / 1280, 7 / 4000, 123 / 16000,
+             1 / 3, 2 / 3, 0.0, 1.0, 1e-7, 3 / 641]
+    got = [r[0] for r in spark.createDataFrame(
+        [(v,) for v in fracs], ["x"]).select(F.round("x", 6)).collect()]
+    assert [(v, _r6(v)) for v in fracs] == list(zip(fracs, got))
+    # end-to-end: one duplicated line 3x among 640 lines -> 3/640, a
+    # repr-midpoint fraction
+    text = "\n".join(["dup", "dup", "dup"]
+                     + [f"u{i}" for i in range(637)])
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    row = repetition_stats(df).collect()[0]
+    assert row["dup_line_frac"] == got[0]  # == Spark's round(3/640, 6)
+
+
 def test_plan_is_one_vectorized_pass_no_shuffle(spark):
     # r7 shape: one Arrow-vectorized batch kernel, zero Exchange -- no
     # per-row pickled Python (BatchEvalPython) and no corpus shuffle
