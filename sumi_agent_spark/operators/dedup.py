@@ -147,7 +147,8 @@ def signature_matrix(texts: list, shingle_k: int, n_hashes: int,
     return np.ascontiguousarray(sig.T)
 
 
-def make_minhash_udf(n_hashes: int = 128, shingle_k: int = 5):
+def make_minhash_udf(n_hashes: int = 128, shingle_k: int = 5,
+                     flip_sign: bool = False):
     """Series[str] -> array<long> MinHash signature, batch-vectorized.
 
     Hash family: ``(a*s + b) mod 2^64`` with odd random ``a`` -- a bijection
@@ -155,16 +156,27 @@ def make_minhash_udf(n_hashes: int = 128, shingle_k: int = 5):
     (recall is empirically gated in tests).  Signatures are computed as
     ``n_hashes`` vectorized ``minimum.reduceat`` passes over the batch's
     flattened shingle array (:func:`signature_matrix`): no per-row
-    Python, no per-row temporaries."""
+    Python, no per-row temporaries.
+
+    ``flip_sign=True`` emits each value XOR the int64 sign bit, so that
+    SIGNED comparisons on the emitted longs order like UNSIGNED
+    comparisons on the true hashes -- the representation
+    :func:`_group_signatures` aggregates in.  Flipping here is one free
+    vectorized XOR per batch instead of 2x``n_hashes`` Catalyst XOR
+    evaluations per ROW inside the grouped min-aggregate (measured on
+    1.3M turn rows at sf1.0)."""
     a, b = _hash_family(n_hashes)
+    sign = np.uint64(1) << np.uint64(63)
 
     @pandas_udf(ArrayType(LongType()))
     def minhash(texts: pd.Series) -> pd.Series:
         if len(texts) == 0:
             return pd.Series([], dtype=object)
-        rows = signature_matrix(texts.fillna("").tolist(), shingle_k,
-                                n_hashes, a, b).view(np.int64)
-        return pd.Series(list(rows))
+        m = signature_matrix(texts.fillna("").tolist(), shingle_k,
+                             n_hashes, a, b)
+        if flip_sign:
+            m = m ^ sign
+        return pd.Series(list(m.view(np.int64)))
 
     return minhash
 
@@ -569,18 +581,21 @@ def _group_signatures(df: DataFrame, group_col: str, text_col: str,
     as int64 (``make_minhash_udf``), so a plain ``F.min`` would compare
     signed and pick a large hash over a small one whenever the high bit is
     set (~half of all values), making the "signature" partition-dependent
-    and silently costing recall.  XORing the sign bit converts unsigned
-    order to signed order for the aggregate, then converts back."""
-    minhash = make_minhash_udf(n_hashes, shingle_k)
+    and silently costing recall.  The sign-bit flip that converts
+    unsigned order to signed order happens INSIDE the UDF
+    (``flip_sign=True`` -- one vectorized XOR per batch); the aggregate
+    is then a plain per-element ``F.min`` and only the final per-GROUP
+    array flips back (r7: this removes 2 x n_hashes Catalyst XOR
+    evaluations per input row)."""
+    minhash = make_minhash_udf(n_hashes, shingle_k, flip_sign=True)
     row_sig = df.select(F.col(group_col).alias("gid"),
                         minhash(F.col(text_col)).alias("sig"))
     return (row_sig
             .groupBy("gid")
-            .agg(F.array(*[
-                F.min(F.element_at("sig", i + 1)
-                      .bitwiseXOR(F.lit(_SIGN_BIT)))
-                 .bitwiseXOR(F.lit(_SIGN_BIT))
-                for i in range(n_hashes)]).alias("sig")))
+            .agg(F.transform(
+                F.array(*[F.min(F.element_at("sig", i + 1))
+                          for i in range(n_hashes)]),
+                lambda x: x.bitwiseXOR(F.lit(_SIGN_BIT))).alias("sig")))
 
 
 def minhash_near_duplicates_grouped(
